@@ -1,0 +1,111 @@
+"""Join operators (SURVEY.md §2.4).
+
+The reference performs no relational join — its only product-shaped op is
+the backfill cross product (``ingest_web_to_gcs.py:231``). This module
+supplies the join surface any analytics engine over the star schema
+needs, each expressed so Catalyst picks the right physical strategy:
+
+- equi joins: plain ``df.join`` → AQE chooses broadcast/SMJ/SHJ;
+- dimension joins: explicit ``F.broadcast`` on true small dims — at
+  100 TB the fact side never shuffles for a 25-row nation table;
+- as-of join: no native Spark physical op; implemented union-tag +
+  window ``last(ignorenulls)`` — a single shuffle on the join key, no
+  per-row Python (cf. the pd.merge_asof-per-group alternative, which
+  breaks on groups that exceed one Arrow batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame, right: DataFrame, on: str | Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Plain equi join; Catalyst/AQE picks broadcast vs shuffle strategy."""
+    return left.join(right, on=on, how=how)
+
+
+def broadcast_join(
+    fact: DataFrame, dim: DataFrame, on: str | Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Fact ⋈ small dimension with an explicit broadcast hint.
+
+    Broadcast keeps the (possibly 100 TB) fact side shuffle-free: the dim
+    is replicated to every executor and the join runs map-side.
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """EXISTS — rows of `left` with a match in `right` (no right columns)."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """NOT EXISTS — rows of `left` without a match in `right`."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Cartesian product — only sane when at least one side is tiny
+    (the reference's formats × months backfill enumeration)."""
+    return left.crossJoin(right)
+
+
+def theta_join(left: DataFrame, right: DataFrame, cond: Column, how: str = "inner") -> DataFrame:
+    """Non-equi predicate join. Without an equi prefix Catalyst falls back
+    to broadcast-nested-loop; callers joining two big sides should add a
+    blocking/banding key first (see similarity.py for the pattern)."""
+    return left.join(right, on=cond, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (backward) per key.
+
+    Union-tag implementation: stack both sides on (key, ts), then a
+    window ``last(value, ignorenulls=True)`` ordered by (ts, side)
+    carries the most recent right-side values forward onto left rows.
+    One shuffle on `key`, sort within partitions — the same physical
+    shape a native as-of operator would need. Ties (right_ts == left_ts)
+    match, mirroring DuckDB ``ASOF JOIN`` (>=) semantics: the right side
+    sorts before the left at equal timestamps via the side tag.
+    """
+    if direction != "backward":
+        raise ValueError("only backward as-of supported")
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}") for v in value_cols],
+    )
+    tagged_r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_l.unionByName(tagged_r).select(
+        "*", *[F.last(f"__v_{v}", ignorenulls=True).over(w).alias(v) for v in value_cols]
+    )
+    return filled.filter(F.col("__side") == 1).select(*lcols, *value_cols)

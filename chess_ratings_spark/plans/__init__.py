@@ -1,0 +1,10 @@
+"""Driver-facing query definitions.
+
+Importing this package populates ``chess_ratings_spark.registry.REGISTRY``
+with every implemented SURVEY.md §2 operator ID. ``__spark_entry__``
+exposes the registry to the driver.
+"""
+
+from chess_ratings_spark.plans import (  # noqa: F401
+    relational,
+)

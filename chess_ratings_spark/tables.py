@@ -1,0 +1,71 @@
+"""Fixture table loaders.
+
+All driver fixtures live as one parquet file per table under an sf dir
+(``/root/testdata/sf*/``; see TESTDATA.md). Loading is a plain
+``spark.read.parquet`` — vectorized columnar scan with predicate pushdown
+and column pruning — except ``events``, whose ``ts`` column is parquet
+TIMESTAMP(NANOS,false), a type Spark's reader rejects outright
+(PARQUET_TYPE_ILLEGAL). We flip the runtime-settable
+``spark.sql.legacy.parquet.nanosAsLong`` conf to read it as epoch-nanos
+LongType, then rebuild a TIMESTAMP_NTZ column with pure column
+arithmetic. NTZ (not LTZ) on purpose: the fixture values are naive wall
+times and NTZ semantics are session-timezone-independent, which keeps
+every downstream extraction (year/window/bucket) deterministic no matter
+how the driver configured its session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: epoch-micros long -> TIMESTAMP_NTZ, timezone-proof. NTZ + day-time
+#: interval arithmetic never consults the session timezone (unlike
+#: timestamp_micros(), which yields LTZ and shifts under collection).
+#: The decimal division keeps microsecond precision exactly.
+_NTZ_FROM_MICROS = (
+    "cast('1970-01-01 00:00:00' as timestamp_ntz)"
+    " + make_dt_interval(0, 0, 0, cast({us} as decimal(20,0)) / 1000000)"
+)
+
+
+def path_of(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table by name; `events` gets ts normalization."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(path_of(sf_dir, name))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as TIMESTAMP_NTZ (µs) and ``ts_ns`` epoch nanos.
+
+    The fixture's values are µs-precision, so `div 1000` is lossless.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path_of(sf_dir, "events"))
+    return (
+        raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", F.expr(_NTZ_FROM_MICROS.format(us="ts_ns div 1000")))
+        .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+    )
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
