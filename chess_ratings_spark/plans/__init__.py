@@ -7,4 +7,5 @@ exposes the registry to the driver.
 
 from chess_ratings_spark.plans import (  # noqa: F401
     relational,
+    tier_r,
 )

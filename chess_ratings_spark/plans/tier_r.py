@@ -1,0 +1,540 @@
+"""Tier R queries — the reference's own operation surface
+(SURVEY.md §2.1-§2.3, §2.7, §2.10), oracle-checked.
+
+The driver's DuckDB only knows the star-schema views, so these queries
+derive a raw FIDE-shaped frame from customer⋈nation with expressions
+written identically on both sides (pure per-row integer/string ops —
+bit-exact across engines), then run the REAL engine operators
+(chess_ratings_spark.ingest / operators.validate) on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chess_ratings_spark import ingest, tables
+from chess_ratings_spark.functions import scalar
+from chess_ratings_spark.operators import validate
+from chess_ratings_spark.registry import register
+
+# Shared raw-FIDE derivation. ~1 in 19 rows gets an invalid federation,
+# ~1 in 3 a NULL sex, ~1 in 10 the birthday=0 sentinel — so every
+# downstream transform/constraint has work to do.
+_RAW_EXPRS = [
+    "c_custkey AS fideid",
+    "c_name AS name",
+    "CASE WHEN c_custkey % 19 = 0 THEN 'X1' ELSE upper(substr(n_name, 1, 3)) END AS country",
+    "CASE WHEN c_custkey % 3 = 0 THEN 'F' WHEN c_custkey % 3 = 1 THEN 'M' END AS sex",
+    "CAST(floor(c_acctbal) AS BIGINT) + 1000 AS rating",
+    "CAST(c_custkey % 40 AS BIGINT) AS games",
+    "CAST(CASE WHEN c_custkey % 2 = 0 THEN 20 ELSE 40 END AS BIGINT) AS k",
+    "CAST(CASE WHEN c_custkey % 10 = 0 THEN 0 ELSE 1950 + c_custkey % 60 END AS BIGINT) AS birthday",
+    "CASE WHEN c_custkey % 7 = 0 THEN 'i' END AS flag",
+]
+
+_RAW_SQL = f"""
+  SELECT {', '.join(_RAW_EXPRS)}
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def _raw_fide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).selectExpr(*_RAW_EXPRS)
+
+
+# ---------------------------------------------------------------------------
+# Projections (§2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "proj_rename",
+    oracle=f"""
+    SELECT fideid AS fide_id, name AS player_name, country AS fide_federation,
+           games AS game_count, birthday AS birth_year, rating
+    FROM ({_RAW_SQL})
+    """,
+    doc="Bulk canonical rename (ingest_web_to_gcs.py:107-115) via "
+    "withColumnsRenamed — a pure projection node, fused into the scan.",
+    tags=("tier-r",),
+)
+def proj_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ingest.rename_raw(_raw_fide(spark, sf_dir))
+    return out.select(
+        "fide_id", "player_name", "fide_federation", "game_count", "birth_year", "rating"
+    )
+
+
+@register(
+    "proj_add_missing",
+    oracle=f"""
+    SELECT fideid, CAST(NULL AS VARCHAR) AS title, CAST(NULL AS VARCHAR) AS w_title,
+           CAST(NULL AS VARCHAR) AS o_title, CAST(NULL AS VARCHAR) AS foa_title,
+           flag,
+           CAST(count(*) OVER () AS BIGINT) AS n_total
+    FROM ({_RAW_SQL})
+    """,
+    doc="Typed-NULL backfill of declared-but-absent columns "
+    "(ingest_web_to_gcs.py:26-37; foa_title missing pre-2017). `flag` "
+    "already exists so it must NOT be overwritten.",
+    tags=("tier-r",),
+)
+def proj_add_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _raw_fide(spark, sf_dir)
+    out = ingest.normalize_schema(raw)
+    from pyspark.sql import Window
+
+    return out.select(
+        "fideid",
+        "title",
+        "w_title",
+        "o_title",
+        "foa_title",
+        "flag",
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_total"),
+    )
+
+
+@register(
+    "proj_lit",
+    oracle=f"""
+    SELECT fideid, CAST(2024 AS INT) AS period_year, CAST(3 AS INT) AS period_month,
+           'standard' AS game_format
+    FROM ({_RAW_SQL})
+    """,
+    doc="Constant provenance columns (ingest_web_to_gcs.py:122-123) + the "
+    "game_format partition dim.",
+    tags=("tier-r",),
+)
+def proj_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ingest.stamp_period(_raw_fide(spark, sf_dir), 2024, 3, "standard")
+    return out.select("fideid", "period_year", "period_month", "game_format")
+
+
+@register(
+    "select_project",
+    oracle="SELECT l_orderkey, l_shipdate FROM lineitem WHERE l_returnflag = 'R'",
+    doc="Explicit column pruning: the scan's ReadSchema carries exactly "
+    "two of eleven columns and the filter is in PushedFilters.",
+    tags=("tier-r",),
+)
+def select_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_shipdate")
+
+
+@register(
+    "filter_pred",
+    oracle=f"""
+    SELECT fideid, birthday, rating
+    FROM ({_RAW_SQL})
+    WHERE birthday BETWEEN 1950 AND 1979 AND rating >= 1000 AND sex IS NOT NULL
+    """,
+    doc="Range/membership/null predicates (the reference's guard checks "
+    "utils/dates.py:33-50 as row filters).",
+    tags=("tier-r",),
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _raw_fide(spark, sf_dir)
+    return raw.filter(
+        F.col("birthday").between(1950, 1979)
+        & (F.col("rating") >= 1000)
+        & F.col("sex").isNotNull()
+    ).select("fideid", "birthday", "rating")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (§2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_recode_map",
+    oracle=f"""
+    SELECT fideid,
+           CAST(CASE WHEN sex = 'F' THEN 0 WHEN sex = 'M' THEN 1 END AS TINYINT) AS sex_code,
+           CASE WHEN birthday = 0 THEN NULL ELSE birthday END AS birth_year
+    FROM ({_RAW_SQL})
+    """,
+    doc="Dictionary recode F/M→0/1 tinyint + sentinel 0→NULL "
+    "(ingest_web_to_gcs.py:118-120), as CASE WHEN / nullif.",
+    tags=("tier-r",),
+)
+def fn_recode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _raw_fide(spark, sf_dir)
+    return raw.select(
+        "fideid",
+        scalar.recode_map("sex", ingest.SEX_CODES).alias("sex_code"),
+        scalar.sentinel_to_null("birthday", 0).alias("birth_year"),
+    )
+
+
+@register(
+    "fn_month_code",
+    oracle="""
+    SELECT m AS period_month,
+           (['jan','feb','mar','apr','may','jun','jul','aug','sep','oct','nov','dec'])[m]
+             AS month_code
+    FROM (SELECT unnest(range(1, 13)) AS m)
+    """,
+    doc="Numeric month → 3-letter code via array-literal lookup "
+    "(utils/dates.py:7-24).",
+    tags=("tier-r",),
+)
+def fn_month_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    months = spark.range(1, 13).select(F.col("id").alias("period_month"))
+    return months.select(
+        "period_month", scalar.month_code("period_month").alias("month_code")
+    )
+
+
+@register(
+    "fn_format_string",
+    oracle="""
+    SELECT f.game_format, m.y AS period_year, m.m AS period_month,
+           f.game_format || '_' ||
+             (['jan','feb','mar','apr','may','jun','jul','aug','sep','oct','nov','dec'])[m.m] ||
+             right(CAST(m.y AS VARCHAR), 2) || 'frl_xml' AS file_name
+    FROM (SELECT unnest(['standard','rapid','blitz']) AS game_format) f
+    CROSS JOIN (SELECT unnest([2023, 2024]) AS y, unnest([9, 10]) AS m) m
+    """,
+    doc="String building from parts incl. two-digit year "
+    "(ingest_web_to_gcs.py:55-57 file naming).",
+    tags=("tier-r",),
+)
+def fn_format_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    params = spark.createDataFrame(
+        [(f, y, m) for f in ("standard", "rapid", "blitz") for y, m in ((2023, 9), (2024, 10))],
+        "game_format string, period_year int, period_month int",
+    )
+    return params.select(
+        "game_format",
+        "period_year",
+        "period_month",
+        scalar.ratings_file_name(
+            F.col("game_format"), F.col("period_year"), F.col("period_month")
+        ).alias("file_name"),
+    )
+
+
+@register(
+    "src_url_gen",
+    oracle="""
+    SELECT f.game_format, m.y AS period_year, m.m AS period_month,
+           'https://ratings.fide.com/download/' || f.game_format || '_' ||
+             (['jan','feb','mar','apr','may','jun','jul','aug','sep','oct','nov','dec'])[m.m] ||
+             right(CAST(m.y AS VARCHAR), 2) || 'frl_xml.zip' AS url
+    FROM (SELECT unnest(['standard','rapid','blitz']) AS game_format) f
+    CROSS JOIN (
+      SELECT CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m
+      FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-04-01',
+                                          INTERVAL 1 MONTH)) AS d)
+    ) m
+    """,
+    doc="Deterministic per-(format,period) source URL "
+    "(ingest_web_to_gcs.py:40-52) over the backfill parameter frame.",
+    tags=("tier-r", "scan"),
+)
+def src_url_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    formats = spark.createDataFrame(
+        [("standard",), ("rapid",), ("blitz",)], "game_format string"
+    )
+    months = (
+        spark.range(1)
+        .select(
+            F.explode(
+                scalar.month_range(
+                    F.lit("2024-01-01").cast("date"), F.lit("2024-04-01").cast("date")
+                )
+            ).alias("d")
+        )
+        .select(
+            F.year("d").cast("int").alias("period_year"),
+            F.month("d").cast("int").alias("period_month"),
+        )
+    )
+    return formats.crossJoin(months).select(
+        "game_format",
+        "period_year",
+        "period_month",
+        scalar.ratings_url(
+            F.col("game_format"), F.col("period_year"), F.col("period_month")
+        ).alias("url"),
+    )
+
+
+@register(
+    "fn_regex_match",
+    oracle=f"""
+    SELECT country AS fide_federation,
+           regexp_full_match(country, '(?i)[A-Z]{{3}}') AS is_valid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ({_RAW_SQL})
+    GROUP BY 1, 2
+    """,
+    doc="Anchored federation-code regex (chess_ratings_data_model.py:14; "
+    "patito fullmatches, hence rlike('^...$')).",
+    tags=("tier-r",),
+)
+def fn_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _raw_fide(spark, sf_dir)
+    return (
+        raw.select(
+            F.col("country").alias("fide_federation"),
+            scalar.federation_valid("country").alias("is_valid"),
+        )
+        .groupBy("fide_federation", "is_valid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "fn_date_range",
+    oracle="""
+    SELECT CAST(year(d) AS INT) AS period_year, CAST(month(d) AS INT) AS period_month
+    FROM (
+      SELECT unnest(generate_series(
+        date_trunc('month', (SELECT min(o_orderdate) FROM orders)),
+        date_trunc('month', (SELECT max(o_orderdate) FROM orders)),
+        INTERVAL 1 MONTH)) AS d
+    )
+    """,
+    doc="Month-start sequence between two dates (utils/dates.py:27-30's "
+    "pl.date_range) — sequence() + explode over the orders span.",
+    tags=("tier-r",),
+)
+def fn_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").cast("date").alias("lo"), F.max("o_orderdate").cast("date").alias("hi")
+    )
+    return (
+        bounds.select(F.explode(scalar.month_range(F.col("lo"), F.col("hi"))).alias("d"))
+        .select(
+            F.year("d").cast("int").alias("period_year"),
+            F.month("d").cast("int").alias("period_month"),
+        )
+    )
+
+
+@register(
+    "fn_cast_datetime_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1, 2, 3
+    """,
+    doc="Datetime part extraction on TIMESTAMP_NTZ — session-timezone "
+    "independent by type (the reference's cast-then-year at "
+    "ingest_web_to_gcs.py:118, minus its epoch-reinterpretation bug).",
+    tags=("tier-r",),
+)
+def fn_cast_datetime_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "fn_json_get",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="Scalar extraction from a JSON-string column (events.props) via "
+    "get_json_object — no full from_json parse when one path suffices.",
+    tags=("scalar", "events"),
+)
+def fn_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    from chess_ratings_spark.operators.aggregates import money
+
+    return (
+        ev.select(scalar.json_get("props", "k").cast("bigint").alias("k_value"), "value")
+        .groupBy("k_value")
+        .agg(F.count(F.lit(1)).alias("n"), money(F.sum("value")).alias("total_value"))
+    )
+
+
+@register(
+    "fn_array_ops",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(len(embedding)) AS INT) AS min_dim,
+           CAST(max(len(embedding)) AS INT) AS max_dim,
+           round(sum(CAST(embedding[1] AS DOUBLE)), 6) AS sum_first,
+           round(sum(CAST(embedding[64] AS DOUBLE)), 6) AS sum_last
+    FROM embeddings GROUP BY label
+    """,
+    doc="Array column ops on embeddings: size, 1-based element access, "
+    "per-label aggregation of components.",
+    tags=("scalar", "embeddings"),
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(F.size("embedding")).cast("int").alias("min_dim"),
+        F.max(F.size("embedding")).cast("int").alias("max_dim"),
+        F.round(F.sum(F.element_at("embedding", 1).cast("double")), 6).alias("sum_first"),
+        F.round(F.sum(F.element_at("embedding", 64).cast("double")), 6).alias("sum_last"),
+    )
+
+
+@register(
+    "fn_math_std",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+           abs(l_extendedprice - l_quantity * 1000.0) AS price_gap,
+           sqrt(l_quantity) AS qty_root,
+           l_discount * l_discount AS disc_sq
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    doc="Per-row arithmetic (revenue formula, abs, sqrt, square). "
+    "Unrounded on purpose: per-row IEEE ops are bit-exact across "
+    "engines (sqrt is correctly-rounded by spec; pow is not — use x*x).",
+    tags=("scalar",),
+)
+def fn_math_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charged"),
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000.0).alias("price_gap"),
+        F.sqrt("l_quantity").alias("qty_root"),
+        (F.col("l_discount") * F.col("l_discount")).alias("disc_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Validation (§2.7) + full pipeline
+# ---------------------------------------------------------------------------
+
+_PREPROCESSED_SQL = f"""
+  SELECT fideid AS fide_id, name AS player_name, country AS fide_federation,
+         CAST(CASE WHEN sex = 'F' THEN 0 WHEN sex = 'M' THEN 1 END AS TINYINT) AS sex,
+         CAST(NULL AS VARCHAR) AS title, CAST(NULL AS VARCHAR) AS w_title,
+         CAST(NULL AS VARCHAR) AS o_title, CAST(NULL AS VARCHAR) AS foa_title,
+         rating, games AS game_count, k,
+         CAST(CASE WHEN birthday = 0 THEN NULL ELSE birthday END AS INT) AS birth_year,
+         flag,
+         CAST(2024 AS INT) AS period_year, CAST(6 AS INT) AS period_month,
+         'standard' AS game_format
+  FROM ({_RAW_SQL})
+"""
+
+
+@register(
+    "tier_r_preprocess",
+    oracle=_PREPROCESSED_SQL,
+    doc="The reference's whole preprocess_ratings_data pipeline "
+    "(ingest_web_to_gcs.py:98-127): rename → typed-NULL backfill → "
+    "recodes → period stamp, composed as one Catalyst plan.",
+    tags=("tier-r",),
+)
+def tier_r_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _raw_fide(spark, sf_dir)
+    return ingest.preprocess(raw, 2024, 6, "standard")
+
+
+@register(
+    "val_constraints",
+    oracle=f"""
+    WITH p AS ({_PREPROCESSED_SQL})
+    SELECT * FROM (
+      SELECT 'fide_id_not_null' AS constraint, CAST(sum(CASE WHEN fide_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM p
+      UNION ALL SELECT 'rating_not_null', CAST(sum(CASE WHEN rating IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'game_count_not_null', CAST(sum(CASE WHEN game_count IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'k_not_null', CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'federation_pattern', CAST(sum(CASE WHEN fide_federation IS NOT NULL AND NOT regexp_full_match(fide_federation, '(?i)[A-Z]{{3}}') THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'sex_domain', CAST(sum(CASE WHEN sex IS NOT NULL AND sex NOT IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'birth_year_range', CAST(sum(CASE WHEN birth_year IS NOT NULL AND birth_year NOT BETWEEN 1900 AND 2026 THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'period_year_range', CAST(sum(CASE WHEN period_year NOT BETWEEN 2000 AND 2026 THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'period_month_range', CAST(sum(CASE WHEN period_month NOT BETWEEN 1 AND 12 THEN 1 ELSE 0 END) AS BIGINT) FROM p
+    )
+    """,
+    doc="The patito model's constraint set (chess_ratings_data_model.py:"
+    "12-31) as ONE aggregation pass returning a violations report — "
+    "constraint count does not multiply scan count.",
+    tags=("tier-r", "validation"),
+)
+def val_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pre = ingest.preprocess(_raw_fide(spark, sf_dir), 2024, 6, "standard")
+    return validate.violations_report(pre, validate.fide_constraints(current_year=2026))
+
+
+# ---------------------------------------------------------------------------
+# Sinks + listing (§2.1) and the XML source — rows-only (filesystem /
+# bytes paths; no DuckDB view to compare against)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle=None,
+    doc="Partitioned parquet sink with idempotent re-run semantics "
+    "(mode='ignore' ≡ the reference's skip-if-exists at "
+    "ingest_web_to_gcs.py:189-193). Writes twice; the second write is a "
+    "no-op; returns the partition inventory read back from disk.",
+    tags=("tier-r", "sink"),
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from chess_ratings_spark.sources import io as cio
+
+    pre = ingest.preprocess(_raw_fide(spark, sf_dir), 2024, 6, "standard")
+    two_months = pre.unionByName(
+        ingest.preprocess(_raw_fide(spark, sf_dir), 2024, 7, "rapid")
+    )
+    out = tempfile.mkdtemp(prefix="crs_sink_") + "/fide_ratings"
+    cio.sink_parquet_partitioned(two_months, out, mode="overwrite")
+    cio.sink_parquet_partitioned(two_months, out, mode="ignore")  # idempotent no-op
+    return cio.list_partitions(spark, out)
+
+
+@register(
+    "src_http_zip_xml",
+    oracle=None,
+    doc="The web source path (ingest_web_to_gcs.py:61-95) offline: "
+    "deterministic in-memory zip+XML bytes → unzip → pd.read_xml → "
+    "Arrow createDataFrame → full preprocess. Network fetch() is the "
+    "only untested stage (no egress here).",
+    tags=("tier-r", "scan"),
+)
+def src_http_zip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io as _io
+    import zipfile
+
+    from chess_ratings_spark.sources import http_xml
+
+    players = "".join(
+        f"<player><fideid>{i}</fideid><name>Player {i}</name>"
+        f"<country>{'USA' if i % 2 else 'GER'}</country>"
+        f"<sex>{'M' if i % 3 else 'F'}</sex>"
+        f"<rating>{2000 + i}</rating><games>{i % 30}</games><k>20</k>"
+        f"<birthday>{0 if i % 10 == 0 else 1960 + i % 40}</birthday>"
+        f"<flag>{'i' if i % 5 == 0 else ''}</flag></player>"
+        for i in range(1, 101)
+    )
+    xml = f"<playerslist>{players}</playerslist>".encode()
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("standard_jun24frl_xml.xml", xml)
+    return http_xml.ingest_month_from_bytes(spark, buf.getvalue(), 2024, 6, "standard")

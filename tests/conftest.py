@@ -87,18 +87,22 @@ def compare_frames(spark_df, con, sql: str, qname: str = "?"):
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"{qname}: column mismatch spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
     )
+    from collections import Counter
+
     order = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
-    o_sorted = sorted(tuple(_norm(r[i]) for i in order) for r in oracle_rows)
+    o_multi = Counter(tuple(_norm(r[i]) for i in order) for r in oracle_rows)
 
     s_rows = spark_df.collect()
     s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
-    s_sorted = sorted(tuple(_norm(r[i]) for i in s_order) for r in s_rows)
+    s_multi = Counter(tuple(_norm(r[i]) for i in s_order) for r in s_rows)
 
-    assert len(s_sorted) == len(o_sorted), (
-        f"{qname}: row count spark={len(s_sorted)} oracle={len(o_sorted)}"
+    assert sum(s_multi.values()) == sum(o_multi.values()), (
+        f"{qname}: row count spark={sum(s_multi.values())} oracle={sum(o_multi.values())}"
     )
-    if s_sorted != o_sorted:
-        diffs = [
-            (a, b) for a, b in zip(s_sorted, o_sorted) if a != b
-        ][:5]
-        raise AssertionError(f"{qname}: value mismatch; first diffs (spark, oracle): {diffs}")
+    if s_multi != o_multi:
+        only_s = list((s_multi - o_multi).keys())[:3]
+        only_o = list((o_multi - s_multi).keys())[:3]
+        raise AssertionError(
+            f"{qname}: value mismatch; spark-only rows: {only_s}; oracle-only rows: {only_o}"
+            f" (cols sorted: {sorted(spark_cols)})"
+        )
