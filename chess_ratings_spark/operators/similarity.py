@@ -1,0 +1,344 @@
+"""Near-duplicate detection and vector similarity (SURVEY.md §2.9).
+
+The 100 TB design constraint shapes everything here: no O(n²) pair
+enumeration ever materializes. Candidates come from LSH band keys
+(MinHash bands for Jaccard, sign-bit bands for cosine), so the only
+wide operation is an equi-join on band keys; exact verification then
+runs on the (tiny) candidate set. All hashing is xxhash64 — JVM-side,
+codegen'd, seeded per hash function via an extra literal column.
+
+MinHash recall math (why the verified output is effectively exact):
+with r rows/band and b bands, P(candidate | jaccard=j) = 1-(1-j^r)^b.
+At r=4, b=32 and j ≥ 0.8, miss probability ≤ (1-0.8^4)^32 ≈ 3e-9 — so
+"LSH candidates + exact-jaccard filter" equals the brute-force answer
+up to negligible probability, which is what makes the DuckDB oracle
+(inverted-index exact join) a fair check rather than a lucky one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_WIDTH = 3
+N_HASHES = 128
+N_BANDS = 32  # -> 4 rows per band
+
+
+def shingles(col: Column | str, width: int = SHINGLE_WIDTH) -> Column:
+    """Distinct word w-shingles as an array column (pure exprs:
+    sequence + transform + slice + concat_ws)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (width - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, width)),
+        )
+    )
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles array, n_shingles) — docs shorter than the
+    shingle width drop out (no shingles to compare)."""
+    return (
+        docs.select("doc_id", shingles(text_col).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("n_sh", F.size("sh"))
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig array<bigint>[n_hashes]) via explode → per-seed min.
+
+    Map-side partial min aggregation means only n_hashes longs per doc
+    cross the shuffle, regardless of document size.
+    """
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs via band-key equi-join.
+
+    Band key = xxhash64 of the band's signature slice; the self-join
+    shuffles on (band_id, key) — never on raw pairs.
+    """
+    r = N_HASHES // n_bands
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(*[F.element_at("sig", b * r + i + 1) for i in range(r)]).alias(
+                            "key"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_jaccard_pairs(
+    docs: DataFrame, tau: float, text_col: str = "text"
+) -> DataFrame:
+    """MinHash-LSH near-dup join: candidates by banding, then EXACT
+    jaccard on shingle sets; emit pairs with jaccard >= tau."""
+    sh = shingle_sets(docs, text_col).cache()
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    ja = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    jb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - F.size(
+        F.array_intersect("sh_a", "sh_b")
+    )
+    return (
+        cands.join(ja, "doc_a")
+        .join(jb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (bit-signature near-dup for text)
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash bigint): majority vote per bit over token hashes.
+
+    explode(tokens) → per-doc sum of ±1 per bit → reassemble. The vote
+    sums are 64 small agg columns — map-side combine keeps the shuffle
+    at 64 longs per doc.
+    """
+    toks = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("t"))
+    h = F.xxhash64("t")
+    # shiftleft, not python 1<<i: bit 63 overflows a py4j Long literal
+    mask = lambda i: F.shiftleft(F.lit(1).cast("long"), i)  # noqa: E731
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(h.bitwiseAND(mask(i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"b{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 ×16-bit chunks (any pair
+    within hamming ≤ 6 of 64 bits shares ≥1 identical 16-bit chunk when
+    differing bits spread over ≤3 chunks — pigeonhole over 4 chunks
+    guarantees a shared chunk for hamming ≤ 3; chunks are a recall
+    heuristic at 4-6), then verify exact hamming."""
+    sigs = simhash_signatures(docs)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "doc_a", "doc_b", hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Vector similarity (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def dot_double(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ with per-element double casts, left-fold order — bit-exact
+    against DuckDB's list_sum(list_transform(list_zip(...))) (verified
+    empirically), so cosine queries need no rounding."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2(a: Column | str) -> Column:
+    return F.sqrt(dot_double(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return dot_double(ca, cb) / (norm2(ca) * norm2(cb))
+
+
+def brute_force_topk(
+    queries: DataFrame, candidates: DataFrame, k: int
+) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast the (small) query set
+    against the candidate table, per-pair cosine, window top-k.
+
+    At 100 TB the candidate side streams partition-parallel while the
+    query block is replicated — the baseline every ANN variant is
+    measured against.
+    """
+    from chess_ratings_spark.operators.windows import topk_per_group
+
+    q = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = candidates.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    pairs = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).select(
+        "qid", "cid", cosine("qv", "cv").alias("cos")
+    )
+    return topk_per_group(
+        pairs, group=["qid"], order=[F.col("cos").desc(), F.col("cid")], k=k, rn_name="rank"
+    )
+
+
+def signbit_lsh_pairs(vectors: DataFrame, tau: float, n_bits: int = 128, n_bands: int = 16) -> DataFrame:
+    """All-pairs cosine ≥ tau via random-hyperplane LSH.
+
+    Hyperplanes are pseudo-random but deterministic: plane p's component
+    j = zero-mean xxhash64(p, j). Physical shape mirrors
+    simhash_signatures: posexplode components → grouped sums (one pass,
+    map-side combine — NOT nested aggregate() expressions, which are a
+    codegen blowup measured at ~100× slower). Candidates are distinct
+    ID pairs from the band equi-join; exact cosine runs once per
+    distinct pair after joining embeddings back.
+
+    Components are MEAN-CENTERED before hashing: corpora whose
+    components share a positive mean give every pair cos≈0.3-0.5, which
+    biases the sign bits and floods the band buckets with false
+    candidates (measured ~2M candidates on 2k vectors uncentered vs
+    ~150k centered). Centering rebalances the bits — near-identical
+    vectors stay near-identical after centering, so recall for true
+    near-dups is preserved; the exact-cosine filter runs on the
+    ORIGINAL vectors.
+
+    Bit computation is Arrow-vectorized (pandas UDF, numpy matmul
+    against a seeded plane matrix): the bits are approximate BLOCKING —
+    correctness comes from the exact-cosine verify — and the pure-expr
+    alternative (n_bits grouped hash-sums) measured ~6 s of codegen-
+    bound aggregation for what numpy does in milliseconds. The mean
+    vector is an O(dim) aggregate collected to the driver — statistics,
+    not data, so the no-driver-collect rule doesn't apply.
+    """
+    r = n_bits // n_bands
+    dim = len(vectors.select("embedding").first()[0])
+    mean_row = (
+        vectors.select(F.posexplode("embedding").alias("j", "v"))
+        .groupBy("j")
+        .agg(F.avg(F.col("v").cast("double")).alias("mu"))
+        .orderBy("j")
+        .collect()
+    )
+    mu = np.array([row.mu for row in mean_row])
+    planes = np.random.default_rng(42).standard_normal((dim, n_bits))
+
+    @F.pandas_udf("array<long>")
+    def band_keys(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()) - mu  # (batch, dim), centered
+        bits = (m @ planes) > 0  # (batch, n_bits)
+        keys = []
+        weights = 1 << np.arange(r)
+        for row in bits:
+            chunks = row.reshape(n_bands, r) @ weights  # r-bit ints
+            # key encodes (band_id << r) | chunk so one array joins flat
+            keys.append([int((b << r) | int(c)) for b, c in enumerate(chunks)])
+        return pd.Series(keys)
+
+    bands = vectors.select(
+        "vec_id", F.explode(band_keys("embedding")).alias("key")
+    ).withColumn("band_id", F.shiftright("key", r))
+    a, b = bands.alias("a"), bands.alias("b")
+    # key embeds band_id in its high bits, so the equi-join on key alone
+    # co-locates band buckets in one shuffle
+    cands = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = vectors.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = vectors.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cosine("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= tau)
+    )
+
+
+def label_centroids(vectors: DataFrame, dims: int = 64) -> DataFrame:
+    """Per-label centroid via posexplode + (label, pos) mean — the
+    embedding-column aggregation pattern (mm_embedding_col)."""
+    comp = vectors.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return comp.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("mean_component"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -6,6 +6,8 @@ exposes the registry to the driver.
 """
 
 from chess_ratings_spark.plans import (  # noqa: F401
+    llm_tier,
     relational,
+    streaming,
     tier_r,
 )

@@ -1,0 +1,379 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.9) + the as-of join (§2.4):
+text analysis over `documents`, near-dup detection, vector similarity
+over `embeddings`, and the snapshot-lookup join over `events`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chess_ratings_spark import tables
+from chess_ratings_spark.operators import similarity, text
+from chess_ratings_spark.operators.aggregates import money
+from chess_ratings_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenize_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
+           CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Tokenize + per-language corpus stats; explicit sum/count "
+    "division (engine avg() accumulation orders differ).",
+    tags=("text",),
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    n_tok = text.token_count("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.max(n_tok).cast("int").alias("max_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "text_ngram_topk",
+    oracle="""
+    SELECT lang, bigram, n, CAST(rn AS INT) AS rn FROM (
+      SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bigram) AS rn
+      FROM (
+        SELECT lang, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+        FROM (SELECT lang, string_split(text, ' ') AS t FROM documents)
+      )
+      GROUP BY lang, bigram
+    ) WHERE rn <= 5
+    """,
+    doc="Top-5 bigrams per language: per-row n-gram expansion (pure "
+    "array exprs, no window) → count → window top-k with total-order "
+    "tie-break.",
+    tags=("text",),
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.windows import topk_per_group
+
+    d = tables.load(spark, sf_dir, "documents")
+    grams = d.select("lang", F.explode(text.ngrams("text", 2)).alias("bigram"))
+    counts = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    top = topk_per_group(
+        counts, group=["lang"], order=[F.col("n").desc(), F.col("bigram")], k=5
+    )
+    return top.select("lang", "bigram", "n", F.col("rn").cast("int").alias("rn"))
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit'], x))) AS score_de,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','is','to','in','that'], x))) AS score_en,
+             len(list_filter(t, x -> list_contains(['el','la','de','que','y','los','es','una'], x))) AS score_es,
+             len(list_filter(t, x -> list_contains(['le','la','les','de','et','est','une','dans'], x))) AS score_fr,
+             len(list_filter(t, x -> list_contains(['de','le','shi','bu','wo','you','zai','ta'], x))) AS score_zh
+      FROM (SELECT lang, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT lang AS labeled_lang,
+           CASE WHEN score_de >= greatest(score_en, score_es, score_fr, score_zh) THEN 'de'
+                WHEN score_en >= greatest(score_es, score_fr, score_zh) THEN 'en'
+                WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+                WHEN score_fr >= score_zh THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+    doc="Heuristic language-ID: function-word hit counts per language, "
+    "argmax with deterministic alphabetical tie-break, confusion "
+    "matrix against the labeled lang.",
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    scored = d.select(F.col("lang").alias("labeled_lang"), *[
+        s for s in text.lang_scores(toks)
+    ])
+    return (
+        scored.select("labeled_lang", text.lang_pick_expr().alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           (CAST(length(text) AS DOUBLE) - (len(t) - 1)) / len(t) AS avg_token_len,
+           CAST(len(list_filter(t, x -> list_contains(
+               ['the','a','of','and','is','to','in','that','it','on'], x))) AS DOUBLE)
+             / len(t) AS stopword_ratio,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS unique_ratio,
+           CAST(len(list_filter(t, x -> list_contains(
+               ['the','a','of','and','is','to','in','that','it','on'], x))) AS DOUBLE)
+             / len(t) * 0.25
+             + CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.5
+             + least((CAST(length(text) AS DOUBLE) - (len(t) - 1)) / len(t) / 10.0, 1.0) * 0.25
+             AS quality_score
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+    """,
+    doc="Per-document quality features (length, stopword ratio, "
+    "uniqueness) + composite score; all +-*/ of counts → IEEE-exact, "
+    "unrounded.",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    return text.quality_metrics(d)
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
+             AS bpe_ish_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="Token counting two ways: whitespace and a BPE-flavored regex "
+    "(letter runs / digit runs / solo glyphs) per source.",
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(text.bpe_ish_token_count("text")).alias("bpe_ish_tokens"),
+        F.sum(text.token_count("text")).alias("ws_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fp_content
+    FROM documents
+    """,
+    doc="Document fingerprints: exact md5 and order-insensitive content "
+    "hash (sorted distinct tokens) — the dedup groupBy keys.",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    return text.fingerprint(d)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_EXACT_JACCARD_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            FOR i IN range(1, len(t) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) AS jaccard
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+    HAVING CAST(count(*) AS DOUBLE) / (a.n_sh + b.n_sh - count(*)) >= {tau}
+"""
+
+
+@register(
+    "dedup_near_minhash",
+    oracle=_EXACT_JACCARD_ORACLE.format(tau=0.8),
+    doc="MinHash(128)+LSH(32 bands) near-dup join with exact-jaccard "
+    "verification at τ=0.8. The oracle is the brute-force inverted-"
+    "index answer; LSH miss probability at τ≥0.8 is ≤3e-9, so equality "
+    "is expected, not lucky (see operators/similarity.py).",
+    tags=("dedup",),
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    return similarity.verified_jaccard_pairs(d, tau=0.8)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_EXACT_JACCARD_ORACLE.format(tau=0.6),
+    doc="EXACT n-gram Jaccard similarity join via inverted shingle "
+    "index (explode → equi-join on shingle → count/group): the "
+    "non-probabilistic twin of dedup_near_minhash, τ=0.6.",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    sh = similarity.shingle_sets(d)
+    ex = sh.select("doc_id", F.col("n_sh"), F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return common.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.6
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,
+    doc="SimHash(64-bit) near-dup pairs: per-bit majority vote over "
+    "token hashes, 16-bit chunk blocking, exact hamming verify ≤ 6. "
+    "rows-only (bit signatures are engine-hash-specific).",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    return similarity.simhash_near_pairs(d, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Vector similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_cosine",
+    oracle="""
+    SELECT qid, cid, cos, CAST(rank AS INT) AS rank FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS cos,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) DESC,
+               b.vec_id) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id % 500 = 0
+    ) WHERE rank <= 5
+    """,
+    doc="Exact top-5 cosine neighbors for a query subset (vec_id%500=0): "
+    "broadcast queries × candidate scan, left-fold double dot product "
+    "(bit-exact vs DuckDB — verified), window top-k with id tie-break.",
+    tags=("similarity",),
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 500 == 0)
+    top = similarity.brute_force_topk(q, e, k=5)
+    return top.select("qid", "cid", "cos", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "sim_join_threshold",
+    oracle=None,
+    doc="All-pairs cosine ≥ τ=0.9 via random-hyperplane sign-LSH "
+    "banding + exact-cosine verify; rows-only (hyperplanes are "
+    "engine-hash-derived). The band equi-join replaces the O(n²) "
+    "cross join; pytest checks equality to brute force at sf0.001.",
+    tags=("similarity",),
+)
+def sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "embeddings")
+    return similarity.signbit_lsh_pairs(e, tau=0.9)
+
+
+@register(
+    "mm_embedding_col",
+    oracle="""
+    SELECT label, CAST(pos - 1 AS INT) AS pos,
+           round(avg(CAST(embedding[pos] AS DOUBLE)), 9) AS mean_component,
+           CAST(count(*) AS BIGINT) AS n
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+    WHERE pos <= len(embedding)
+    GROUP BY label, pos
+    """,
+    doc="Embedding columns as first-class: per-label centroid via "
+    "posexplode + (label, dim) mean. avg is order-dependent → "
+    "round(9) on both sides.",
+    tags=("similarity", "embeddings"),
+)
+def mm_embedding_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "embeddings")
+    cent = similarity.label_centroids(e)
+    return cent.select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.round("mean_component", 9).alias("mean_component"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (§2.4) — the snapshot-lookup shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.value, r.view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ) r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="As-of join: each purchase gets the user's latest view value at "
+    "or before its timestamp. Union-tag + window last(ignorenulls) — "
+    "one shuffle on the key, matching DuckDB ASOF (>=) semantics "
+    "(right sorts before left on equal ts).",
+    tags=("join", "events"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.joins import asof_join
+
+    ev = tables.load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts", value_cols=["view_value"]
+    )
+    return out.select("event_id", "user_id", "value", "view_value")

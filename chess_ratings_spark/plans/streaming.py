@@ -1,0 +1,133 @@
+"""Streaming-tier queries (SURVEY.md §2.8) over `events`.
+
+Batch twins carry the SQL oracles (windowing math is engine-checkable
+on static frames); the `*_live` / stateful / late / dedup entries run
+real Structured Streaming queries and are rows-only by nature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chess_ratings_spark import tables
+from chess_ratings_spark.registry import register
+from chess_ratings_spark.streaming import batch_twins, stream_ops
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h window counts/sums per event_type (batch twin; the "
+    "streaming run is stream_tumbling_live).",
+    tags=("streaming", "events"),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return batch_twins.tumbling(tables.load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1, 2
+    """,
+    doc="Sliding 1h/15min windows: each event belongs to 4 windows — the "
+    "oracle states that membership explicitly via the offset unnest.",
+    tags=("streaming", "events"),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return batch_twins.sliding(tables.load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), g AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS grp
+      FROM w
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM g GROUP BY user_id, grp
+    """,
+    doc="Gap-based session windows per user (session_window ≡ the SQL "
+    "gaps-and-islands formulation; end = last ts + gap, boundary "
+    "event at exactly +gap starts a new session).",
+    tags=("streaming", "events"),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return batch_twins.session(tables.load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_tumbling_live",
+    oracle=None,
+    doc="The stream_tumbling plan executed as a real Structured "
+    "Streaming query: staged parquet → readStream(schema) → "
+    "watermark(10m) → window agg → memory sink, drained with "
+    "availableNow. Output equals the batch twin (asserted in pytest).",
+    tags=("streaming", "events", "live"),
+)
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.tumbling_stream(spark, ev)
+
+
+@register(
+    "stream_dedup",
+    oracle=None,
+    doc="Stateful exact dedup within watermark: input rows duplicated "
+    "2×, dropDuplicatesWithinWatermark(event_id) emits each once; "
+    "per-type counts equal the distinct counts (asserted in pytest).",
+    tags=("streaming", "events", "live"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.dedup_stream(spark, ev)
+
+
+@register(
+    "stream_watermark_late",
+    oracle=None,
+    doc="Late-data policy: newest half of events arrives first "
+    "(watermark advances), oldest half arrives second and is entirely "
+    "below watermark → dropped from the append output.",
+    tags=("streaming", "events", "live"),
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.late_data_stream(spark, ev)
+
+
+@register(
+    "stream_stateful",
+    oracle=None,
+    doc="Custom per-key state (applyInPandasWithState): per-user running "
+    "total / event count / over-threshold count carried across batches.",
+    tags=("streaming", "events", "live"),
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.stateful_stream(spark, ev)

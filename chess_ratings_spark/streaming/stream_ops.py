@@ -1,0 +1,161 @@
+"""True Structured Streaming executions (SURVEY.md §2.8).
+
+Each operator here actually runs a streaming query: the normalized
+events frame is staged to a parquet directory, consumed with
+``readStream`` (declared schema — streaming sources never infer),
+processed with watermarks/state, and drained synchronously into a
+memory sink via ``processAllAvailable``. That is the standard local
+replay harness; on a cluster the same code points at Kafka/files and a
+real sink.
+
+Late-data and dedup semantics are multi-batch phenomena, so those
+harnesses stage two files and drain between writes — watermark advances
+on batch 1, batch 2's late rows get dropped.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
+
+def _stage(ev: DataFrame, subdir: str | None = None) -> str:
+    path = tempfile.mkdtemp(prefix="crs_stream_") + "/" + (subdir or "in")
+    ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _drain(spark: SparkSession, stream_df: DataFrame, output_mode: str) -> DataFrame:
+    name = "snk_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _with_event_time(src: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ), not NTZ — convert at the
+    source. The NTZ→LTZ→window→render round trip is wall-clock
+    consistent in any fixed whole-hour-offset session zone (incl. the
+    UTC default); sub-hour-offset zones would shift rendered window
+    boundaries, which only affects display strings, not grouping."""
+    return src.withColumn("ts", F.to_timestamp("ts"))
+
+
+def tumbling_stream(spark: SparkSession, ev: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window agg, run as a real streaming query."""
+    src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev)))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(spark, agg, "append")
+
+
+def dedup_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Stateful exact dedup within the watermark: the input is the
+    events table UNIONed with itself (every row duplicated);
+    dropDuplicatesWithinWatermark must emit each event_id once."""
+    doubled = ev.unionByName(ev)
+    src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(doubled)))
+    deduped = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return _drain(spark, deduped, "complete")
+
+
+def late_data_stream(spark: SparkSession, ev: DataFrame, split_frac: float = 0.5) -> DataFrame:
+    """Late-data policy demo: batch 1 carries the NEWEST half of events
+    (advancing the watermark to max(ts) - delay); batch 2 then delivers
+    the oldest half, which is entirely late → dropped from the append
+    output. Returns per-window counts; the total must cover only the
+    on-time half."""
+    stats = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    cutoff = stats.lo + (stats.hi - stats.lo) * split_frac
+    base = tempfile.mkdtemp(prefix="crs_late_") + "/in"
+    new_half = ev.filter(F.col("ts") >= F.lit(cutoff))
+    old_half = ev.filter(F.col("ts") < F.lit(cutoff))
+
+    sel = lambda d: d.select("event_id", "ts", "user_id", "event_type", "value", "props")  # noqa: E731
+    sel(new_half).write.mode("overwrite").parquet(base)
+
+    src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(base))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+    name = "late_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: watermark advances near hi
+    sel(old_half).write.mode("append").parquet(base)
+    q.processAllAvailable()  # batch 2: all rows below watermark -> dropped
+    q.stop()
+    return spark.table(name)
+
+
+def stateful_stream(spark: SparkSession, ev: DataFrame, threshold: float = 150.0) -> DataFrame:
+    """Custom per-key state via applyInPandasWithState: per user, carry
+    (running_total, n_events, n_over_threshold) across batches and emit
+    the final state per user."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev))
+
+    def track(key, pdf_iter, state: GroupState):
+        total, n, n_over = state.get if state.exists else (0.0, 0, 0)
+        for pdf in pdf_iter:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+            n_over += int((pdf["value"] > threshold).sum())
+        state.update((total, n, n_over))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [round(total, 2)], "n_events": [n], "n_over": [n_over]}
+        )
+
+    out = src.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, total_value double, n_events bigint, n_over bigint",
+        stateStructType="total double, n bigint, n_over bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(spark, out, "update")

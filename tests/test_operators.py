@@ -1,0 +1,146 @@
+"""Unit tests for operator semantics that the oracle can't fully pin
+down: LSH-vs-brute-force equality, as-of tie handling, dedup
+determinism (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from chess_ratings_spark.operators import joins, setops, similarity
+
+from .conftest import SF_SMOKE
+
+
+def test_signbit_lsh_equals_brute_force(spark):
+    """sim_join_threshold's LSH candidates + exact verify must equal the
+    brute-force all-pairs answer. The driver fixture has no cos≥0.9
+    pairs (max pairwise ≈ 0.48), so recall mechanics are proven on
+    constructed vectors with planted near-duplicates."""
+    import math
+
+    def unit(seed: int) -> list[float]:
+        # deterministic pseudo-random unit vector
+        vals = [math.sin(seed * 131 + j * 17.0) for j in range(64)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    rows = []
+    for i in range(30):
+        rows.append((i, unit(i)))
+    # planted near-dups: tiny perturbation of vectors 3 and 7
+    for j, base in ((100, 3), (101, 7)):
+        v = unit(base)
+        v[0] += 0.01
+        rows.append((j, v))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    lsh = {
+        (r.id_a, r.id_b): r.cos
+        for r in similarity.signbit_lsh_pairs(e, tau=0.9).collect()
+    }
+    a, b = e.alias("a"), e.alias("b")
+    brute = {
+        (r.id_a, r.id_b): r.cos
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.9)
+        .collect()
+    }
+    assert lsh == brute
+    assert {(3, 100), (7, 101)} <= set(brute)
+
+
+def test_sim_join_threshold_empty_on_fixture(spark):
+    """On the driver fixture (max pairwise cosine ≈ 0.48) the τ=0.9
+    threshold join must return exactly nothing — and so must brute
+    force, keeping the two in agreement."""
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert similarity.signbit_lsh_pairs(e, tau=0.9).count() == 0
+
+
+def test_minhash_lsh_equals_inverted_index(spark):
+    """MinHash-LSH verified pairs == exact inverted-index jaccard pairs."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in similarity.verified_jaccard_pairs(d, tau=0.8).collect()
+    }
+    sh = similarity.shingle_sets(d)
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in common.filter(
+            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            >= 0.8
+        ).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0, "fixture should contain planted near-dup documents"
+
+
+def test_asof_join_tie_and_null_semantics(spark):
+    """Equal timestamps match (>=); rows before any right row get NULL;
+    latest-not-future row wins."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(0)), (2, 1, ts(10)), (3, 1, ts(25)), (4, 2, ts(5))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 100.0), (1, ts(20), 200.0), (2, ts(50), 900.0)],
+        "user_id long, ts timestamp_ntz, v double",
+    )
+    out = {
+        r.event_id: r.v
+        for r in joins.asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    assert out == {1: None, 2: 100.0, 3: 200.0, 4: None}
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 3.0), (1, "a", 2.0), (1, "a", 1.0), (2, "z", 9.0)],
+        "k long, s string, v double",
+    )
+    out = setops.dedup_keep_first(df, keys=["k"], order=[F.col("s"), F.col("v")])
+    rows = {(r.k): (r.s, r.v) for r in out.collect()}
+    assert rows == {1: ("a", 1.0), 2: ("z", 9.0)}
+
+
+def test_union_missing_columns_null_fill(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, extra string")
+    b = spark.createDataFrame([(2,)], "id long")
+    out = setops.union_snapshots(a, b).orderBy("id").collect()
+    assert [r.extra for r in out] == ["x", None]
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    """The planted ~0.99-jaccard doc pairs must also be close in
+    simhash space (hamming <= 6 with default chunking)."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = similarity.simhash_near_pairs(d, max_hamming=6).collect()
+    assert len(pairs) > 0
+    assert all(r.hamming <= 6 for r in pairs)

@@ -1,0 +1,74 @@
+"""Batch/stream parity (SURVEY.md §5.2): every true streaming run must
+equal its batch twin on the replayed static events table, and the
+stateful/late/dedup semantics must hold exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chess_ratings_spark import tables
+from chess_ratings_spark.streaming import batch_twins, stream_ops
+
+from .conftest import SF_SMOKE
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_tumbling_stream_equals_batch_twin(spark):
+    """Append-mode streaming emits a window only once the watermark
+    passes its end; at end-of-stream the window(s) covering
+    (max_ts - delay, max_ts] never close. Parity is therefore
+    live == batch minus still-open windows — and the open set must be
+    small (here: exactly the windows in the last delay interval)."""
+    ev = tables.load(spark, SF_SMOKE, "events")
+    live = _as_set(stream_ops.tumbling_stream(spark, ev))
+    batch = _as_set(batch_twins.tumbling(ev))
+    assert live <= batch
+    open_windows = batch - live
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    watermark = max_ts - dt.timedelta(minutes=10)
+    for window_start, _etype, _n, _v in open_windows:
+        end = dt.datetime.fromisoformat(window_start) + dt.timedelta(hours=1)
+        assert end > watermark, f"closed window {window_start} missing from stream output"
+
+
+def test_dedup_stream_removes_exact_duplicates(spark):
+    ev = tables.load(spark, SF_SMOKE, "events")
+    out = {r.event_type: r.n_unique for r in stream_ops.dedup_stream(spark, ev).collect()}
+    expected = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("event_id").alias("n")).collect()
+    }
+    assert out == expected
+
+
+def test_late_data_dropped(spark):
+    ev = tables.load(spark, SF_SMOKE, "events")
+    n_total = ev.count()
+    out = stream_ops.late_data_stream(spark, ev)
+    emitted = sum(r.n for r in out.collect())
+    # batch 2 (the oldest half) must have been dropped below watermark:
+    # emitted counts cover at most the on-time half (window-boundary
+    # rows can push slightly past n/2, never near n).
+    assert 0 < emitted < n_total * 0.75
+
+
+def test_stateful_stream_totals(spark):
+    ev = tables.load(spark, SF_SMOKE, "events")
+    out = {r.user_id: (r.total_value, r.n_events, r.n_over) for r in
+           stream_ops.stateful_stream(spark, ev).collect()}
+    expected = {
+        r.user_id: (r.total, r.n, r.n_over)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") > 150.0, 1).otherwise(0)).alias("n_over"),
+        )
+        .collect()
+    }
+    assert out == expected
