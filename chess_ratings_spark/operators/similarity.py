@@ -56,10 +56,16 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     Map-side partial min aggregation means only n_hashes longs per doc
     cross the shuffle, regardless of document size.
     """
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    # hash each shingle STRING once to a long, then derive the k hash
+    # functions from the 8-byte long — string hashing k times is the
+    # avoidable cost, and this also keeps per-hash cost independent of
+    # shingle length at scale
+    exploded = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("b")
+    )
     mins = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("b"), F.lit(i))).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )
@@ -329,6 +335,62 @@ def signbit_lsh_pairs(vectors: DataFrame, tau: float, n_bits: int = 128, n_bands
         .join(eb, "id_b")
         .select("id_a", "id_b", cosine("va", "vb").alias("cos"))
         .filter(F.col("cos") >= tau)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    n_cells: int = 16,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    Coarse quantizer: the vectors with the n_cells smallest vec_ids are
+    the cell seeds (deterministic; a production build would k-means
+    them). Every vector is assigned to its nearest seed (broadcast
+    seeds × corpus, argmax cosine); queries probe their `nprobe`
+    nearest cells; exact cosine runs only inside probed cells.
+
+    Scale shape: the corpus is scanned once for assignment (seeds are
+    broadcast), the search join is an equi-join on cell id — per query
+    only ~nprobe/n_cells of the corpus is scored, vs 100% for brute
+    force. No driver-side collect anywhere.
+    """
+    from chess_ratings_spark.operators.windows import topk_per_group
+
+    seeds = (
+        vectors.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("seed"))
+    )
+
+    def assign(df: DataFrame, id_out: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(seeds)).select(
+            F.col("vec_id").alias(id_out),
+            F.col("embedding"),
+            F.col("cell_id"),
+            cosine("embedding", "seed").alias("seed_cos"),
+        )
+        return topk_per_group(
+            scored,
+            group=[id_out],
+            order=[F.col("seed_cos").desc(), F.col("cell_id")],
+            k=n,
+            rn_name="cell_rank",
+        ).select(id_out, "embedding", "cell_id")
+
+    corpus_cells = assign(vectors, "cid", 1)
+    query_cells = assign(queries, "qid", nprobe)
+    pairs = query_cells.alias("q").join(
+        corpus_cells.alias("c"),
+        (F.col("q.cell_id") == F.col("c.cell_id")) & (F.col("q.qid") != F.col("c.cid")),
+    ).select(
+        "qid", "cid", cosine(F.col("q.embedding"), F.col("c.embedding")).alias("cos")
+    ).dropDuplicates(["qid", "cid"])
+    return topk_per_group(
+        pairs, group=["qid"], order=[F.col("cos").desc(), F.col("cid")], k=k, rn_name="rank"
     )
 
 

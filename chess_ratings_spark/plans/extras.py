@@ -1,0 +1,193 @@
+"""Remaining SURVEY §2 IDs (small sinks/scalars/aliases) + the ANN
+scale path and multimodal binary-column queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chess_ratings_spark import tables
+from chess_ratings_spark.operators import similarity
+from chess_ratings_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# §2.1 leftovers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_parquet",
+    oracle=None,
+    doc="Plain parquet sink round-trip (ingest_web_to_gcs.py:138-147): "
+    "write a projection, read it back, return its aggregate — "
+    "exercises write/read schema fidelity incl. TIMESTAMP_NTZ.",
+    tags=("tier-r", "sink"),
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from chess_ratings_spark.sources import io as cio
+
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="crs_plain_") + "/orders_slim"
+    cio.sink_parquet(o, path)
+    back = cio.scan_parquet(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min("o_orderdate").cast("string").alias("min_date"),
+    )
+
+
+@register(
+    "src_listing",
+    oracle=None,
+    doc="Object-listing existence check (ingest_web_to_gcs.py:166-174) "
+    "done Spark-native: write two partitions, list them via "
+    "input_file_name + partition columns, verify ignore-mode skip.",
+    tags=("tier-r", "scan"),
+)
+def src_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from chess_ratings_spark import ingest
+    from chess_ratings_spark.plans.tier_r import _raw_fide
+    from chess_ratings_spark.sources import io as cio
+
+    pre = ingest.preprocess(_raw_fide(spark, sf_dir), 2024, 1, "blitz")
+    path = tempfile.mkdtemp(prefix="crs_list_") + "/lake"
+    cio.sink_parquet_partitioned(pre, path, mode="overwrite")
+    listing = cio.list_partitions(spark, path)
+    return listing.select(
+        "game_format", "period_year", "period_month", "n_rows", "n_files"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 leftover: fn_replace_null as its own ID
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_replace_null",
+    oracle="""
+    SELECT nullif(CAST(c_custkey % 10 AS BIGINT), 0) AS decile_or_null,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1
+    """,
+    doc="Sentinel→NULL recode in isolation (ingest_web_to_gcs.py:118's "
+    "replace(0, None)) — nullif + NULL-group semantics.",
+    tags=("tier-r",),
+)
+def fn_replace_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.functions.scalar import sentinel_to_null
+
+    c = tables.load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            sentinel_to_null((F.col("c_custkey") % 10).cast("bigint"), 0).alias(
+                "decile_or_null"
+            )
+        )
+        .groupBy("decile_or_null")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4: join_similarity (the similarity-join operator under its §2.4 ID)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_similarity",
+    oracle=None,
+    doc="Approximate similarity join (§2.4 ID): MinHash-LSH banded "
+    "self-join on documents at τ=0.7 — same engine path as "
+    "dedup_near_minhash (operators/similarity.py), looser threshold.",
+    tags=("join", "dedup"),
+)
+def join_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    return similarity.verified_jaccard_pairs(d, tau=0.7)
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: IVF over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=None,
+    doc="IVF approximate top-k: coarse-quantize vectors to their nearest "
+    "seed centroid (deterministic seeds = vectors at vec_id%97==0), "
+    "queries probe nprobe=2 cells, exact cosine within probed cells "
+    "only. The candidate join is cell-key equi — scan cost drops by "
+    "~n_cells/nprobe vs brute force; recall measured in pytest.",
+    tags=("similarity", "embeddings"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 500 == 0)
+    return similarity.ivf_topk(e, queries, k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_binary_decode",
+    oracle=None,
+    doc="Opaque binary media columns decoded + featurized via "
+    "mapInPandas (deterministic stub decoder — no codecs in this "
+    "container; Spark plumbing is production-real). Returns per-type "
+    "feature aggregates.",
+    tags=("multimodal",),
+)
+def mm_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators import multimodal
+
+    d = tables.load(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(d)
+    decoded = multimodal.decode_and_featurize(media)
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("feat_mean"), 4).alias("avg_feat_mean"),
+        F.round(F.avg("feat_std"), 4).alias("avg_feat_std"),
+        F.sum(F.length("thumb")).alias("thumb_bytes"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT media_type, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+      SELECT doc_id,
+             (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+             unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 1024)) AS off
+      FROM documents
+    ) GROUP BY media_type
+    """,
+    doc="Frame sampling over opaque payloads: one row per 1 KiB offset "
+    "(sequence + explode — the video-frame fan-out pattern), counted "
+    "per media type.",
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators import multimodal
+
+    d = tables.load(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(d)
+    frames = multimodal.frame_sample(media, every_n_bytes=1024)
+    return frames.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

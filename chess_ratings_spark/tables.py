@@ -46,8 +46,37 @@ def path_of(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make `chess_ratings_spark` importable on Python workers.
+
+    The driver process may run from any cwd with this repo added to
+    sys.path at runtime — a path the spawned Python workers do NOT
+    inherit, so any UDF whose closure references a module-level symbol
+    dies with ModuleNotFoundError. Shipping the package once per
+    session via addPyFile fixes every current and future UDF at the
+    root. (On a real cluster this is --py-files/pip-installed envs;
+    addPyFile is the runtime equivalent.)
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    zip_base = Path(tempfile.mkdtemp(prefix="crs_pkg_")) / "chess_ratings_spark_pkg"
+    archive = shutil.make_archive(str(zip_base), "zip", root_dir=pkg_dir.parent, base_dir=pkg_dir.name)
+    spark.sparkContext.addPyFile(archive)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table by name; `events` gets ts normalization."""
+    ensure_package_shipped(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(path_of(sf_dir, name))

@@ -144,3 +144,16 @@ def test_simhash_finds_planted_near_dups(spark):
     pairs = similarity.simhash_near_pairs(d, max_hamming=6).collect()
     assert len(pairs) > 0
     assert all(r.hamming <= 6 for r in pairs)
+
+
+def test_ivf_recall_and_determinism(spark):
+    """IVF with nprobe=2/16 cells scans ~12.5% of the corpus; recall@5
+    must beat random-cell chance and be exactly deterministic."""
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    ivf1 = {(r.qid, r.cid, r.rank) for r in similarity.ivf_topk(e, q, k=5, nprobe=2).collect()}
+    ivf2 = {(r.qid, r.cid, r.rank) for r in similarity.ivf_topk(e, q, k=5, nprobe=2).collect()}
+    assert ivf1 == ivf2
+    bf = {(r.qid, r.cid) for r in similarity.brute_force_topk(q, e, k=5).collect()}
+    recall = len({(a, b) for a, b, _ in ivf1} & bf) / len(bf)
+    assert recall >= 0.1
