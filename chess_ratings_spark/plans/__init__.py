@@ -11,4 +11,5 @@ from chess_ratings_spark.plans import (  # noqa: F401
     relational,
     streaming,
     tier_r,
+    tpch,
 )
