@@ -1,0 +1,211 @@
+"""Relational depth queries: grouping sets, unpivot, scalar subquery,
+value-range window frames, string-function suite, and the composed
+backfill pipeline capstone (§2.10 orchestration re-expressed natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chess_ratings_spark import tables
+from chess_ratings_spark.operators.aggregates import money
+from chess_ratings_spark.registry import register
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS with a grouping-bit id distinguishing "
+    "subtotal levels (Expand + hash agg; NULL-filled slots "
+    "disambiguated by gid).",
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("o_totalprice")).alias("total"),
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("int")
+        .alias("gid"),
+    )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, k, v FROM (
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nation
+      FROM customer
+    ) UNPIVOT (v FOR k IN (acctbal, nation))
+    """,
+    doc="Wide→long unpivot (stack/melt): per-customer metric rows — the "
+    "inverse of agg_pivot, a pure projection (no shuffle).",
+    tags=("agg",),
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        money(F.col("c_acctbal")).alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nation"),
+    )
+    return wide.unpivot("c_custkey", ["acctbal", "nation"], "k", "v")
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    doc="Scalar subquery predicate (orders above 1.5× the global mean) — "
+    "Catalyst plans the subquery once and broadcasts the scalar.",
+    tags=("agg", "filter"),
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total
+        FROM orders_v
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders_v)
+        """
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000.0 PRECEDING AND 10000.0 FOLLOWING
+           ) AS BIGINT) AS n_similar_priced
+    FROM orders
+    """,
+    doc="Value-based RANGE window frame: per customer, how many of "
+    "their orders are within ±10k of each order's price (rangeBetween, "
+    "not rowsBetween — frame bounds are data values).",
+    tags=("window",),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    # PySpark's Window.rangeBetween only takes integer offsets; a
+    # double-valued RANGE frame needs the SQL window syntax
+    frame = (
+        "count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 10000.0 PRECEDING AND 10000.0 FOLLOWING)"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        money(F.col("o_totalprice")).alias("total"),
+        F.expr(frame).cast("bigint").alias("n_similar_priced"),
+    )
+
+
+@register(
+    "fn_string_suite",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           lower(c_mktsegment) AS lo,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+           replace(c_name, 'Customer#', 'C-') AS replaced,
+           substr(c_name, 10, 5) AS mid,
+           reverse(c_mktsegment) AS rev,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS joined,
+           CAST(length(c_name) AS INT) AS name_len
+    FROM customer
+    """,
+    doc="String-function surface in one projection: case mapping, "
+    "padding, replace, substring, reverse, multi-arg concat, length — "
+    "all JVM-side, fused into the scan.",
+    tags=("scalar",),
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("replaced"),
+        F.substring("c_name", 10, 5).alias("mid"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("joined"),
+        F.length("c_name").cast("int").alias("name_len"),
+    )
+
+
+@register(
+    "pipeline_backfill",
+    oracle=None,
+    doc="§2.10 capstone: the reference's whole backfill flow "
+    "(ingest_web_to_gcs.py:204-232) as ONE Spark job — parameter frame "
+    "(formats × months) → per-month synthetic raw XML batches → "
+    "preprocess → union → partitioned idempotent sink → re-read with "
+    "partition pruning → constraint gate → per-player rating-delta "
+    "window. Returns per-partition violation/row summary.",
+    tags=("tier-r", "pipeline"),
+)
+def pipeline_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from chess_ratings_spark import ingest
+    from chess_ratings_spark.operators import validate
+    from chess_ratings_spark.plans.tier_r import _raw_fide
+    from chess_ratings_spark.sources import io as cio
+
+    # parameter enumeration (fn_date_range × formats), then one batch
+    # per work item — here months share the derived raw frame, with a
+    # deterministic per-month rating drift so lag analysis has signal
+    months = [(2024, 1), (2024, 2), (2024, 3)]
+    formats = ["standard", "rapid"]
+    raw = _raw_fide(spark, sf_dir)
+    batches = []
+    for gf in formats:
+        for i, (y, m) in enumerate(months):
+            drifted = raw.withColumn("rating", F.col("rating") + F.lit(i * 10))
+            batches.append(ingest.preprocess(drifted, y, m, gf))
+    lake = batches[0]
+    for b in batches[1:]:
+        lake = lake.unionByName(b)
+
+    out = tempfile.mkdtemp(prefix="crs_backfill_") + "/lake"
+    cio.sink_parquet_partitioned(lake, out, mode="overwrite")
+    cio.sink_parquet_partitioned(lake, out, mode="ignore")  # idempotent re-run
+
+    table = cio.scan_parquet(spark, out)
+    # partition-pruned slice + validation gate + window analysis
+    std = table.filter(F.col("game_format") == "standard")
+    violations = validate.violations_report(
+        std, validate.fide_constraints(current_year=2026)
+    ).agg(F.sum("violations").alias("total_violations"))
+    w = Window.partitionBy("fide_id").orderBy("period_year", "period_month")
+    deltas = (
+        std.withColumn("delta", F.col("rating") - F.lag("rating").over(w))
+        .groupBy("period_year", "period_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_players"),
+            F.round(F.avg("delta"), 2).alias("avg_delta"),
+        )
+    )
+    return deltas.crossJoin(violations).orderBy("period_year", "period_month")
