@@ -209,3 +209,75 @@ def pipeline_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return deltas.crossJoin(violations).orderBy("period_year", "period_month")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(f.o_custkey, o.o_custkey) AS custkey,
+           f.n_f, o.n_o
+    FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_f
+          FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+    FULL OUTER JOIN
+         (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_o
+          FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
+      ON f.o_custkey = o.o_custkey
+    """,
+    doc="Full outer join of two cohort aggregates — rows survive from "
+    "either side with NULL fill (completes §2.4's outer-join row: "
+    "left/right/full).",
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.joins import equi_join
+
+    o = tables.load(spark, sf_dir, "orders")
+    f = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    op = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    j = equi_join(
+        f.withColumnRenamed("o_custkey", "k_f"),
+        op.withColumnRenamed("o_custkey", "k_o"),
+        on=[F.col("k_f") == F.col("k_o")],
+        how="full",
+    )
+    return j.select(
+        F.coalesce("k_f", "k_o").alias("custkey"), "n_f", "n_o"
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="first_value / last_value / nth_value navigation — last/nth "
+    "need the full-partition frame (the default frame stops at "
+    "CURRENT ROW, a classic correctness trap).",
+    tags=("window",),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )
