@@ -10,6 +10,7 @@ from chess_ratings_spark.plans import (  # noqa: F401
     extras,
     llm_tier,
     relational,
+    scale,
     streaming,
     tier_r,
     tpch,

@@ -159,3 +159,22 @@ def stateful_stream(spark: SparkSession, ev: DataFrame, threshold: float = 150.0
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _drain(spark, out, "update")
+
+
+def session_stream(spark: SparkSession, ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows as a real streaming query. Append mode
+    emits a session once the watermark passes its end; end-of-stream
+    sessions stay open (same parity contract as tumbling_stream)."""
+    src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev)))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain(spark, agg, "append")
