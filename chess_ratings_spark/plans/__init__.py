@@ -8,6 +8,7 @@ exposes the registry to the driver.
 from chess_ratings_spark.plans import (  # noqa: F401
     depth,
     extras,
+    formats,
     llm_tier,
     relational,
     scale,

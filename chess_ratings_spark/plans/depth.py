@@ -281,3 +281,118 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wfull).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
     )
+
+
+@register(
+    "profile_table",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           CAST(round(min(o_totalprice), 2) AS VARCHAR) AS min_v,
+           CAST(round(max(o_totalprice), 2) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+    doc="Column profiling (the data-quality sidekick of val_constraints):"
+    " per-column rows/nulls/distinct/min/max in ONE scan — the "
+    "aggregate list is wide, the scan count stays 1.",
+    tags=("validation", "agg"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+
+    def prof(col: str, numeric: bool) -> DataFrame:
+        mn = F.round(F.min(col), 2).cast("string") if numeric else F.min(col)
+        mx = F.round(F.max(col), 2).cast("string") if numeric else F.max(col)
+        return o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("bigint").alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.alias("min_v"),
+            mx.alias("max_v"),
+        ).select(F.lit(col).alias("col"), "*")
+
+    return (
+        prof("o_totalprice", True)
+        .unionByName(prof("o_orderstatus", False))
+        .unionByName(prof("o_custkey", True))
+    )
+
+
+@register(
+    "funnel_sessionized",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, ts, event_type,
+             sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    ), per_session AS (
+      SELECT user_id, session_no,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(saw) AS BIGINT) AS sessions_with_view,
+           CAST(sum(CASE WHEN saw = 1 AND bought = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS view_then_buy,
+           round(CAST(sum(CASE WHEN saw = 1 AND bought = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / sum(saw), 6) AS conversion
+    FROM per_session
+    """,
+    doc="Sessionized funnel: gaps-and-islands sessionization (lag + "
+    "cumulative break-sum) then per-session view→purchase conversion — "
+    "the batch shape of product-analytics funnels, one shuffle on "
+    "user_id reused by both windows.",
+    tags=("window", "events"),
+)
+def funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    # gap arithmetic on epoch nanos (ts_ns) — NTZ timestamps don't cast
+    # to numerics, and integer nanos are exact
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap_ns = 1800 * 1_000_000_000
+    brk = (
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | (F.col("ts_ns") - F.lag("ts_ns").over(w) >= gap_ns),
+            1,
+        ).otherwise(0)
+    )
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("saw"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("bought"),
+    )
+    both = F.when((F.col("saw") == 1) & (F.col("bought") == 1), 1).otherwise(0)
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("saw").cast("bigint").alias("sessions_with_view"),
+        F.sum(both).cast("bigint").alias("view_then_buy"),
+        F.round(F.sum(both).cast("double") / F.sum("saw"), 6).alias("conversion"),
+    )

@@ -1,0 +1,101 @@
+"""Source-format breadth: CSV / JSON / ORC round-trips.
+
+Each query writes a fixture slice in the target format, reads it back
+with a DECLARED schema (inference in production pipelines is how the
+reference got its foa_title drift — see sources/http_xml.py), and
+aggregates. The oracle aggregates the ORIGINAL parquet, so a
+hash-match proves byte-level format fidelity end-to-end, including the
+TIMESTAMP_NTZ pitfalls each text format has.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chess_ratings_spark import tables
+from chess_ratings_spark.operators.aggregates import money
+from chess_ratings_spark.registry import register
+
+_AGG_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _orders_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("o_totalprice")).alias("total"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("first_order"),
+    )
+
+
+_SCHEMA = (
+    "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+    " o_orderdate timestamp_ntz"
+)
+
+
+@register(
+    "src_csv_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="CSV sink+source round-trip with declared schema; hash-match "
+    "against the original parquet proves header/quote/timestamp "
+    "fidelity (timestampNTZFormat pinned — CSV has no type system).",
+    tags=("scan", "sink", "formats"),
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = tempfile.mkdtemp(prefix="crs_csv_") + "/orders"
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    _orders_slice(spark, sf_dir).write.mode("overwrite").option("header", True).option(
+        "timestampNTZFormat", fmt
+    ).csv(path)
+    back = (
+        spark.read.schema(_SCHEMA)
+        .option("header", True)
+        .option("timestampNTZFormat", fmt)
+        .csv(path)
+    )
+    return _agg(back)
+
+
+@register(
+    "src_json_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="JSON-lines sink+source round-trip with declared schema "
+    "(no inference) — same oracle as CSV: format-independent results.",
+    tags=("scan", "sink", "formats"),
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = tempfile.mkdtemp(prefix="crs_json_") + "/orders"
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    _orders_slice(spark, sf_dir).write.mode("overwrite").option(
+        "timestampNTZFormat", fmt
+    ).json(path)
+    back = spark.read.schema(_SCHEMA).option("timestampNTZFormat", fmt).json(path)
+    return _agg(back)
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="ORC sink+source round-trip — the other columnar format, "
+    "vectorized reader, same oracle.",
+    tags=("scan", "sink", "formats"),
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = tempfile.mkdtemp(prefix="crs_orc_") + "/orders"
+    _orders_slice(spark, sf_dir).write.mode("overwrite").orc(path)
+    return _agg(spark.read.orc(path))
