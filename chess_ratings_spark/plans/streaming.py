@@ -131,3 +131,15 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return stream_ops.stateful_stream(spark, ev)
+
+
+@register(
+    "stream_sliding_live",
+    oracle=None,
+    doc="The stream_sliding plan as a real streaming query (watermark + "
+    "append drain); batch twin stream_sliding carries the SQL oracle.",
+    tags=("streaming", "events", "live"),
+)
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.sliding_stream(spark, ev)

@@ -178,3 +178,112 @@ def session_stream(spark: SparkSession, ev: DataFrame, gap: str = "30 minutes") 
         )
     )
     return _drain(spark, agg, "append")
+
+
+def sliding_stream(
+    spark: SparkSession, ev: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Sliding windows as a real streaming query (each event feeds
+    width/slide windows; append emits closed ones)."""
+    src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev)))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(spark, agg, "append")
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf (its state
+    protocol) — absent from this container, so the operator is
+    import-gated rather than registered as a driver query."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_stream(spark: SparkSession, ev: DataFrame, threshold: float = 150.0) -> DataFrame:
+    """Spark 4 transformWithStateInPandas: the modern arbitrary-state
+    API (typed ValueState via a StatefulProcessor) — per-user running
+    total / count / over-threshold count, same semantics as
+    stateful_stream's applyInPandasWithState for comparison.
+
+    Requires the RocksDB state store AND google.protobuf (see
+    tws_available); call sites must gate on availability."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("total", DoubleType()),
+            StructField("n", LongType()),
+            StructField("n_over", LongType()),
+        ]
+    )
+
+    class Tracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, n, n_over = (
+                self.state.get() if self.state.exists() else (0.0, 0, 0)
+            )
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                n += int(len(pdf))
+                n_over += int((pdf["value"] > threshold).sum())
+            self.state.update((total, n, n_over))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_value": [round(total, 2)],
+                    "n_events": [n],
+                    "n_over": [n_over],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store (the HDFS-
+    # backed default doesn't support the new state API); read at query
+    # start, so a runtime conf set suffices
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev))
+        out = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Tracker(),
+            outputStructType="user_id bigint, total_value double, n_events bigint, n_over bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _drain(spark, out, "update")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

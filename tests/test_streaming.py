@@ -72,3 +72,29 @@ def test_stateful_stream_totals(spark):
         .collect()
     }
     assert out == expected
+
+
+def test_tws_gated_or_works(spark):
+    """transformWithStateInPandas is import-gated on google.protobuf;
+    where available it must match the static aggregation, where not the
+    gate must say so."""
+    import pytest
+
+    if not stream_ops.tws_available():
+        pytest.skip("google.protobuf absent - tws_stream correctly gated")
+    ev = tables.load(spark, SF_SMOKE, "events")
+    out = {r.user_id: (r.total_value, r.n_events) for r in
+           stream_ops.tws_stream(spark, ev).collect()}
+    expected = {r.user_id: (r.total, r.n) for r in
+                ev.groupBy("user_id").agg(
+                    F.round(F.sum("value"), 2).alias("total"),
+                    F.count(F.lit(1)).alias("n")).collect()}
+    assert out == expected
+
+
+def test_sliding_stream_subset_of_batch_twin(spark):
+    ev = tables.load(spark, SF_SMOKE, "events")
+    live = _as_set(stream_ops.sliding_stream(spark, ev))
+    batch = _as_set(batch_twins.sliding(ev))
+    assert live <= batch
+    assert len(live) > 0.8 * len(batch)  # only trailing windows open
