@@ -144,3 +144,107 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
         (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
     )
+
+
+@register(
+    "fn_map_ops",
+    oracle="""
+    WITH per_seg AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS INT) AS n_segments,
+           max(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS building_cnt,
+           CAST(sum(n) AS BIGINT) AS total_customers,
+           CAST(count(*) FILTER (WHERE n >= 10) AS INT) AS n_big_segments,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs_csv
+    FROM per_seg GROUP BY c_nationkey
+    """,
+    doc="MapType surface: build map<segment,count> per nation "
+    "(map_from_entries over a sorted entry array, so map iteration "
+    "order is deterministic), then query it with element_at / "
+    "map_filter / map_keys / map_values + aggregate — the oracle "
+    "states the equivalent relational facts.",
+    tags=("scalar", "map"),
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    per_seg = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per_seg.groupBy("c_nationkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("c_mktsegment", "n")))
+        ).alias("seg_counts")
+    )
+    return m.select(
+        "c_nationkey",
+        F.size(F.map_keys("seg_counts")).alias("n_segments"),
+        F.element_at("seg_counts", F.lit("BUILDING")).alias("building_cnt"),
+        F.aggregate(
+            F.map_values("seg_counts"),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("total_customers"),
+        F.size(F.map_filter("seg_counts", lambda k, v: v >= 10)).alias(
+            "n_big_segments"
+        ),
+        F.concat_ws(",", F.map_keys("seg_counts")).alias("segs_csv"),
+    )
+
+
+@register(
+    "fn_struct_array",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey,
+             list(o_totalprice ORDER BY o_orderdate, o_orderkey) AS prices,
+             min(o_orderdate) AS first_dt,
+             max(o_orderdate) AS last_dt,
+             CAST(count(*) AS INT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders,
+           strftime(first_dt, '%Y-%m-%d %H:%M:%S') AS first_date,
+           strftime(last_dt, '%Y-%m-%d %H:%M:%S') AS last_date,
+           round(list_sum(prices), 2) AS total_spend,
+           CAST(len(list_filter(prices, x -> x > 150000)) AS INT) AS n_big
+    FROM h
+    """,
+    doc="Array-of-struct surface: per-customer order history as a "
+    "sorted array<struct> (array_sort over collect_list gives a "
+    "deterministic fold order, which is what makes the double sum "
+    "oracle-checkable), queried with element_at(±1) field access, "
+    "transform+aggregate, and filter on struct fields.",
+    tags=("scalar", "struct"),
+)
+def fn_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    hist = o.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("o_orderdate", "o_orderkey", "o_totalprice"))
+        ).alias("hist")
+    )
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "o_custkey",
+        F.size("hist").alias("n_orders"),
+        F.date_format(F.element_at("hist", 1)["o_orderdate"], ts_fmt).alias(
+            "first_date"
+        ),
+        F.date_format(F.element_at("hist", -1)["o_orderdate"], ts_fmt).alias(
+            "last_date"
+        ),
+        F.round(
+            F.aggregate(
+                F.transform("hist", lambda x: x["o_totalprice"]),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            2,
+        ).alias("total_spend"),
+        F.size(
+            F.filter("hist", lambda x: x["o_totalprice"] > 150000)
+        ).alias("n_big"),
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,16 +36,38 @@ def _stage(ev: DataFrame, subdir: str | None = None) -> str:
     return path
 
 
+STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession):
+    """A stateful streaming query instantiates one state store per
+    shuffle partition per micro-batch, so the partition count read at
+    query START is a per-batch fixed cost — size it to the stateful key
+    cardinality / executor count, not to the batch-side default
+    (measured ~2× on the local replay harness: 32 → 8 partitions). The
+    conf is restored afterwards; the count is baked into each query's
+    (fresh) checkpoint, so batch plans are unaffected."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _drain(spark: SparkSession, stream_df: DataFrame, output_mode: str) -> DataFrame:
-    name = "snk_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    """Run the stream to completion (availableNow) into a memory sink."""
+    with _state_partitions(spark):
+        name = "snk_" + uuid.uuid4().hex[:12]
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -117,17 +140,18 @@ def late_data_stream(spark: SparkSession, ev: DataFrame, split_frac: float = 0.5
         )
     )
     name = "late_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    q.processAllAvailable()  # batch 1: watermark advances near hi
-    sel(old_half).write.mode("append").parquet(base)
-    q.processAllAvailable()  # batch 2: all rows below watermark -> dropped
-    q.stop()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()  # batch 1: watermark advances near hi
+        sel(old_half).write.mode("append").parquet(base)
+        q.processAllAvailable()  # batch 2: all rows below watermark -> dropped
+        q.stop()
     return spark.table(name)
 
 
