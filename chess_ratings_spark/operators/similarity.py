@@ -152,28 +152,30 @@ def verified_jaccard_pairs(
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash bigint): majority vote per bit over token hashes.
 
-    explode(tokens) → per-doc sum of ±1 per bit → reassemble. The vote
-    sums are 64 small agg columns — map-side combine keeps the shuffle
-    at 64 longs per doc.
-    """
-    toks = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("t"))
-    h = F.xxhash64("t")
-    # shiftleft, not python 1<<i: bit 63 overflows a py4j Long literal
-    mask = lambda i: F.shiftleft(F.lit(1).cast("long"), i)  # noqa: E731
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(h.bitwiseAND(mask(i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
-            for i in range(64)
-        ]
+    Tokens are hashed once JVM-side (xxhash64, codegen'd); the 64-bit
+    majority vote is a numpy unpack-and-sum per row in an Arrow-batched
+    pandas UDF — no shuffle at all (the earlier explode → 64-column
+    grouped-sum formulation shuffles and codegen-scales badly; this
+    produces bit-identical signatures since the per-token hash is
+    unchanged: bit i set iff strictly more than half the token hashes
+    have bit i set)."""
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sig_udf(hashed: pd.Series) -> pd.Series:
+        out = np.empty(len(hashed), dtype=np.int64)
+        for i, h in enumerate(hashed):
+            x = np.asarray(h, dtype=np.int64).view(np.uint64)
+            ones = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            bits = (2 * ones > len(x)).astype(np.uint64)
+            out[i] = (bits << shifts).sum(dtype=np.uint64).view(np.int64) if len(x) else 0
+        return pd.Series(out)
+
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias("hs"),
     )
-    bits = [
-        F.when(F.col(f"b{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
-    ]
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
-    return votes.select("doc_id", sig.alias("simhash"))
+    return hashed.select("doc_id", sig_udf("hs").alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -273,7 +275,7 @@ def brute_force_topk(
     )
 
 
-def signbit_lsh_pairs(vectors: DataFrame, tau: float, n_bits: int = 128, n_bands: int = 16) -> DataFrame:
+def signbit_lsh_pairs(vectors: DataFrame, tau: float, n_bits: int = 1024, n_bands: int = 64) -> DataFrame:
     """All-pairs cosine ≥ tau via random-hyperplane LSH.
 
     Hyperplanes are pseudo-random but deterministic: plane p's component
@@ -298,32 +300,40 @@ def signbit_lsh_pairs(vectors: DataFrame, tau: float, n_bits: int = 128, n_bands
     correctness comes from the exact-cosine verify — and the pure-expr
     alternative (n_bits grouped hash-sums) measured ~6 s of codegen-
     bound aggregation for what numpy does in milliseconds. The mean
-    vector is an O(dim) aggregate collected to the driver — statistics,
-    not data, so the no-driver-collect rule doesn't apply.
+    vector is estimated from a deterministic 512-row sample collected
+    to the driver — statistics, not data, so the no-driver-collect rule
+    doesn't apply, and a sample suffices because the mean only
+    rebalances blocking bits.
+
+    Band sizing (r = n_bits/n_bands bits per key) is driven by the
+    corpus's BACKGROUND correlation, not just the target τ: with
+    typical inter-vector cos ≈ 0.3–0.45, short keys make every band
+    bucket dense and the candidate join quadratic in bucket size
+    (measured: r=8/b=16 → ~1M pre-distinct candidates on 2k vectors;
+    r=16/b=64 → ~140k, 3× faster end-to-end, while keeping miss
+    probability at τ=0.9 under 0.4%: (1-0.857^16)^64).
     """
     r = n_bits // n_bands
-    dim = len(vectors.select("embedding").first()[0])
-    mean_row = (
-        vectors.select(F.posexplode("embedding").alias("j", "v"))
-        .groupBy("j")
-        .agg(F.avg(F.col("v").cast("double")).alias("mu"))
-        .orderBy("j")
-        .collect()
-    )
-    mu = np.array([row.mu for row in mean_row])
+    sample = np.vstack(
+        vectors.orderBy("vec_id")
+        .limit(512)
+        .select("embedding")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    dim = sample.shape[1]
+    mu = sample.mean(axis=0)
     planes = np.random.default_rng(42).standard_normal((dim, n_bits))
 
     @F.pandas_udf("array<long>")
     def band_keys(emb: pd.Series) -> pd.Series:
         m = np.vstack(emb.to_numpy()) - mu  # (batch, dim), centered
         bits = (m @ planes) > 0  # (batch, n_bits)
-        keys = []
         weights = 1 << np.arange(r)
-        for row in bits:
-            chunks = row.reshape(n_bands, r) @ weights  # r-bit ints
-            # key encodes (band_id << r) | chunk so one array joins flat
-            keys.append([int((b << r) | int(c)) for b, c in enumerate(chunks)])
-        return pd.Series(keys)
+        chunks = bits.reshape(len(bits), n_bands, r) @ weights  # r-bit ints
+        # key encodes (band_id << r) | chunk so one array joins flat
+        keys = (np.arange(n_bands)[None, :] << r) | chunks
+        return pd.Series(list(keys.astype(np.int64)))
 
     bands = vectors.select(
         "vec_id", F.explode(band_keys("embedding")).alias("key")
