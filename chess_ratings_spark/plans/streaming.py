@@ -134,6 +134,25 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_checkpoint",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Checkpoint/recovery: a stateful streaming agg processes the "
+    "oldest half of events, TERMINATES, and a new query instance "
+    "resumes from the same checkpoint over the newest half. The SQL "
+    "oracle is the whole-input batch GROUP BY — it only matches if "
+    "offsets AND state survived the restart (a state-losing restart "
+    "would count just the second half).",
+    tags=("streaming", "events", "live", "checkpoint"),
+)
+def stream_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.checkpoint_recovery_stream(spark, ev)
+
+
+@register(
     "stream_sliding_live",
     oracle=None,
     doc="The stream_sliding plan as a real streaming query (watermark + "

@@ -38,6 +38,87 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+#: Driver-facing emission order. CORRECTNESS_r01 proved the driver
+#: oracle-checks exactly the FIRST 50 names in ``queries()`` iteration
+#: order, so the order is part of the contract: the 50 most
+#: verification-starved queries go first — every SURVEY §2 ID without a
+#: green round-1 row, then the queries fixed/changed this round (which
+#: need a fresh row), then the never-checked scale demos. Everything
+#: not listed follows in registration order (round 1 already produced
+#: green rows for those). Names here must exist in REGISTRY once plans
+#: are imported — ``queries()`` raises on a stale entry.
+DRIVER_ORDER: tuple[str, ...] = (
+    # §2.2 projections/filters (untested r1)
+    "proj_rename",
+    "proj_add_missing",
+    "proj_lit",
+    "select_project",
+    "filter_pred",
+    # §2.3 scalar functions (untested r1)
+    "fn_recode_map",
+    "fn_month_code",
+    "fn_format_string",
+    "fn_regex_match",
+    "fn_date_range",
+    "fn_cast_datetime_year",
+    "fn_json_get",
+    "fn_array_ops",
+    "fn_math_std",
+    # §2.1 sources/sinks (untested r1)
+    "src_url_gen",
+    "src_http_zip_xml",
+    "sink_parquet_partitioned",
+    # §2.5 aggregates (untested r1)
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_approx_distinct",
+    "agg_unique_check",
+    # §2.6 windows/sort/limit/sets (untested r1)
+    "win_rank_topk",
+    "win_lag_delta",
+    "win_running",
+    "win_ntile_rank",
+    "sort_order",
+    "limit_topk_global",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "dedup_exact",
+    # §2.7 / §2.10 (untested r1)
+    "val_constraints",
+    "tier_r_preprocess",
+    # §2.8 streaming (untested r1)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_watermark_late",
+    "stream_stateful",
+    # fixed/new this round — need a fresh driver row
+    "sim_join_threshold",
+    "mm_binary_decode",
+    "stream_checkpoint",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "join_similarity",
+    "dedup_simhash",
+    # scale demos, never driver-checked
+    "join_bucketed",
+    "join_skew_salted",
+    # load-bearing re-checks of code paths touched this round
+    "src_parquet_scan",
+    "sim_topk_cosine",
+)
+
+
+def _ordered() -> list[Query]:
+    missing = [n for n in DRIVER_ORDER if n not in REGISTRY]
+    if missing:
+        raise ValueError(f"DRIVER_ORDER names not registered: {missing}")
+    head = [REGISTRY[n] for n in DRIVER_ORDER]
+    seen = set(DRIVER_ORDER)
+    return head + [q for q in REGISTRY.values() if q.name not in seen]
+
 
 def register(
     name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()
@@ -54,8 +135,8 @@ def register(
 
 
 def queries() -> dict[str, QueryFn]:
-    return {q.name: q.fn for q in REGISTRY.values()}
+    return {q.name: q.fn for q in _ordered()}
 
 
 def oracles() -> dict[str, str]:
-    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+    return {q.name: q.oracle for q in _ordered() if q.oracle is not None}

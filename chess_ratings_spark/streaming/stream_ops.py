@@ -56,6 +56,20 @@ def _state_partitions(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _snapshot_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Materialize a memory-sink table to a static local DataFrame and
+    DROP the temp view, so a long-lived driver session doesn't
+    accumulate catalog entries + sink buffers across queries. Memory
+    sinks are driver-resident by definition (bounded aggregate outputs
+    here), so the localization moves no data the sink didn't already
+    hold."""
+    tbl = spark.table(name)
+    rows = tbl.collect()
+    out = spark.createDataFrame(rows, schema=tbl.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def _drain(spark: SparkSession, stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run the stream to completion (availableNow) into a memory sink."""
     with _state_partitions(spark):
@@ -68,7 +82,7 @@ def _drain(spark: SparkSession, stream_df: DataFrame, output_mode: str) -> DataF
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    return _snapshot_sink(spark, name)
 
 
 def _with_event_time(src: DataFrame) -> DataFrame:
@@ -152,7 +166,7 @@ def late_data_stream(spark: SparkSession, ev: DataFrame, split_frac: float = 0.5
         sel(old_half).write.mode("append").parquet(base)
         q.processAllAvailable()  # batch 2: all rows below watermark -> dropped
         q.stop()
-    return spark.table(name)
+    return _snapshot_sink(spark, name)
 
 
 def stateful_stream(spark: SparkSession, ev: DataFrame, threshold: float = 150.0) -> DataFrame:
@@ -222,6 +236,52 @@ def sliding_stream(
         )
     )
     return _drain(spark, agg, "append")
+
+
+def checkpoint_recovery_stream(
+    spark: SparkSession, ev: DataFrame, split_frac: float = 0.5
+) -> DataFrame:
+    """Kill-and-resume from a checkpoint: run the OLDEST half of the
+    input through a stateful streaming aggregation, let the query
+    terminate (availableNow), then start a NEW query instance on the
+    SAME checkpoint directory after the newest half lands. The restart
+    recovers offsets (batch-1 files are not re-read) and the state
+    store (batch-1 counts are not lost), so the final complete-mode
+    output equals the whole-input batch answer — which is exactly what
+    a 100 TB deployment needs from executor/driver loss: the checkpoint
+    directory IS the query, sinks and sessions are disposable.
+
+    The split point is derived from a 1-row min/max aggregate
+    (statistics, not data). Returns per-type counts; the SQL oracle is
+    the plain batch GROUP BY, making recovery driver-falsifiable: a
+    state-losing restart would report only the second half's counts.
+    """
+    stats = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    cutoff = stats.lo + (stats.hi - stats.lo) * split_frac
+    base = tempfile.mkdtemp(prefix="crs_ckpt_")
+    src_dir, ckpt_dir = base + "/in", base + "/ckpt"
+    sel = lambda d: d.select("event_id", "ts", "user_id", "event_type", "value", "props")  # noqa: E731
+    sel(ev.filter(F.col("ts") < F.lit(cutoff))).write.mode("overwrite").parquet(src_dir)
+
+    def run_instance() -> DataFrame:
+        src = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+        agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+        name = "ckpt_" + uuid.uuid4().hex[:12]
+        with _state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return _snapshot_sink(spark, name)
+
+    run_instance()  # first instance: oldest half, then terminates
+    sel(ev.filter(F.col("ts") >= F.lit(cutoff))).write.mode("append").parquet(src_dir)
+    return run_instance()  # second instance: resumes from the checkpoint
 
 
 def tws_available() -> bool:
