@@ -118,26 +118,51 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     )
 
 
+#: Candidate-pair count above which verified_jaccard_pairs stops
+#: broadcasting and falls back to a plain shuffle join. 2M pairs of two
+#: longs ≈ 32 MB serialized — comfortably under executor broadcast
+#: budgets; beyond that a driver-side broadcast build is the OOM risk,
+#: not the win.
+BROADCAST_CANDIDATE_LIMIT = 2_000_000
+
+
 def verified_jaccard_pairs(
-    docs: DataFrame, tau: float, text_col: str = "text"
+    docs: DataFrame,
+    tau: float,
+    text_col: str = "text",
+    broadcast_limit: int = BROADCAST_CANDIDATE_LIMIT,
+    sh: DataFrame | None = None,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup join: candidates by banding, then EXACT
-    jaccard on shingle sets; emit pairs with jaccard >= tau."""
-    sh = shingle_sets(docs, text_col).cache()
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    jaccard on shingle sets; emit pairs with jaccard >= tau.
+
+    ``sh`` / ``cands``: optionally precomputed (cached) shingle-set and
+    LSH-candidate frames — the candidate pairs are τ-independent, so
+    callers running several dedup variants over the same corpus share
+    one shingle materialization and one band join instead of repeating
+    them per query.
+    """
+    if sh is None:
+        sh = shingle_sets(docs, text_col).cache()
+    # Size-guarded broadcast of the candidate pairs: when they number
+    # O(near-dup pairs) — far below the corpus — broadcasting keeps the
+    # heavy shingle arrays from shuffling for the verify joins (measured
+    # 2.7× on the full pipeline). The count() materializes the cached
+    # candidate frame once (statistics-driven planning, same idea as
+    # AQE); a pathological corpus whose bands flood the candidate set
+    # degrades to a plain shuffle join instead of OOMing the driver.
+    if cands is None:
+        cands = lsh_candidate_pairs(minhash_signatures(sh)).cache()
+    cj = F.broadcast(cands) if cands.count() <= broadcast_limit else cands
     ja = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
     jb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.col("n_a") + F.col("n_b")).cast("double") - F.size(
         F.array_intersect("sh_a", "sh_b")
     )
-    # broadcast the candidate pairs: they number O(near-dup pairs) — far
-    # below the corpus — so the heavy shingle arrays never shuffle for
-    # the verify joins (measured 2.7× on the full pipeline). If bands
-    # ever produce a candidate set too big to broadcast, the banding
-    # parameters are wrong for the corpus, not this join.
     return (
-        ja.join(F.broadcast(cands), "doc_a")
+        ja.join(cj, "doc_a")
         .join(jb, "doc_b")
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= tau)
@@ -182,13 +207,30 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _simhash_chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) of max_hamming+1 chunks covering 64 bits — the
+    pigeonhole count: h differing bits cannot touch h+1 chunks' worth of
+    disjoint positions, so ≥1 chunk is identical for any pair within
+    hamming ≤ h. EXACT recall, not a heuristic."""
+    n = max_hamming + 1
+    base, extra = divmod(64, n)
+    layout, off = [], 0
+    for i in range(n):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 ×16-bit chunks (any pair
-    within hamming ≤ 6 of 64 bits shares ≥1 identical 16-bit chunk when
-    differing bits spread over ≤3 chunks — pigeonhole over 4 chunks
-    guarantees a shared chunk for hamming ≤ 3; chunks are a recall
-    heuristic at 4-6), then verify exact hamming."""
+    """Near-dup pairs by SimHash: block on max_hamming+1 disjoint bit
+    chunks (pigeonhole ⇒ any pair within the hamming budget shares ≥1
+    identical chunk — exact recall), then verify exact hamming on the
+    candidates. Narrower chunks than the old fixed 4×16 layout mean
+    denser buckets, but the verify is still per-candidate and the join
+    still shuffles on (chunk_id, chunk), never raw pairs."""
     sigs = simhash_signatures(docs)
+    layout = _simhash_chunk_layout(max_hamming)
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -197,9 +239,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                        F.shiftright("simhash", off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c, (off, w) in enumerate(layout)
                 ]
             )
         ).alias("ck"),

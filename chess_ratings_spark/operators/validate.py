@@ -11,8 +11,6 @@ shape that works: constraint count does not multiply scan count.
 
 from __future__ import annotations
 
-import datetime as _dt
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,10 +39,14 @@ def violations_report(df: DataFrame, constraints: dict[str, Column]) -> DataFram
     return counts.select(F.explode(pairs).alias("kv")).select("kv.constraint", "kv.violations")
 
 
-def fide_constraints(current_year: int | None = None) -> dict[str, "F.Column"]:
+def fide_constraints(current_year: int) -> dict[str, "F.Column"]:
     """The patito ChessRating model's row constraints as violation
-    predicates (chess_ratings_data_model.py:12-31)."""
-    y = current_year or _dt.date.today().year
+    predicates (chess_ratings_data_model.py:12-31).
+
+    ``current_year`` is REQUIRED: a wall-clock default would make the
+    constraint set nondeterministic across runs (registered plans pin
+    2026 explicitly)."""
+    y = current_year
     c = F.col
     return {
         "fide_id_not_null": c("fide_id").isNull(),

@@ -110,8 +110,15 @@ def fn_replace_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "dedup"),
 )
 def join_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.plans.llm_tier import shared_minhash_cands, shared_shingles
+
     d = tables.load(spark, sf_dir, "documents")
-    return similarity.verified_jaccard_pairs(d, tau=0.7)
+    return similarity.verified_jaccard_pairs(
+        d,
+        tau=0.7,
+        sh=shared_shingles(spark, sf_dir),
+        cands=shared_minhash_cands(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -144,9 +151,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_binary_decode",
     oracle=None,
     doc="Opaque binary media columns decoded + featurized via "
-    "mapInPandas (deterministic stub decoder — no codecs in this "
-    "container; Spark plumbing is production-real). Returns per-type "
-    "feature aggregates.",
+    "mapInPandas with REAL pure-numpy codecs (PPM images, RIFF/WAVE "
+    "audio, PPM image2pipe video streams). Header-derived "
+    "width/height/frame-count are checked against the metadata "
+    "columns per row: n_meta_mismatch MUST be 0, making the decode "
+    "falsifiable. rows-only (payload bytes are md5-seeded synthesis, "
+    "not SQL-expressible).",
     tags=("multimodal",),
 )
 def mm_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,6 +168,8 @@ def mm_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.when(~F.col("meta_ok"), 1).otherwise(0)).alias("n_meta_mismatch"),
+        F.sum("n_frames").alias("total_frames"),
         F.round(F.avg("feat_mean"), 4).alias("avg_feat_mean"),
         F.round(F.avg("feat_std"), 4).alias("avg_feat_std"),
         F.sum(F.length("thumb")).alias("thumb_bytes"),
@@ -167,18 +179,24 @@ def mm_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_frame_sample",
     oracle="""
-    SELECT media_type, CAST(count(*) AS BIGINT) AS n_frames,
+    SELECT media_type, CAST(count(*) AS BIGINT) AS n_frames_sampled,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
     FROM (
-      SELECT doc_id,
-             (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-             unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 1024)) AS off
-      FROM documents
+      SELECT doc_id, media_type,
+             unnest(range(0, CASE WHEN media_type = 'video'
+                                  THEN doc_id % 5 + 2 ELSE 1 END, 2)) AS frame_idx
+      FROM (
+        SELECT doc_id,
+               (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type
+        FROM documents
+      )
     ) GROUP BY media_type
     """,
-    doc="Frame sampling over opaque payloads: one row per 1 KiB offset "
-    "(sequence + explode — the video-frame fan-out pattern), counted "
-    "per media type.",
+    doc="Frame sampling over typed media metadata: every 2nd frame "
+    "index per document (sequence + explode — the video-frame fan-out "
+    "pattern; images/audio contribute frame 0), counted per media "
+    "type. The oracle re-derives the per-type frame counts "
+    "(video = doc_id%5+2) independently.",
     tags=("multimodal",),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,8 +204,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     media = multimodal.attach_fake_media(d)
-    frames = multimodal.frame_sample(media, every_n_bytes=1024)
+    frames = multimodal.frame_sample(media, stride=2)
     return frames.groupBy("media_type").agg(
-        F.count(F.lit(1)).alias("n_frames"),
+        F.count(F.lit(1)).alias("n_frames_sampled"),
         F.countDistinct("doc_id").alias("n_docs"),
     )

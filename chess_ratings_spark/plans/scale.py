@@ -93,19 +93,27 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skip bucketed reading entirely ("Bucketed: false (disabled by
     # query planner)"); forcing SMJ exercises the shuffle-free bucketed
     # path this demo exists to prove
-    j = a.hint("merge").join(b, "o_orderkey")
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    shuffle_free = "Exchange hashpartitioning" not in plan
-    bucketed_scans = plan.count("Bucketed: true")
-    out = j.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-    ).select(
-        "*",
-        F.lit(shuffle_free).alias("shuffle_free"),
-        F.lit(bucketed_scans).cast("int").alias("bucketed_scans"),
-    )
-    return out
+    try:
+        j = a.hint("merge").join(b, "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        shuffle_free = "Exchange hashpartitioning" not in plan
+        bucketed_scans = plan.count("Bucketed: true")
+        out = j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(
+            "*",
+            F.lit(shuffle_free).alias("shuffle_free"),
+            F.lit(bucketed_scans).cast("int").alias("bucketed_scans"),
+        )
+        # materialize the (1-row) result so the catalog tables can be
+        # dropped — a long-lived driver session must not accumulate one
+        # pair of bucketed tables per invocation
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 @register(

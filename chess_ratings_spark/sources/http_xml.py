@@ -59,22 +59,30 @@ def to_spark(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     return spark.createDataFrame(pdf, schema=T.StructType(fields))
 
 
-def fetch(url: str, retries: int = 3, backoff_s: float = 1.0) -> bytes:
-    """HTTP GET with bounded retries (the only network touchpoint).
+def fetch(url: str, retries: int = 3, backoff_s: float = 1.0, _urlopen=None) -> bytes:
+    """HTTP GET with bounded retries — the only network touchpoint,
+    mirroring the reference's @task(retries=3) (ingest_web_to_gcs.py:67):
+    an initial attempt plus `retries` retries with exponential backoff,
+    then the last error surfaces.
 
-    Import-gated: the test/CI environment is offline; everything above
-    this function is exercised without it.
+    ``_urlopen`` is an injection seam so the retry policy is provable
+    offline (tests inject transient failures); production callers leave
+    it defaulted to urllib.
     """
-    import urllib.request
+    if _urlopen is None:  # pragma: no cover - network path
+        import urllib.request
+
+        _urlopen = urllib.request.urlopen
 
     last: Exception | None = None
     for attempt in range(retries + 1):
         try:
-            with urllib.request.urlopen(url, timeout=60) as resp:  # noqa: S310
+            with _urlopen(url, timeout=60) as resp:  # noqa: S310
                 return resp.read()
-        except Exception as exc:  # pragma: no cover - network path
+        except Exception as exc:
             last = exc
-            time.sleep(backoff_s * (2**attempt))
+            if attempt < retries:
+                time.sleep(backoff_s * (2**attempt))
     raise RuntimeError(f"fetch failed after {retries + 1} attempts: {url}") from last
 
 

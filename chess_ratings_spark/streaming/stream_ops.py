@@ -47,7 +47,12 @@ def _state_partitions(spark: SparkSession):
     cardinality / executor count, not to the batch-side default
     (measured ~2× on the local replay harness: 32 → 8 partitions). The
     conf is restored afterwards; the count is baked into each query's
-    (fresh) checkpoint, so batch plans are unaffected."""
+    (fresh) checkpoint, so batch plans are unaffected.
+
+    Serial-execution assumption: the driver runs queries one at a time,
+    so no batch query plans concurrently while the conf is lowered. If
+    concurrent use ever appears, scope this via a cloned session
+    (spark.newSession()) instead of the shared conf."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
     try:

@@ -87,8 +87,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fixture's values are µs-precision, so `div 1000` is lossless.
     """
+    # The conf is consulted at frame-build (schema resolution) time and
+    # captured into the plan, so it can be restored immediately — later
+    # parquet reads on the shared session see the caller's original
+    # NANOS-timestamp behavior (verified: count() after restore works).
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(path_of(sf_dir, "events"))
+    try:
+        raw = spark.read.parquet(path_of(sf_dir, "events"))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return (
         raw.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", F.expr(_NTZ_FROM_MICROS.format(us="ts_ns div 1000")))

@@ -1,0 +1,91 @@
+"""Multimodal decode tests: the pure-numpy PPM/WAV/PPM-stream codecs
+round-trip real bytes, and the Spark pipeline's header-derived fields
+match the generator metadata (meta_ok) for every document."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from chess_ratings_spark.operators import multimodal as mm
+
+from .conftest import SF_SMOKE
+
+
+def test_ppm_roundtrip():
+    body = np.arange(5 * 4 * 3, dtype=np.uint8)
+    buf = mm.make_payload("image", "hello", 5, 4, 1)
+    img, end = mm.decode_ppm(buf)
+    assert img.shape == (4, 5, 3)
+    assert end == len(buf)
+    # header is genuine PPM: magic + dims parse from bytes alone
+    assert buf.startswith(b"P6\n5 4\n255\n")
+    assert img.tobytes() == buf[len(b"P6\n5 4\n255\n") :]
+    del body
+
+
+def test_ppm_stream_roundtrip():
+    buf = mm.make_payload("video", "clip", 6, 3, 4)
+    frames = mm.decode_ppm_stream(buf)
+    assert len(frames) == 4
+    assert all(f.shape == (3, 6, 3) for f in frames)
+    # frames differ (payload is not a repeated tile)
+    assert not np.array_equal(frames[0], frames[1])
+
+
+def test_wav_roundtrip():
+    buf = mm.make_payload("audio", "sound", 200, 1, 1)
+    samples, rate, channels = mm.decode_wav(buf)
+    assert (len(samples), rate, channels) == (200, mm.WAV_RATE, 1)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    # canonical 44-byte header + 16-bit mono data
+    assert len(buf) == 44 + 200 * 2
+
+
+def test_decode_pipeline_meta_ok_everywhere(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    media = mm.attach_fake_media(d)
+    decoded = mm.decode_and_featurize(media)
+    agg = decoded.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(~F.col("meta_ok"), 1).otherwise(0)).alias("bad"),
+        F.min("feat_std").alias("min_std"),
+    ).collect()[0]
+    assert agg.n == d.count()
+    assert agg.bad == 0, "decoded header fields must match metadata"
+    assert agg.min_std > 0, "decoded samples must not be constant"
+
+
+def test_decoded_dims_come_from_bytes_not_metadata(spark):
+    """Corrupt the metadata AFTER payload generation: decode must report
+    the true (payload) dims and flag the mismatch — proof the decoder
+    reads headers, not the metadata columns."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(30)
+    media = mm.attach_fake_media(d).withColumn(
+        "width", (F.col("width") + 1).cast("int")
+    )
+    out = mm.decode_and_featurize(media)
+    rows = out.collect()
+    assert rows and all(not r.meta_ok for r in rows)
+    for r in rows:
+        if r.media_type == "image":
+            payload_w = int(
+                mm.decode_ppm(
+                    media.filter(F.col("doc_id") == r.doc_id).collect()[0].payload
+                )[0].shape[1]
+            )
+            assert r.width == payload_w
+
+
+def test_driver_order_contract():
+    """The driver oracle-checks the first 50 queries() entries; the
+    emission order must be exactly DRIVER_ORDER with no dangling
+    names."""
+    import chess_ratings_spark.plans  # noqa: F401
+    from chess_ratings_spark import registry
+
+    names = list(registry.queries())
+    assert len(registry.DRIVER_ORDER) == 50
+    assert len(set(registry.DRIVER_ORDER)) == 50
+    assert names[: len(registry.DRIVER_ORDER)] == list(registry.DRIVER_ORDER)
+    assert set(registry.DRIVER_ORDER) <= set(names)

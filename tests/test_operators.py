@@ -57,11 +57,41 @@ def test_signbit_lsh_equals_brute_force(spark):
 
 
 def test_sim_join_threshold_empty_on_fixture(spark):
-    """On the driver fixture (max pairwise cosine ≈ 0.48) the τ=0.9
+    """On the raw driver fixture (max pairwise cosine ≈ 0.48) the τ=0.9
     threshold join must return exactly nothing — and so must brute
     force, keeping the two in agreement."""
     e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     assert similarity.signbit_lsh_pairs(e, tau=0.9).count() == 0
+
+
+def test_sim_join_threshold_planted_corpus_matches_brute_force(spark):
+    """The REGISTERED sim_join_threshold corpus (fixture + planted
+    near-dups) must be non-vacuous and exactly equal brute force: one
+    pair per planted vector, nothing else."""
+    from chess_ratings_spark.plans.llm_tier import _with_planted_neardups
+
+    e = _with_planted_neardups(spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"))
+    lsh = {
+        (r.id_a, r.id_b): round(r.cos, 12)
+        for r in similarity.signbit_lsh_pairs(e, tau=0.9).collect()
+    }
+    a, b = e.alias("a"), e.alias("b")
+    brute = {
+        (r.id_a, r.id_b): round(r.cos, 12)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.9)
+        .collect()
+    }
+    assert lsh == brute
+    assert len(lsh) > 0
+    # every planted copy pairs with its source and sits at cos ≈ 0.999+
+    assert all(id_b == id_a + 10_000_000 for id_a, id_b in lsh)
+    assert all(c > 0.99 for c in lsh.values())
 
 
 def test_minhash_lsh_equals_inverted_index(spark):
@@ -93,6 +123,20 @@ def test_minhash_lsh_equals_inverted_index(spark):
     }
     assert lsh == exact
     assert len(exact) > 0, "fixture should contain planted near-dup documents"
+
+
+def test_verified_jaccard_broadcast_fallback(spark):
+    """broadcast_limit=0 forces the plain shuffle-join verify path; it
+    must produce exactly the broadcast path's answer (the guard changes
+    physical strategy, never results)."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    key = lambda rows: {(r.doc_a, r.doc_b): round(r.jaccard, 12) for r in rows}  # noqa: E731
+    via_broadcast = key(similarity.verified_jaccard_pairs(d, tau=0.8).collect())
+    via_shuffle = key(
+        similarity.verified_jaccard_pairs(d, tau=0.8, broadcast_limit=0).collect()
+    )
+    assert via_broadcast == via_shuffle
+    assert len(via_broadcast) > 0
 
 
 def test_asof_join_tie_and_null_semantics(spark):
@@ -135,6 +179,33 @@ def test_union_missing_columns_null_fill(spark):
     b = spark.createDataFrame([(2,)], "id long")
     out = setops.union_snapshots(a, b).orderBy("id").collect()
     assert [r.extra for r in out] == ["x", None]
+
+
+def test_simhash_chunk_blocking_is_exact_for_budget():
+    """Pigeonhole guarantee: any 64-bit pair within hamming ≤ 6 shares
+    at least one identical chunk under the 7-chunk layout — including
+    spreads that defeat the old 4×16 blocking (bits touching all 4
+    quarters)."""
+    import random
+
+    from chess_ratings_spark.operators.similarity import _simhash_chunk_layout
+
+    layout = _simhash_chunk_layout(6)
+    assert len(layout) == 7
+    assert sum(w for _, w in layout) == 64
+
+    rng = random.Random(0)
+    for trial in range(500):
+        h = rng.randint(1, 6)
+        bits = rng.sample(range(64), h)
+        a = rng.getrandbits(64)
+        b = a
+        for bit in bits:
+            b ^= 1 << bit
+        assert any(
+            (a >> off) & ((1 << w) - 1) == (b >> off) & ((1 << w) - 1)
+            for off, w in layout
+        ), f"trial {trial}: hamming-{h} pair missed by every chunk"
 
 
 def test_simhash_finds_planted_near_dups(spark):
