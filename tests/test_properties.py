@@ -79,6 +79,89 @@ def test_union_missing_columns_commutes_with_backfill(spark, data):
 
 
 @SLOW
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40), st.integers(0, 99)),
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_brute_force(spark, left, right):
+    """asof_join == the quadratic reference: per left row, the value of
+    the latest right row with ts' <= ts on the same key (ties match)."""
+    from chess_ratings_spark.operators.joins import asof_join
+
+    rmap = {(k, t): v for k, t, v in right}  # unique (key, ts) per side
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "id long, k long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in rmap.items()], "k long, ts long, v long"
+    )
+    out = {
+        r.id: r.v
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        eligible = [(t2, v) for (k2, t2), v in rmap.items() if k2 == k and t2 <= t]
+        expected = max(eligible)[1] if eligible else None
+        assert out[i] == expected
+
+
+@SLOW
+@given(
+    missing=st.sets(st.sampled_from(["sex", "birthday"]), max_size=2),
+    data=rows,
+)
+def test_add_missing_commutes_on_random_schemas(spark, missing, data):
+    """For ANY subset of dropped columns, unionByName(allowMissing) ≡
+    add-missing-then-union — randomized-schema generalization of the
+    fixed-schema test above."""
+    from collections import Counter
+
+    full = spark.createDataFrame(data, "k long, sex string, birthday long")
+    partial = full.drop(*missing)
+    a = setops.union_snapshots(full, partial)
+    required = {"sex": "string", "birthday": "long"}
+    b = full.unionByName(
+        scalar.add_missing_columns(partial, {c: required[c] for c in missing}).select(
+            "k", "sex", "birthday"
+        )
+    )
+    assert Counter(map(tuple, a.collect())) == Counter(map(tuple, b.collect()))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=4, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    dup_of=st.integers(min_value=0, max_value=9),
+)
+def test_lsh_dedup_is_idempotent(spark, texts, dup_of):
+    """Removing the right side of every verified near-dup pair leaves a
+    corpus on which the SAME LSH pipeline finds zero pairs — dedup at
+    the LSH layer is a fixpoint after one application (signatures are
+    per-doc and deterministic, so a subset can't grow new candidates)."""
+    from chess_ratings_spark.operators.similarity import verified_jaccard_pairs
+
+    docs = list(texts)
+    docs.append(docs[dup_of % len(docs)] + " a")  # planted near-dup
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    pairs = verified_jaccard_pairs(df, tau=0.6).collect()
+    drop = {r.doc_b for r in pairs}
+    survivors = df.filter(~F.col("doc_id").isin(drop))
+    again = verified_jaccard_pairs(survivors, tau=0.6).collect()
+    assert again == []
+
+
+@SLOW
 @given(y=st.integers(min_value=2000, max_value=2099), m=st.integers(min_value=1, max_value=12))
 def test_month_code_and_url_total(spark, y, m):
     """month_code is total on 1-12 and the URL embeds exactly the
