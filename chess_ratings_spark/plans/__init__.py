@@ -10,6 +10,7 @@ from chess_ratings_spark.plans import (  # noqa: F401
     depth,
     extras,
     formats,
+    lakehouse,
     llm_tier,
     relational,
     scale,

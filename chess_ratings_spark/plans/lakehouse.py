@@ -1,0 +1,151 @@
+"""Lakehouse/maintenance-tier queries beyond the reference's surface:
+MERGE upsert, reproducible stratified sampling, and sketch-based
+quantiles with in-plan error certification. These are the table- and
+split-maintenance verbs a 100 TB training-data pipeline runs daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chess_ratings_spark import tables
+from chess_ratings_spark.operators import maintenance
+from chess_ratings_spark.registry import register
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, 'UPSERTED' AS c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEWROW', 0.0
+      FROM customer WHERE c_custkey % 97 = 0
+    ), merged AS (
+      SELECT CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                  ELSE t.c_mktsegment END AS c_mktsegment,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                  ELSE t.c_acctbal END AS c_acctbal
+      FROM (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer) t
+      FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    )
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM merged GROUP BY c_mktsegment
+    """,
+    doc="Delta-style MERGE INTO emulated as one full-outer join on the "
+    "key (matched rows take source values, unmatched source rows "
+    "insert, unmatched target rows persist) — the physical core a "
+    "lakehouse MERGE compiles to. Updates bump acctbal +100 and "
+    "re-segment every 7th customer; every 97th key inserts as a new "
+    "row.",
+    tags=("lakehouse", "merge"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("UPSERTED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("NEWROW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    merged = maintenance.merge_upsert(
+        c, updates.unionByName(inserts), key="c_custkey",
+        update_cols=["c_mktsegment", "c_acctbal"],
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN b < r THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           round(sum(CASE WHEN b < r THEN o_totalprice END), 2) AS sampled_totalprice
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b,
+             CASE o_orderpriority WHEN '1-URGENT' THEN 20
+                                  WHEN '2-HIGH' THEN 10
+                                  ELSE 5 END AS r
+      FROM orders
+    ) GROUP BY o_orderpriority
+    """,
+    doc="Reproducible stratified sampling: md5-prefix hash bucket per "
+    "key (bit-identical in Spark AND DuckDB — the oracle recomputes "
+    "the exact same membership, proving determinism cross-engine), "
+    "per-priority rates 20/10/5%. No RNG, no sampleBy seed/partition "
+    "sensitivity: the property that makes 100 TB train/test splits "
+    "auditable.",
+    tags=("lakehouse", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    tagged = maintenance.stratified_hash_sample(
+        o,
+        stratum_col="o_orderpriority",
+        key_col="o_orderkey",
+        rates_pct={"1-URGENT": 20, "2-HIGH": 10},
+        default_pct=5,
+    )
+    keep = F.col("__bucket") < F.col("__rate")
+    return tagged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.round(F.sum(F.when(keep, F.col("o_totalprice"))), 2).alias(
+            "sampled_totalprice"
+        ),
+    )
+
+
+@register(
+    "agg_sketch_quantiles",
+    oracle=None,
+    doc="Sketch-based quantiles (percentile_approx — Spark's "
+    "Greenwald-Khanna summary, the KLL-family mergeable-sketch path "
+    "that scales to 100 TB with per-partition partial sketches) "
+    "CERTIFIED in-plan against exact percentiles: each approx value "
+    "must lie within ±2 rank-percent of its target (within_bound must "
+    "be true on every row — falsifiable despite rows-only checking; "
+    "sketch merge order is engine-internal, so no SQL oracle).",
+    tags=("aggregate", "sketch"),
+)
+def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    probes = [0.5, 0.9, 0.99]
+    lo = {0.5: 0.48, 0.9: 0.88, 0.99: 0.97}
+    hi = {0.5: 0.52, 0.9: 0.92, 0.99: 1.0}
+    exact_ps = sorted({p for p in probes} | set(lo.values()) | set(hi.values()))
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(p) for p in probes]), 10_000
+        ).alias("approx"),
+        F.expr(
+            f"percentile(l_extendedprice, array({','.join(map(str, exact_ps))}))"
+        ).alias("exact"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    idx = {p: i + 1 for i, p in enumerate(exact_ps)}  # element_at is 1-based
+    cols = [F.col("l_returnflag"), F.col("n_rows")]
+    bound = F.lit(True)
+    for j, p in enumerate(probes, start=1):
+        a = F.element_at("approx", j)
+        lo_v = F.element_at("exact", idx[lo[p]])
+        hi_v = F.element_at("exact", idx[hi[p]])
+        cols.append(F.round(a, 2).alias(f"approx_p{int(p * 100)}"))
+        cols.append(F.round(F.element_at("exact", idx[p]), 2).alias(f"exact_p{int(p * 100)}"))
+        bound = bound & (a >= lo_v) & (a <= hi_v)
+    cols.append(bound.alias("within_bound"))
+    return agg.select(*cols)

@@ -207,3 +207,128 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(100.0 * F.sum(F.when(promo, rev).otherwise(0.0))).alias("promo_revenue_x100"),
         money(F.sum(rev)).alias("total_revenue"),
     )
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(CAST(sum(l_quantity) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(sum(l_extendedprice) / count(*), 6) AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: the canonical wide scan-agg — one pass, six "
+    "aggregates per (returnflag, linestatus), date predicate pushed to "
+    "the parquet scan. Averages stated as explicit sum/count divisions "
+    "and rounded on both engines (accumulation order differs).",
+    tags=("tpch",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        money(F.sum("l_extendedprice")).alias("sum_base_price"),
+        money(F.sum(disc_price)).alias("sum_disc_price"),
+        money(F.sum(charge)).alias("sum_charge"),
+        F.round(F.sum("l_quantity").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.sum("l_extendedprice") / n, 6).alias("avg_price"),
+        n.cast("bigint").alias("count_order"),
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                          - CAST(l_quantity AS BIGINT)
+                            * CAST(round(p_retailprice * 100) AS BIGINT) * 10)
+                      AS BIGINT) / 10000.0, 2) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE contains(p_name, 'a')
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    doc="TPC-H Q9 shape: 5-way star join (two broadcast dims, two "
+    "fact-side equi joins), profit per (nation, order-year). The "
+    "fixture has no partsupp, so supply cost is stood in by 10% of "
+    "retail price. Profit aggregates in EXACT fixed-point (1e-4 money "
+    "units as BIGINT — prices/discounts are 2dp, so the summand is an "
+    "integer): the sum is order-independent, immune to the float-"
+    "accumulation cent-boundary splits that plague cross-engine money "
+    "comparison, and how an engine should do money at 100 TB anyway.",
+    tags=("tpch",),
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").filter(F.col("p_name").contains("a")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = tables.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    retail_c = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    profit_e4 = ext_c * (100 - disc_pct) - F.col("l_quantity").cast("bigint") * retail_c * 10
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit_e4) / 10000.0, 2).alias("profit"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left join with a join-level predicate (the "
+    "comment-filter stand-in excludes urgent orders), per-customer "
+    "order counts incl. zero, then the distribution of those counts — "
+    "two cascaded aggs, the second over a tiny key space.",
+    tags=("tpch",),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer").select("c_custkey")
+    o = tables.load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    j = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

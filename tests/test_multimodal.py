@@ -77,6 +77,19 @@ def test_decoded_dims_come_from_bytes_not_metadata(spark):
             assert r.width == payload_w
 
 
+def test_sketch_quantiles_within_certified_bounds(spark):
+    """agg_sketch_quantiles' in-plan certification must actually hold:
+    every approx percentile lies inside its exact ±2-rank-percent
+    bracket."""
+    from chess_ratings_spark.plans.lakehouse import agg_sketch_quantiles
+
+    rows = agg_sketch_quantiles(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.within_bound for r in rows)
+    for r in rows:
+        assert r.exact_p50 <= r.exact_p90 <= r.exact_p99
+
+
 def test_driver_order_contract():
     """The driver oracle-checks the first 50 queries() entries; the
     emission order must be exactly DRIVER_ORDER with no dangling
