@@ -110,15 +110,9 @@ def fn_replace_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "dedup"),
 )
 def join_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chess_ratings_spark.plans.llm_tier import shared_minhash_cands, shared_shingles
+    from chess_ratings_spark.plans.llm_tier import shared_verified_pairs
 
-    d = tables.load(spark, sf_dir, "documents")
-    return similarity.verified_jaccard_pairs(
-        d,
-        tau=0.7,
-        sh=shared_shingles(spark, sf_dir),
-        cands=shared_minhash_cands(spark, sf_dir),
-    )
+    return shared_verified_pairs(spark, sf_dir, tau=0.7)
 
 
 # ---------------------------------------------------------------------------

@@ -216,6 +216,26 @@ def shared_minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CANDS_CACHE[key]
 
 
+_PAIRS_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def shared_verified_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    """Verified jaccard pairs at a given τ, cached per session: the
+    pair list is both a query result (dedup_near_minhash) and the input
+    graph of the clustering step (dedup_connected_components) — one
+    verify join serves both."""
+    key = (spark.sparkContext.applicationId, sf_dir, tau)
+    if key not in _PAIRS_CACHE:
+        d = tables.load(spark, sf_dir, "documents")
+        _PAIRS_CACHE[key] = similarity.verified_jaccard_pairs(
+            d,
+            tau=tau,
+            sh=shared_shingles(spark, sf_dir),
+            cands=shared_minhash_cands(spark, sf_dir),
+        ).cache()
+    return _PAIRS_CACHE[key]
+
+
 _EXACT_JACCARD_ORACLE = """
     WITH sh AS (
       SELECT doc_id,
@@ -244,13 +264,7 @@ _EXACT_JACCARD_ORACLE = """
     tags=("dedup",),
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tables.load(spark, sf_dir, "documents")
-    return similarity.verified_jaccard_pairs(
-        d,
-        tau=0.8,
-        sh=shared_shingles(spark, sf_dir),
-        cands=shared_minhash_cands(spark, sf_dir),
-    )
+    return shared_verified_pairs(spark, sf_dir, tau=0.8)
 
 
 @register(
@@ -293,6 +307,164 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents")
     return similarity.simhash_near_pairs(d, max_hamming=6)
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE pairs AS ("""
+    + _EXACT_JACCARD_ORACLE.format(tau=0.8)
+    + """
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT component AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(node) AS BIGINT) AS max_doc
+    FROM (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ) GROUP BY component
+    """,
+    doc="Near-dup CLUSTERS, not pairs: iterative min-label propagation "
+    "(DataFrame Pregel — one equi-join + min-agg per round, shuffle on "
+    "the node key, driver reads one changed-count scalar per round) "
+    "over the verified τ=0.8 jaccard pair graph. The oracle computes "
+    "the transitive closure with a recursive CTE — pairs compose "
+    "transitively, so this is the operator a dedup pipeline actually "
+    "keys its keep/drop decision on.",
+    tags=("dedup", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.graph import connected_components
+
+    pairs = shared_verified_pairs(spark, sf_dir, tau=0.8)
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_doc"),
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT lang,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com id ' || CAST(doc_id * 37 + 1000000 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    ), scrubbed AS (
+      SELECT lang, text,
+             regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_LONGNUM_RE}', '<NUM>', 'g') AS clean
+      FROM planted
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+           CAST(sum(len(regexp_extract_all(text, '{_EMAIL_RE}'))) AS BIGINT) AS email_hits,
+           CAST(sum(len(regexp_extract_all(text, '{_LONGNUM_RE}'))) AS BIGINT) AS num_hits,
+           CAST(sum(len(regexp_extract_all(clean, '{_EMAIL_RE}'))) AS BIGINT) AS residual_emails
+    FROM scrubbed GROUP BY lang
+    """,
+    doc="PII redaction pass: emails → <EMAIL>, 6+-digit runs → <NUM> "
+    "(regexp_replace, all-occurrences on both engines). Every 10th doc "
+    "gets a planted synthetic email+id so the scrub is falsifiable; "
+    "residual_emails must be 0 — the oracle recounts matches on the "
+    "scrubbed text independently.",
+    tags=("text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    planted = d.select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com id "),
+                (F.col("doc_id") * 37 + 1_000_000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text", F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_LONGNUM_RE),
+        F.lit("<NUM>"),
+    )
+    scrubbed = planted.select("lang", "text", clean.alias("clean"))
+    return scrubbed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("clean") != F.col("text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_scrubbed"),
+        F.sum(F.regexp_count("text", F.lit(_EMAIL_RE))).alias("email_hits"),
+        F.sum(F.regexp_count("text", F.lit(_LONGNUM_RE))).alias("num_hits"),
+        F.sum(F.regexp_count("clean", F.lit(_EMAIL_RE))).alias("residual_emails"),
+    )
+
+
+@register(
+    "doc_pack_tokens",
+    oracle="""
+    SELECT source, CAST(pack_id AS INT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM (
+      SELECT source, n_tokens,
+             floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+             AS pack_id
+      FROM (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents)
+    ) GROUP BY source, pack_id
+    """,
+    doc="Sequence packing for pretraining batches: greedy sequential "
+    "fill of 2048-token packs per source shard (running-sum window → "
+    "floor-div bucket; a doc straddling a boundary stays in the pack "
+    "where it starts). Partitioned by source so packing parallelizes "
+    "per shard at 100 TB instead of one global ordered window.",
+    tags=("text", "packing"),
+)
+def doc_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = tables.load(spark, sf_dir, "documents")
+    n_tok = text.token_count("text")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = d.select("source", "doc_id", n_tok.alias("n_tokens")).select(
+        "source",
+        "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048.0)
+        .cast("int")
+        .alias("pack_id"),
+    )
+    return staged.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -181,6 +181,20 @@ def test_union_missing_columns_null_fill(spark):
     assert [r.extra for r in out] == ["x", None]
 
 
+def test_connected_components_chain_triangle_pair(spark):
+    """Label propagation must find true components on shapes that need
+    transitivity: a 4-chain (1-2-3-4), a triangle (10,11,12), and an
+    isolated pair (20,21)."""
+    from chess_ratings_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_simhash_chunk_blocking_is_exact_for_budget():
     """Pigeonhole guarantee: any 64-bit pair within hamming ≤ 6 shares
     at least one identical chunk under the 7-chunk layout — including
