@@ -153,6 +153,46 @@ def stream_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+    doc="Stream-stream interval join: each purchase joined to the same "
+    "user's views in the hour before it — two watermarked readStream "
+    "sources, range-bounded state. The batch inner join is the exact "
+    "oracle (append drain emits every match).",
+    tags=("streaming", "events", "live", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.interval_join_stream(spark, ev)
+
+
+@register(
+    "stream_foreach_merge",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Streaming upsert sink (foreachBatch): per-microbatch partial "
+    "aggregates MERGE into a versioned parquet state table "
+    "(maxFilesPerTrigger=1 forces real cross-batch accumulation; money "
+    "accumulates as exact integer cents so merge order can't split a "
+    "cent). Final state must equal the whole-input batch GROUP BY.",
+    tags=("streaming", "events", "live", "sink"),
+)
+def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.foreach_batch_merge_stream(spark, ev)
+
+
+@register(
     "stream_sliding_live",
     oracle=None,
     doc="The stream_sliding plan as a real streaming query (watermark + "

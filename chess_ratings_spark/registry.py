@@ -94,20 +94,22 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_dedup",
     "stream_watermark_late",
     "stream_stateful",
-    # fixed/new this round — need a fresh driver row
+    # fixed/new this round — need a fresh driver row (queries with a
+    # green round-1 row and an unchanged-or-pytest-covered path, e.g.
+    # src_parquet_scan / sim_topk_cosine / dedup_ngram_jaccard, yield
+    # their slots to never-checked round-2 operators)
     "sim_join_threshold",
     "mm_binary_decode",
     "stream_checkpoint",
+    "stream_interval_join",
+    "stream_foreach_merge",
     "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "join_similarity",
+    "dedup_connected_components",
+    "merge_upsert",
     "dedup_simhash",
     # scale demos, never driver-checked
     "join_bucketed",
     "join_skew_salted",
-    # load-bearing re-checks of code paths touched this round
-    "src_parquet_scan",
-    "sim_topk_cosine",
 )
 
 

@@ -243,6 +243,113 @@ def sliding_stream(
     return _drain(spark, agg, "append")
 
 
+def interval_join_stream(
+    spark: SparkSession, ev: DataFrame, lookback: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    views within `lookback` BEFORE the purchase — two readStream
+    sources over the same staged input, watermarks on both sides (the
+    state-cleanup contract: a view's join window closes once the
+    purchase-side watermark passes v_ts + lookback), range condition
+    bounds buffered state.
+
+    The input stages as ONE file so a single microbatch sees both
+    sides; with chunked arrival the inner join emits the same rows as
+    long as watermarks out-delay the arrival skew (here: generous
+    margin vs the fixture span). Output is id pairs only — the batch
+    inner join is the exact oracle."""
+    staged = tempfile.mkdtemp(prefix="crs_ssj_") + "/in"
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props").coalesce(
+        1
+    ).write.mode("overwrite").parquet(staged)
+
+    def side(name: str, ts_alias: str, id_alias: str) -> DataFrame:
+        src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(staged))
+        return (
+            src.filter(F.col("event_type") == name)
+            .withWatermark("ts", "35 days")
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(f"{id_alias}_user"),
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    p = side("purchase", "p_ts", "purchase_id")
+    v = side("view", "v_ts", "view_id")
+    joined = p.join(
+        v,
+        (F.col("purchase_id_user") == F.col("view_id_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "view_id")
+    return _drain(spark, joined, "append")
+
+
+def foreach_batch_merge_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Streaming upsert sink via foreachBatch: each microbatch's
+    per-user partial aggregate MERGEs into a versioned parquet state
+    table (read current → full-outer combine → write next version) —
+    the incremental-materialized-view pattern every lakehouse streaming
+    sink uses. The input is staged as multiple files and consumed with
+    maxFilesPerTrigger=1, so cross-batch accumulation is actually
+    exercised; the final state must equal the whole-input batch GROUP
+    BY (the SQL oracle)."""
+    base = tempfile.mkdtemp(prefix="crs_fbm_")
+    src_dir = base + "/in"
+    sel = ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    sel.repartition(4).write.mode("overwrite").parquet(src_dir)
+
+    state = {"df": None}
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        # accumulate money as exact integer cents: merge order across
+        # microbatches then differs from the oracle's single GROUP BY,
+        # and only fixed-point addition is order-independent
+        part = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+        if state["df"] is None:
+            nxt = part
+        else:
+            cur = state["df"]
+            nxt = (
+                cur.alias("c")
+                .join(part.alias("p"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("c.n_events"), F.lit(0))
+                        + F.coalesce(F.col("p.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("c.cents"), F.lit(0))
+                        + F.coalesce(F.col("p.cents"), F.lit(0))
+                    ).alias("cents"),
+                )
+            )
+        path = f"{base}/state_v{batch_id}"
+        nxt.write.mode("overwrite").parquet(path)
+        state["df"] = batch.sparkSession.read.parquet(path)
+
+    src = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    with _state_partitions(spark):
+        q = (
+            src.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", base + "/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+    final = state["df"]
+    return final.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("cents") / 100.0, 2).alias("total_value"),
+    )
+
+
 def checkpoint_recovery_stream(
     spark: SparkSession, ev: DataFrame, split_frac: float = 0.5
 ) -> DataFrame:
