@@ -528,14 +528,36 @@ def _with_planted_neardups(e: DataFrame, every: int = 100) -> DataFrame:
 
 @register(
     "sim_join_threshold",
-    oracle=None,
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000 AS vec_id,
+             list_transform(embedding,
+               (x, i) -> CAST(CAST(x AS DOUBLE) + (((i - 1) % 7) - 3) * 0.001 AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS cos
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.9
+    """,
     doc="All-pairs cosine ≥ τ=0.9 via random-hyperplane sign-LSH "
-    "banding + exact-cosine verify; rows-only (hyperplanes are "
-    "engine-hash-derived). The corpus is the embeddings fixture plus "
-    "planted near-duplicate vectors (fixture max inter-vector cos is "
-    "~0.48, so the threshold would otherwise be unfalsifiable); the "
-    "band equi-join replaces the O(n²) cross join; pytest checks "
-    "equality to brute force on the same planted corpus.",
+    "banding + exact-cosine verify. The corpus is the embeddings "
+    "fixture plus planted near-duplicate vectors (fixture max "
+    "inter-vector cos is ~0.48, so the threshold would otherwise be "
+    "unfalsifiable); the band equi-join replaces the O(n²) cross "
+    "join. Oracle is the brute-force cross join over the identically "
+    "planted corpus — the left-fold double cosine is bit-exact across "
+    "engines (verified), so this hash-matches; recall holds because "
+    "the only ≥τ pairs are planted near-identical copies whose "
+    "post-centering band keys collide with miss probability ≪ 1e-9.",
     tags=("similarity",),
 )
 def sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
