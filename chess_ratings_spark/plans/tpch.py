@@ -332,3 +332,654 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderkey").cast("bigint").alias("c_count")
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey,
+           p_brand, unit_cost
+    FROM part
+    JOIN supply ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      AND unit_cost = (
+        SELECT min(unit_cost) FROM supply s2 WHERE s2.l_partkey = p_partkey
+      )
+    ORDER BY acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+    """,
+    doc="TPC-H Q2 shape (no partsupp fixture: the supply relation is "
+    "derived as min unit sell price per (part, supplier) from "
+    "lineitem — min of per-row divisions is order-independent, so "
+    "cross-engine exact). Correlated min subquery picks each part's "
+    "cheapest EUROPE supplier; 4-way dim join broadcast; top-20 by "
+    "account balance.",
+    tags=("tpch",),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey"), F.col("l_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    best = supply.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    p = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        p.join(supply, supply.l_partkey == p.p_partkey)
+        .join(best, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(s, s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "unit_cost",
+        )
+        .orderBy(F.col("acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1998-12-31 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: directional nation-pair volume by ship year — "
+    "double nation join (both broadcast), disjunctive pair predicate, "
+    "3-level group.",
+    tags=("tpch",),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = tables.load(spark, sf_dir, "supplier")
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1998-12-31 00:00:00").cast("timestamp_ntz"),
+        )
+    )
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    j = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(money(F.sum("volume")).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                                ELSE 0 END), 2)
+                 / round(sum(volume), 2), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: NATION_5's market share of PROMO-part revenue "
+    "sold into ASIA per order year — 7-table star join, conditional "
+    "aggregation, share-of-total. Both sums are rounded to cents "
+    "before the division so the share is reduction-order-proof.",
+    tags=("tpch",),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = tables.load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("nrk"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation"))
+    j = (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(r), F.col("nrk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    agg = j.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(0.0)),
+            2,
+        ).alias("nat"),
+        F.round(F.sum("volume"), 2).alias("tot"),
+    )
+    return agg.select("o_year", F.round(F.col("nat") / F.col("tot"), 6).alias("mkt_share"))
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by returned-item revenue in "
+    "a half-year window — date + flag predicates pushed to the scans, "
+    "broadcast nation, grouped revenue, global top-k.",
+    tags=("tpch",),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = tables.load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(money(F.sum(F.expr(_REV))).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_values",
+    oracle="""
+    WITH value_by_part AS (
+      SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM value_by_part
+    WHERE part_value > (
+      SELECT round(sum(part_value) * 0.001, 2) FROM value_by_part
+    )
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape (no partsupp fixture: per-part value derived "
+    "from NATION_3 suppliers' lineitem revenue): grouped value vs a "
+    "scalar-subquery fraction-of-total threshold. Group sums are "
+    "rounded to cents before both the total and the comparison, so "
+    "the threshold cut is reduction-order-proof.",
+    tags=("tpch",),
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    vbp = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(money(F.sum("l_extendedprice")).alias("part_value"))
+    )
+    thresh = vbp.agg(F.round(F.sum("part_value") * 0.001, 2).alias("t"))
+    return (
+        vbp.join(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("t"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum({_REV}), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: quarterly revenue per supplier as a reused "
+    "subplan (the spec's CREATE VIEW), max-revenue supplier(s) via a "
+    "scalar-subquery equality. Revenue is rounded to cents before the "
+    "max/equality so the winner is reduction-order-proof.",
+    tags=("tpch",),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        money(F.sum(F.expr(_REV))).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = tables.load(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_parts_supplier_count",
+    oracle="""
+    SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT)
+             AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) supply
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape (no partsupp fixture: distinct (part, "
+    "supplier) pairs derived from lineitem): distinct-supplier count "
+    "per part attribute bucket, NOT IN anti-join against "
+    "negative-balance suppliers (the comment-filter stand-in).",
+    tags=("tpch",),
+)
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = tables.load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < 0.5 * (
+        SELECT avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: lost-revenue estimate for below-half-average "
+    "order quantities of one brand — correlated per-part avg "
+    "(quantities are small integers, so the double sum is exact and "
+    "the threshold cross-engine deterministic), single global "
+    "aggregate. Spark side computes the per-part average via a "
+    "grouped subplan + broadcast join rather than a correlated "
+    "rescan.",
+    tags=("tpch",),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o_totalprice, 2) AS totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 120
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey LIMIT 100
+    """,
+    doc="TPC-H Q18 shape: customers with large-volume orders — IN "
+    "subquery over a grouped HAVING (left-semi join in Spark), "
+    "quantity sums are exact integer-valued doubles, top-100 by "
+    "order price.",
+    tags=("tpch",),
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li.join(big.withColumnRenamed("l_orderkey", "big_key"),
+                      F.col("l_orderkey") == F.col("big_key"), "left_semi"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT round(sum({_REV}), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive brand/size/quantity predicate "
+    "triples over the part join — the OR-of-ANDs pattern Catalyst "
+    "must keep join-side-separable (part predicates prune the "
+    "broadcast side; quantity bounds stay on the fact scan).",
+    tags=("tpch",),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(money(F.sum(F.expr(_REV))).alias("revenue"))
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    ), part_total AS (
+      SELECT l_partkey AS pk, sum(qty) AS total_qty FROM shipped GROUP BY 1
+    )
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN shipped ON l_suppkey = s_suppkey
+    JOIN part_total ON pk = l_partkey
+    WHERE qty > 0.5 * total_qty
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20 shape (no partsupp fixture: availability derived "
+    "from shipped quantities): suppliers in a nation group who moved "
+    "more than half of a PROMO part's 1997 volume — nested grouped "
+    "aggregate + fraction-of-total threshold + semi-join-style "
+    "DISTINCT projection. Quantities are exact integer-valued "
+    "doubles, so the 0.5× threshold is cross-engine deterministic.",
+    tags=("tpch",),
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = tables.load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    return (
+        shipped.join(part_total, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey, count(*) AS ns, sum(late) AS nl
+      FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE late = 1 AND ns > 1 AND nl = 1
+    GROUP BY s_name, n_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (no l_receiptdate fixture: 'kept waiting' is "
+    "shipping >90 days after order date): for finalized orders, the "
+    "sole-late supplier among multiple suppliers — the "
+    "EXISTS/NOT-EXISTS pair rewritten as one grouped pass computing "
+    "per-order supplier and late-supplier counts (equivalent: s late "
+    "∧ ns>1 ∧ late set = {s}), then counted per supplier. One "
+    "shuffle on orderkey replaces two correlated rescans — the "
+    "100 TB-friendly form.",
+    tags=("tpch",),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = tables.load(spark, sf_dir, "lineitem")
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("late").alias("nl")
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    return (
+        per_supp.join(per_order, "l_orderkey")
+        .filter((F.col("late") == 1) & (F.col("ns") > 1) & (F.col("nl") == 1))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH eligible AS (
+      SELECT c_custkey, c_acctbal, c_nationkey % 10 AS cntrycode
+      FROM customer WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+    ), cutoff AS (
+      SELECT round(avg(c_acctbal), 2) AS avg_bal FROM eligible
+      WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(cntrycode AS INT) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM eligible, cutoff
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    doc="TPC-H Q22 shape (no c_phone fixture: country code is "
+    "c_nationkey % 10): above-average-balance customers in selected "
+    "codes with no orders since 2000 (every fixture customer has "
+    "some order, so the spec's bare NOT EXISTS would be vacuous) — "
+    "scalar avg subquery (rounded to cents "
+    "before the comparison, reduction-order-proof) + NOT EXISTS "
+    "anti-join, grouped per code.",
+    tags=("tpch",),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    eligible = c.filter((F.col("c_nationkey") % 10).isin(1, 2, 3, 4, 5)).select(
+        "c_custkey", "c_acctbal", (F.col("c_nationkey") % 10).alias("cntrycode")
+    )
+    cutoff = eligible.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    o = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        eligible.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, eligible.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("cntrycode").cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
