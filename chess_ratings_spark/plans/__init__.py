@@ -17,4 +17,5 @@ from chess_ratings_spark.plans import (  # noqa: F401
     streaming,
     tier_r,
     tpch,
+    training,
 )

@@ -248,3 +248,141 @@ def fn_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter("hist", lambda x: x["o_totalprice"] > 150000)
         ).alias("n_big"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT l_returnflag, mode_qty, cnt FROM (
+      SELECT l_returnflag, l_quantity AS mode_qty,
+             CAST(count(*) AS BIGINT) AS cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY count(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1 ORDER BY l_returnflag
+    """,
+    doc="Deterministic mode per group: value-count + row_number with an "
+    "explicit (count DESC, value) tie-break — the native mode() "
+    "aggregate in both engines leaves ties unspecified, so the "
+    "deterministic formulation IS the operator. Two shuffles on "
+    "narrowing keys; the window partition is the tiny flag domain.",
+    tags=("agg",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("mode_qty")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), "mode_qty")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", "mode_qty", "cnt")
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_corr_cov",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_discount), 6) AS std_discount,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Second-moment statistics per group: Pearson correlation, "
+    "sample covariance, stddev, regression slope — single grouped "
+    "pass, partial co-moments merged associatively (the 100 TB "
+    "map-side-combine shape). Co-moment reduction order differs "
+    "across engines by ~1e-12 relative, so results are rounded "
+    "to a scale that absorbs it.",
+    tags=("agg",),
+)
+def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_discount"), 6).alias("std_discount"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "slope_price_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_hll_merge",
+    oracle=None,
+    doc="Two-phase distinct-count sketching: an HLL sketch per "
+    "event_type (hll_sketch_agg), then a global hll_union_agg merge — "
+    "the mergeable-sketch pattern that replaces exact countDistinct "
+    "at 100 TB (partials combine map-side; the merge moves bytes, "
+    "not rows). Rows-only: the estimate is engine-specific (Spark's "
+    "DataSketches HLL vs DuckDB's), so pytest instead bounds the "
+    "relative error against the exact count.",
+    tags=("agg", "events"),
+)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    per = per_type.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("estimate"),
+        "exact",
+    )
+    glob = (
+        per_type.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .select(
+            F.lit("ALL").alias("scope"),
+            F.hll_sketch_estimate("sk").alias("estimate"),
+            F.lit(None).cast("long").alias("exact"),
+        )
+    )
+    return per.unionByName(glob).orderBy("scope")
+
+
+@register(
+    "fn_bitwise_ops",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS masked,
+           (event_id & 255) << 3 AS shifted,
+           xor(event_id & 255, 170) AS xored,
+           CAST(bit_count(event_id & 255) AS INT) AS popcount
+    FROM events WHERE event_id % 17 = 0 ORDER BY event_id
+    """,
+    doc="Bitwise expression suite: AND-mask, left shift, XOR, "
+    "population count — pure codegen'd integer expressions (the mask "
+    "keeps shifts overflow-free so 64-bit semantics agree across "
+    "engines).",
+    tags=("fn", "events"),
+)
+def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    masked = F.col("event_id").bitwiseAND(F.lit(255))
+    return (
+        ev.filter(F.col("event_id") % 17 == 0)
+        .select(
+            "event_id",
+            masked.alias("masked"),
+            F.shiftleft(masked, 3).cast("long").alias("shifted"),
+            masked.bitwiseXOR(F.lit(170)).alias("xored"),
+            F.bit_count(masked).cast("int").alias("popcount"),
+        )
+        .orderBy("event_id")
+    )

@@ -1,0 +1,338 @@
+"""Training-data-pipeline queries: the operations a 100 TB LLM data
+pipeline runs between raw crawl and tokenized shards — deterministic
+corpus splitting, quality gating (Gopher-style rules), benchmark
+contamination checks, normalization, chunking, and embedding-level
+near-dup removal. All are column-expression plans (no Python on the row
+path) except where vectors force an Arrow-batched UDF, and every
+blocking step is an equi-join on a derived key — nothing is O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chess_ratings_spark import tables
+from chess_ratings_spark.operators import similarity
+from chess_ratings_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus split (train/val/test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic train/val/test split by content-independent key "
+    "hash: first md5 hex digit of the doc id buckets 12/2/2 of 16. "
+    "Hash-based splits survive re-runs and late-arriving data "
+    "(membership is a pure function of the key, never of row order "
+    "or sampling state) — the only split discipline that works when "
+    "the corpus is rebuilt incrementally at 100 TB. md5 is bit-equal "
+    "across engines, so the oracle is exact.",
+    tags=("training", "sample", "documents"),
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(c <= "b", "train").when(c <= "d", "val").otherwise("test").alias("split")
+    )
+    return (
+        d.groupBy(split)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality gate (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+@register(
+    "filter_gopher_rules",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', ''))
+               * 1.0 / len(string_split(text, ' ')) AS mean_wlen,
+             (SELECT max(c) FROM (
+                SELECT count(*) AS c
+                FROM unnest(string_split(text, ' ')) AS t(w) GROUP BY w))
+               * 1.0 / len(string_split(text, ' ')) AS rep_ratio,
+             len(list_intersect(string_split(text, ' '),
+                 ['the', 'a', 'of', 'to', 'and'])) > 0 AS has_stop
+      FROM documents
+    ), v AS (
+      SELECT doc_id,
+             n_words < 20 OR n_words > 80 AS v_word_count,
+             mean_wlen < 2.0 OR mean_wlen > 12.0 AS v_mean_word_len,
+             rep_ratio > 0.2 AS v_repetition,
+             NOT has_stop AS v_stopword
+      FROM m
+    )
+    SELECT rule, violations FROM (
+      SELECT 'word_count' AS rule,
+             CAST(count(*) FILTER (v_word_count) AS BIGINT) AS violations, 0 AS ord
+      FROM v
+      UNION ALL SELECT 'mean_word_len',
+             CAST(count(*) FILTER (v_mean_word_len) AS BIGINT), 1 FROM v
+      UNION ALL SELECT 'repetition',
+             CAST(count(*) FILTER (v_repetition) AS BIGINT), 2 FROM v
+      UNION ALL SELECT 'stopword',
+             CAST(count(*) FILTER (v_stopword) AS BIGINT), 3 FROM v
+      UNION ALL SELECT 'kept',
+             CAST(count(*) FILTER (NOT (v_word_count OR v_mean_word_len
+                     OR v_repetition OR v_stopword)) AS BIGINT), 4 FROM v
+    ) ORDER BY ord
+    """,
+    doc="Gopher-style document quality gate (Rae et al. 2021 §A1.1 "
+    "rules re-expressed as column predicates): word-count bounds, "
+    "mean word length bounds, max-repetition ratio, stopword "
+    "presence. One scan computes every rule as a boolean column; the "
+    "output is the per-rule violation census plus the kept count — "
+    "the shape a 100 TB filter job reports before dropping rows. The "
+    "repetition ratio (top token frequency / tokens) is a "
+    "distinct-count over each doc's token array, computed in-expr "
+    "with no shuffle.",
+    tags=("training", "text", "documents"),
+)
+def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wlen = F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_words
+    top_freq = F.expr(
+        "array_max(transform(array_distinct(split(text, ' ')), "
+        "t -> size(filter(split(text, ' '), x -> x = t))))"
+    )
+    rep_ratio = top_freq * F.lit(1.0) / n_words
+    has_stop = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in _STOPWORDS]))
+    v = d.select(
+        ((n_words < 20) | (n_words > 80)).alias("v_word_count"),
+        ((mean_wlen < 2.0) | (mean_wlen > 12.0)).alias("v_mean_word_len"),
+        (rep_ratio > 0.2).alias("v_repetition"),
+        (~has_stop).alias("v_stopword"),
+    )
+    agg = v.agg(
+        *[
+            F.sum(F.col(c).cast("long")).alias(c)
+            for c in ("v_word_count", "v_mean_word_len", "v_repetition", "v_stopword")
+        ],
+        F.sum(
+            (
+                ~(
+                    F.col("v_word_count")
+                    | F.col("v_mean_word_len")
+                    | F.col("v_repetition")
+                    | F.col("v_stopword")
+                )
+            ).cast("long")
+        ).alias("kept"),
+    )
+    pairs = F.array(
+        F.struct(F.lit("word_count").alias("rule"), F.col("v_word_count").alias("violations")),
+        F.struct(F.lit("mean_word_len").alias("rule"), F.col("v_mean_word_len").alias("violations")),
+        F.struct(F.lit("repetition").alias("rule"), F.col("v_repetition").alias("violations")),
+        F.struct(F.lit("stopword").alias("rule"), F.col("v_stopword").alias("violations")),
+        F.struct(F.lit("kept").alias("rule"), F.col("kept").alias("violations")),
+    )
+    return agg.select(F.explode(pairs).alias("kv")).select("kv.rule", "kv.violations")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contamination_ngram",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 2),
+               i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS g
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared
+    FROM sh
+    WHERE g IN (SELECT g FROM bench) AND doc_id % 25 <> 0
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Benchmark-contamination check: flag corpus documents sharing "
+    "any 4-gram with a held-out benchmark set (stand-in: doc_id%25). "
+    "Shingles explode linearly, the benchmark shingle set is DISTINCT "
+    "and broadcast, and matching is one equi-join on the shingle — "
+    "the standard decontamination shape (GPT-3 appendix C) with no "
+    "all-pairs comparison anywhere. At 100 TB the benchmark side is "
+    "tiny and static, so the broadcast is unconditionally safe.",
+    tags=("training", "text", "documents"),
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(similarity.shingles("text", width=4)).alias("g")
+    )
+    bench = sh.filter(F.col("doc_id") % 25 == 0).select("g").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 25 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization + chunking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(
+                 lower('  ' || upper(substr(text, 1, 20)) || ' !! ' || text
+                       || ' ?? '),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+           CAST(length(trim(regexp_replace(regexp_replace(
+                 lower('  ' || upper(substr(text, 1, 20)) || ' !! ' || text
+                       || ' ?? '),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS n_chars_norm
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Text normalization pass: lowercase, strip non-alphanumerics, "
+    "collapse runs of spaces, trim — over a deliberately dirtied "
+    "input (upper-cased prefix + punctuation padding spliced around "
+    "the fixture text) so each step is falsifiable; the md5 of the "
+    "normalized form pins the exact output byte-for-byte against the "
+    "oracle. Pure codegen expressions, no UDF.",
+    tags=("training", "text", "documents"),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("  "),
+        F.upper(F.substring("text", 1, 20)),
+        F.lit(" !! "),
+        F.col("text"),
+        F.lit(" ?? "),
+    )
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(dirty), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("int").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_chunk_split",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS INT) AS n_tokens,
+           md5(array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')) AS chunk_hash
+    FROM w, unnest(range(0, CAST(floor((n - 1) / 24) AS BIGINT) + 1)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Context-window chunking: split each document into 32-token "
+    "chunks with stride 24 (8-token overlap), the pre-tokenization "
+    "shard shape. The chunk list is built per-row with "
+    "sequence+slice (linear in tokens, no shuffle) and exploded; "
+    "chunk md5 pins exact content. Final chunks may be short — the "
+    "slice length is part of the checked output.",
+    tags=("training", "text", "documents"),
+)
+def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    chunks = F.expr(
+        "transform(sequence(0, cast(floor((size(split(text, ' ')) - 1) / 24) as int)), "
+        "i -> slice(split(text, ' '), i * 24 + 1, 32))"
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("chunk").cast("int").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup removal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000 AS vec_id,
+             list_transform(embedding,
+               (x, i) -> CAST(CAST(x AS DOUBLE) + (((i - 1) % 7) - 3) * 0.001 AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) >= 0.9
+    )
+    SELECT id_b AS dropped_id, min(id_a) AS kept_id
+    FROM pairs GROUP BY id_b ORDER BY dropped_id
+    """,
+    doc="Embedding-cosine near-dup removal: drop every vector that has "
+    "a smaller-id neighbor at cosine ≥ 0.9 and report (dropped, "
+    "kept-representative) — the min-id survivor rule, a well-defined "
+    "deterministic policy that needs no iterative clustering. "
+    "Candidates come from sign-bit LSH banding (equi-join on band "
+    "keys, no O(n²)); exact cosine verifies each candidate. Corpus = "
+    "embeddings + planted near-identical copies (the fixture alone "
+    "has no pair above cos≈0.48); the oracle brute-forces the same "
+    "corpus.",
+    tags=("training", "similarity", "embeddings"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.plans.llm_tier import _with_planted_neardups
+
+    e = tables.load(spark, sf_dir, "embeddings")
+    pairs = similarity.signbit_lsh_pairs(_with_planted_neardups(e), tau=0.9)
+    return (
+        pairs.groupBy(F.col("id_b").alias("dropped_id"))
+        .agg(F.min("id_a").alias("kept_id"))
+        .orderBy("dropped_id")
+    )

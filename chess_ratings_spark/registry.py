@@ -141,6 +141,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "src_json_roundtrip",
     "src_orc_roundtrip",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sample_hash_split",
+    "filter_gopher_rules",
+    "contamination_ngram",
+    "text_normalize",
+    "doc_chunk_split",
 )
 
 

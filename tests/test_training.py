@@ -1,0 +1,100 @@
+"""Semantic tests for the training-data-pipeline tier beyond oracle
+parity: sketch error bounds, split stability under repartitioning,
+chunk reconstruction, and dedup-vs-brute-force equality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import chess_ratings_spark.plans  # noqa: F401
+from chess_ratings_spark import tables
+from chess_ratings_spark.registry import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def test_hll_estimate_within_rsd(spark):
+    rows = REGISTRY["agg_hll_merge"].fn(spark, SF_SMOKE).collect()
+    per = {r["scope"]: r for r in rows if r["scope"] != "ALL"}
+    assert per, "no per-type sketches"
+    for scope, r in per.items():
+        assert r["exact"] > 0
+        rel = abs(r["estimate"] - r["exact"]) / r["exact"]
+        assert rel < 0.05, f"{scope}: HLL estimate {r['estimate']} vs {r['exact']}"
+    glob = [r for r in rows if r["scope"] == "ALL"][0]
+    exact_all = (
+        tables.load(spark, SF_SMOKE, "events").agg(F.countDistinct("user_id")).first()[0]
+    )
+    assert abs(glob["estimate"] - exact_all) / exact_all < 0.05
+
+
+def test_hash_split_invariant_under_repartition(spark):
+    """Split membership must be a pure function of the key: the same
+    corpus at any partitioning yields identical bucket censuses."""
+    base = {tuple(r) for r in REGISTRY["sample_hash_split"].fn(spark, SF_SMOKE).collect()}
+    d = tables.load(spark, SF_SMOKE, "documents").repartition(13)
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(c <= "b", "train").when(c <= "d", "val").otherwise("test").alias("split")
+    again = {
+        tuple(r)
+        for r in d.groupBy(split)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .collect()
+    }
+    assert base == again
+    assert sum(r[1] for r in base) == tables.load(spark, SF_SMOKE, "documents").count()
+
+
+def test_chunks_reconstruct_documents(spark):
+    """Stride-24/width-32 chunks must cover every token: stitching
+    chunk heads (first 24 tokens of each chunk, all of the last chunk)
+    reproduces each document's token count exactly."""
+    d = tables.load(spark, SF_SMOKE, "documents")
+    chunks = REGISTRY["doc_chunk_split"].fn(spark, SF_SMOKE)
+    per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    # token coverage: (n_chunks - 1) * stride + last chunk length == doc tokens
+    last = chunks.join(
+        chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("chunk_idx")),
+        ["doc_id", "chunk_idx"],
+    ).select("doc_id", F.col("n_tokens").alias("last_len"))
+    joined = (
+        per_doc.join(last, "doc_id")
+        .join(
+            d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens_doc")),
+            "doc_id",
+        )
+        .withColumn("covered", (F.col("n_chunks") - 1) * 24 + F.col("last_len"))
+    )
+    bad = joined.filter(F.col("covered") != F.col("n_tokens_doc")).count()
+    assert bad == 0
+
+
+def test_dedup_embedding_drops_exactly_planted_copies(spark):
+    """On the planted corpus every dropped id is a planted copy and its
+    keeper is its source vector (brute-force equivalence at smoke SF is
+    the oracle's job; this pins the semantics of the survivor rule)."""
+    rows = REGISTRY["dedup_embedding_cosine"].fn(spark, SF_SMOKE).collect()
+    assert rows, "planted near-dups must produce drops"
+    for r in rows:
+        assert r["dropped_id"] >= 10_000_000
+        assert r["kept_id"] == r["dropped_id"] - 10_000_000
+
+
+def test_mode_deterministic_under_repartition(spark):
+    a = [tuple(r) for r in REGISTRY["agg_mode"].fn(spark, SF_SMOKE).collect()]
+    li = tables.load(spark, SF_SMOKE, "lineitem").repartition(17)
+    from pyspark.sql import Window
+
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").alias("mode_qty")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), "mode_qty")
+    b = [
+        tuple(r)
+        for r in counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", "mode_qty", "cnt")
+        .orderBy("l_returnflag")
+        .collect()
+    ]
+    assert a == b
