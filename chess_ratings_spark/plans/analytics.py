@@ -386,3 +386,70 @@ def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, round(avg(value), 6) AS mu,
+             round(stddev_samp(value), 6) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value, round((value - mu) / sd, 4) AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs((value - mu) / sd) > 3
+    ORDER BY event_id
+    """,
+    doc="Z-score anomaly gate: per-type mean/stddev (rounded to 6dp on "
+    "both sides so the threshold cut is reduction-order-proof), then "
+    "a broadcast stats join flags |z|>3 rows — one aggregate pass + "
+    "one map-side join, the streaming-friendly outlier shape.",
+    tags=("analytics", "events"),
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3)
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "win_time_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+           round(sum(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                 RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc="Rolling one-hour window per user over event time: RANGE frame "
+    "on the epoch-nanos column (integer offsets — RANGE over "
+    "timestamps with sub-day intervals is the classic cross-engine "
+    "trap, and PySpark's rangeBetween rejects non-integer offsets). "
+    "Peers at equal ts are included by RANGE semantics in both "
+    "engines, so ties are deterministic without a row tie-break.",
+    tags=("window", "events"),
+)
+def win_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts_ns "
+        "RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)"
+    )
+    return ev.selectExpr(
+        "event_id",
+        "user_id",
+        f"CAST(count(*) {frame} AS BIGINT) AS cnt_1h",
+        f"round(sum(value) {frame}, 2) AS sum_1h",
+    ).orderBy("event_id")

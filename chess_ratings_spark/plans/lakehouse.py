@@ -149,3 +149,53 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound = bound & (a >= lo_v) & (a <= hi_v)
     cols.append(bound.alias("within_bound"))
     return agg.select(*cols)
+
+
+@register(
+    "compact_small_files",
+    oracle=None,
+    doc="Small-file compaction — the daily-maintenance verb for any "
+    "100 TB parquet lake (streaming sinks and fine-grained "
+    "partitioning breed kilobyte files whose per-file open/footer "
+    "cost dominates scans): write a deliberately over-split copy of "
+    "events (64 files), re-write it sized by a target rows-per-file "
+    "derived from the actual row count, and return a self-certifying "
+    "row: file counts before/after and a row-count-preserved flag. "
+    "Rows-only (filesystem layout, not SQL-expressible).",
+    tags=("lakehouse", "maintenance", "sink"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "user_id", "event_type", "value"
+    )
+    base = Path(tempfile.mkdtemp(prefix="crs_compact_"))
+    small, big = str(base / "small"), str(base / "big")
+    try:
+        ev.repartition(64).write.mode("overwrite").parquet(small)
+        frag = spark.read.parquet(small)
+        n_rows = frag.count()
+        files_before = len([f for f in frag.inputFiles() if f.endswith(".parquet")])
+        target_rows_per_file = 50_000
+        n_out = max(1, math.ceil(n_rows / target_rows_per_file))
+        frag.repartition(n_out).write.mode("overwrite").parquet(big)
+        compacted = spark.read.parquet(big)
+        files_after = len([f for f in compacted.inputFiles() if f.endswith(".parquet")])
+        rows_after = compacted.count()
+        return spark.createDataFrame(
+            [
+                (
+                    int(files_before),
+                    int(files_after),
+                    int(n_rows),
+                    bool(rows_after == n_rows and files_after < files_before),
+                )
+            ],
+            "files_before int, files_after int, n_rows bigint, compacted_ok boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -336,3 +336,165 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("id_a").alias("kept_id"))
         .orderBy("dropped_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: distinctive terms (TF-IDF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_idf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), df_t AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, tok.token,
+             round(count(*) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+      FROM tok JOIN df_t ON tok.token = df_t.token, n
+      GROUP BY lang, tok.token, df, n_docs
+    )
+    SELECT lang, token, score, CAST(rnk AS INT) AS rnk FROM (
+      SELECT lang, token, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, token) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5 ORDER BY lang, rnk
+    """,
+    doc="Distinctive vocabulary per language: corpus-frequency TF × "
+    "ln(N/df) IDF, top-5 per lang with a (score, token) tie-break. "
+    "Document frequency is one distinct-count shuffle on the token; "
+    "scores are integer counts × a log whose last-ulp engine "
+    "variation is absorbed by round(6). The shape generalizes to "
+    "per-domain vocabulary drift reports at corpus scale.",
+    tags=("training", "text", "documents"),
+)
+def text_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = tables.load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    df_t = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tok.join(df_t, "token")
+        .groupBy("lang", "token", "df")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            "lang",
+            "token",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "token", "score", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("lang", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation capstone
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_prepare",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', ''))
+               * 1.0 / len(string_split(text, ' ')) AS mean_wlen,
+             (SELECT max(c) FROM (
+                SELECT count(*) AS c
+                FROM unnest(string_split(text, ' ')) AS t(w) GROUP BY w))
+               * 1.0 / len(string_split(text, ' ')) AS rep_ratio,
+             len(list_intersect(string_split(text, ' '),
+                 ['the', 'a', 'of', 'to', 'and'])) > 0 AS has_stop
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, text, n_chars FROM m
+      WHERE n_words BETWEEN 20 AND 80 AND mean_wlen BETWEEN 2.0 AND 12.0
+        AND rep_ratio <= 0.2 AND has_stop
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            FOR i IN range(1, len(t) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM kept)
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+      HAVING CAST(count(*) AS DOUBLE)
+               / (a.n_sh + b.n_sh - count(*)) >= 0.8
+    ), final AS (
+      SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM final GROUP BY split ORDER BY split
+    """,
+    doc="End-to-end corpus preparation capstone — the full pre-training "
+    "data path in one plan: Gopher-rule quality gate → MinHash-LSH "
+    "near-dup removal at τ=0.8 (smaller-id survivor rule, LSH "
+    "candidates + exact-jaccard verify, computed on the kept subset) "
+    "→ deterministic md5 train/val/test split → per-split token "
+    "census. Every stage is the already-verified operator; the "
+    "capstone checks they compose without re-materialization. The "
+    "oracle replays the identical pipeline in SQL (brute-force "
+    "inverted-index dedup).",
+    tags=("training", "text", "dedup", "documents"),
+)
+def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wlen = F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_words
+    top_freq = F.expr(
+        "array_max(transform(array_distinct(split(text, ' ')), "
+        "t -> size(filter(split(text, ' '), x -> x = t))))"
+    )
+    has_stop = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in _STOPWORDS]))
+    kept = d.filter(
+        n_words.between(20, 80)
+        & (mean_wlen >= 2.0)
+        & (mean_wlen <= 12.0)
+        & (top_freq * F.lit(1.0) / n_words <= 0.2)
+        & has_stop
+    ).select("doc_id", "text", "n_chars")
+    dup = (
+        similarity.verified_jaccard_pairs(kept, tau=0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = kept.join(dup, "doc_id", "left_anti")
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(c <= "b", "train").when(c <= "d", "val").otherwise("test").alias("split")
+    )
+    return (
+        final.groupBy(split)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("split")
+    )

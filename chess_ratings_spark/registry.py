@@ -147,6 +147,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "contamination_ngram",
     "text_normalize",
     "doc_chunk_split",
+    "corpus_prepare",
+    "scan_partition_pruning",
+    "compact_small_files",
+    "anomaly_zscore",
+    "win_time_rolling",
+    "text_idf_topk",
 )
 
 

@@ -98,3 +98,15 @@ def test_mode_deterministic_under_repartition(spark):
         .collect()
     ]
     assert a == b
+
+
+def test_partition_pruning_certifies(spark):
+    row = REGISTRY["scan_partition_pruning"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["pruned_ok"], dict(row.asDict())
+    assert row["partitions_read"] == 1 and row["partitions_total"] > 1
+
+
+def test_compaction_certifies(spark):
+    row = REGISTRY["compact_small_files"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["compacted_ok"], dict(row.asDict())
+    assert row["files_after"] < row["files_before"]
