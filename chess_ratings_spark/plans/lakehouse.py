@@ -199,3 +199,29 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "sample_bottomk",
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_hash
+    FROM documents
+    ORDER BY rank_hash, doc_id LIMIT 50
+    """,
+    doc="Deterministic uniform sample via bottom-k hash ranking: the k "
+    "rows with the smallest md5(key) are a uniform k-sample that is "
+    "reproducible across runs, engines, partitionings, and corpus "
+    "growth (a superset corpus yields an overlapping sample) — the "
+    "distributed-safe replacement for reservoir sampling, and "
+    "mergeable: bottom-k of a union is bottom-k of the per-shard "
+    "bottom-ks. Executes as a TakeOrdered (per-partition top-k + "
+    "driver merge of k×partitions rows), never a global sort.",
+    tags=("lakehouse", "sample", "documents"),
+)
+def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("rank_hash"))
+        .orderBy("rank_hash", "doc_id")
+        .limit(50)
+    )

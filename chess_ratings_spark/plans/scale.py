@@ -188,3 +188,82 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "join_dynamic_pruning",
+    oracle=None,
+    doc="Dynamic partition pruning proof: events written "
+    "hive-partitioned by event_date, joined to a tiny filtered date "
+    "dimension (no static predicate on the fact side). Catalyst "
+    "injects the dim's date set as a runtime PartitionFilter "
+    "(dynamicpruningexpression), so the fact scan reads only the "
+    "dim's partitions — certified from the executed scan's own "
+    "numPartitions metric, not inputFiles(). DPP is how a 100 TB "
+    "date-partitioned fact avoids a full scan when the calendar "
+    "filter lives on a dimension.",
+    tags=("scale", "join", "events"),
+)
+def join_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.to_date(F.col("ts")).alias("event_date")
+    )
+    base = Path(tempfile.mkdtemp(prefix="crs_dpp_"))
+    path = str(base / "events_by_date")
+    # AQE wraps the executed plan in query stages whose collectLeaves()
+    # hides the scans' metrics; DPP is independent of AQE, so turn AQE
+    # off for this one demo (conf restored; serial-driver assumption as
+    # documented for streaming's _state_partitions)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+        fact = spark.read.parquet(path)
+        total_parts = len({f.rsplit("/", 2)[-2] for f in fact.inputFiles()})
+        # the dim side needs a SELECTIVE predicate (a real Filter node)
+        # for the DPP planner rule to inject the runtime subquery — a
+        # bare distinct+limit is not considered prunable
+        dim = (
+            fact.select(F.col("event_date").alias("d"))
+            .distinct()
+            .filter(F.dayofmonth("d") <= 2)
+        )
+        joined = fact.join(F.broadcast(dim), fact.event_date == dim.d).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        n_rows = joined.collect()[0]["n_rows"]
+        ex = joined._jdf.queryExecution().executedPlan()
+        leaves = ex.collectLeaves()
+        metrics = {}
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if "FileSourceScan" not in leaf.getClass().getName():
+                continue
+            # the fact scan carries the dynamicpruning PartitionFilter;
+            # the dim scan (same table, no filter) does not
+            if "dynamicpruning" not in leaf.toString().lower():
+                continue
+            it = leaf.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metrics[kv._1()] = kv._2().value()
+        has_dpp = bool(metrics)
+        read_parts = int(metrics.get("numPartitions", -1))
+        return spark.createDataFrame(
+            [
+                (
+                    int(total_parts),
+                    read_parts,
+                    int(n_rows),
+                    bool(has_dpp and 0 < read_parts < total_parts),
+                )
+            ],
+            "partitions_total int, partitions_read int, rows_joined bigint, dpp_ok boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        shutil.rmtree(base, ignore_errors=True)

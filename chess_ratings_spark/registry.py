@@ -149,7 +149,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "doc_chunk_split",
     "corpus_prepare",
     "scan_partition_pruning",
+    "join_dynamic_pruning",
     "compact_small_files",
+    "sample_bottomk",
     "anomaly_zscore",
     "win_time_rolling",
     "text_idf_topk",

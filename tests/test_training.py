@@ -110,3 +110,10 @@ def test_compaction_certifies(spark):
     row = REGISTRY["compact_small_files"].fn(spark, SF_SMOKE).collect()[0]
     assert row["compacted_ok"], dict(row.asDict())
     assert row["files_after"] < row["files_before"]
+
+
+def test_dynamic_partition_pruning_certifies(spark):
+    row = REGISTRY["join_dynamic_pruning"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["dpp_ok"], dict(row.asDict())
+    assert 0 < row["partitions_read"] < row["partitions_total"]
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
