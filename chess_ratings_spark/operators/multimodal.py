@@ -292,3 +292,45 @@ def frame_sample(media: DataFrame, stride: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
         ).alias("frame_idx"),
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, out_w int, out_h int, "
+    "resized_ppm binary, resize_ok boolean"
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """mapInPandas image resize: decode each PPM payload, nearest-
+    neighbor resample the first frame to (out_w, out_h), re-encode as
+    PPM. `resize_ok` certifies the emitted payload round-trips through
+    the decoder at the target dimensions — the op proves itself on its
+    own output, same discipline as decode_and_featurize's meta_ok.
+    Nearest-neighbor index math is pure numpy (deterministic, no
+    codec libs), and the Arrow batch shape is identical to what a
+    PIL/libjpeg-backed resize would use on a real cluster."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frame, _ = decode_ppm(bytes(r.payload))
+                h, w = frame.shape[:2]
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = frame[np.ix_(ys, xs)]
+                payload = _ppm_bytes(out_w, out_h, resized)
+                back, _ = decode_ppm(payload)
+                ok = back.shape == (out_h, out_w, 3) and np.array_equal(back, resized)
+                rows.append((r.doc_id, w, h, out_w, out_h, payload, bool(ok)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "out_w", "out_h",
+                    "resized_ppm", "resize_ok",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )

@@ -203,3 +203,29 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames_sampled"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@register(
+    "mm_image_resize",
+    oracle=None,
+    doc="Image resize as a first-class media op: decode PPM → "
+    "nearest-neighbor resample to 16×16 → re-encode, in one "
+    "mapInPandas pass (Arrow-batched; the numpy index math stands in "
+    "for a codec-lib resample with the identical Spark plumbing). "
+    "Self-certifying: every emitted payload is re-decoded at the "
+    "target dimensions (n_resize_fail MUST be 0) and payload sizes "
+    "are pinned by the PPM header arithmetic.",
+    tags=("multimodal",),
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators import multimodal
+
+    d = tables.load(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(d)
+    resized = multimodal.resize_images(media)
+    return resized.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(~F.col("resize_ok"), 1).otherwise(0)).alias("n_resize_fail"),
+        F.countDistinct(F.md5(F.col("resized_ppm"))).alias("n_distinct_outputs"),
+        F.sum(F.length("resized_ppm")).alias("total_bytes"),
+    )

@@ -155,6 +155,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "anomaly_zscore",
     "win_time_rolling",
     "text_idf_topk",
+    "mm_image_resize",
 )
 
 
