@@ -366,7 +366,10 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_distinct",
     oracle=None,  # approximate by design -> rows-only check
     doc="HLL++ approximate distinct (the 100 TB path for cardinality; "
-    "rows-only oracle because rsd is engine-specific).",
+    "rows-only oracle because the estimate is engine-specific) — "
+    "self-certifying: each row carries the exact count and a "
+    "within_bound flag (|approx-exact|/exact ≤ 3·rsd) that MUST be "
+    "true.",
     tags=("agg",),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,10 +377,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rsd=0.05, not 0.01: under grouped distinct-expand, a high-precision
     # HLL (16k registers) merged per expanded row is ~30× slower for no
     # benefit at this cardinality (measured 42s -> 1.2s at sf0.1).
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
+    rsd = 0.05
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    err = F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")
+    return agg.select("*", (err <= 3 * rsd).alias("within_bound"))
 
 
 @register(
