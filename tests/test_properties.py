@@ -173,3 +173,65 @@ def test_month_code_and_url_total(spark, y, m):
     ).collect()[0]
     assert r.code == scalar.MONTH_CODES[m - 1]
     assert r.url == f"https://ratings.fide.com/download/blitz_{r.code}{str(y)[-2:]}frl_xml.zip"
+
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+        min_size=1,
+        max_size=40,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(texts=texts_strategy)
+def test_chunking_covers_every_token(spark, texts):
+    """Width-32/stride-24 chunking laws on arbitrary corpora: chunk
+    index contiguity from 0, (n_chunks-1)*stride + last_len == tokens,
+    and every non-final chunk is full-width (min(32, remaining))."""
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long",
+    )
+    chunks = df.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(floor((size(split(text, ' ')) - 1) / 24) as int)), "
+                "i -> slice(split(text, ' '), i * 24 + 1, 32))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    for i, t in enumerate(texts):
+        n_tokens = len(t.split(" "))
+        got = sorted(by_doc[i])
+        assert [c[0] for c in got] == list(range(len(got)))
+        assert (len(got) - 1) * 24 + len(got[-1][1]) == n_tokens
+        for idx, chunk in got:
+            assert len(chunk) == min(32, n_tokens - idx * 24)
+
+
+@SLOW
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60, unique=True)
+)
+def test_hash_split_partitions_the_keyspace(spark, keys):
+    """md5 hash-split laws: buckets are disjoint, complete, and stable
+    under corpus growth (a subset's assignment never changes)."""
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(c <= "b", "train").when(c <= "d", "val").otherwise("test")
+    assign = {r.doc_id: r.split for r in df.select("doc_id", split.alias("split")).collect()}
+    assert set(assign) == set(keys)
+    half = keys[: max(1, len(keys) // 2)]
+    sub = spark.createDataFrame([(k,) for k in half], "doc_id long")
+    assign_sub = {
+        r.doc_id: r.split for r in sub.select("doc_id", split.alias("split")).collect()
+    }
+    assert all(assign[k] == assign_sub[k] for k in half)
