@@ -453,3 +453,42 @@ def win_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(count(*) {frame} AS BIGINT) AS cnt_1h",
         f"round(sum(value) {frame}, 2) AS sum_1h",
     ).orderBy("event_id")
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT l_returnflag, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT l_returnflag,
+             CASE WHEN l_extendedprice < 0.0 THEN 0
+                  WHEN l_extendedprice >= 120000.0 THEN 13
+                  ELSE CAST(floor(l_extendedprice / 10000.0) AS INT) + 1 END
+               AS bucket
+      FROM lineitem
+    ) GROUP BY l_returnflag, bucket ORDER BY l_returnflag, bucket
+    """,
+    doc="Fixed-bin histogram per group: 12 equal bins on [0, 120000), "
+    "underflow 0 / overflow 13, with the bucket arithmetic written "
+    "explicitly (floor of scaled value) so both engines compute "
+    "bit-identical bin edges (DuckDB has no width_bucket) — one "
+    "grouped count, the distribution-profile shape that runs "
+    "map-side-combined at any scale.",
+    tags=("agg",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            F.when(F.col("l_extendedprice") < 0.0, 0)
+            .when(F.col("l_extendedprice") >= 120000.0, 13)
+            .otherwise(F.floor(F.col("l_extendedprice") / 10000.0).cast("int") + 1)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag", "bucket")
+    )

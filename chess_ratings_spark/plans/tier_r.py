@@ -538,3 +538,86 @@ def src_http_zip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("standard_jun24frl_xml.xml", xml)
     return http_xml.ingest_month_from_bytes(spark, buf.getvalue(), 2024, 6, "standard")
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH months(m, code) AS (
+      VALUES (1,'jan'),(2,'feb'),(3,'mar'),(4,'apr'),(5,'may'),(6,'jun'),
+             (7,'jul'),(8,'aug'),(9,'sep'),(10,'oct'),(11,'nov'),(12,'dec')
+    ), urls AS (
+      SELECT g || '_' || CAST(y AS VARCHAR) || '_' || CAST(m AS VARCHAR) AS url_id,
+             'https://ratings.fide.com/download/' || g || '_' || code
+               || substr(CAST(y AS VARCHAR), 3, 2) || 'frl_xml.zip' AS url
+      FROM (SELECT unnest(['standard','rapid','blitz']) AS g),
+           (SELECT unnest([2023, 2024]) AS y), months
+    )
+    SELECT url_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path,
+           regexp_extract(url, '/([a-z]+)_[a-z]{3}[0-9]{2}frl', 1) AS game_format
+    FROM urls ORDER BY url_id
+    """,
+    doc="URL parsing over the generated FIDE download URLs "
+    "(ingest_web_to_gcs.py:40-57 naming scheme): scheme / host / path "
+    "/ embedded game-format extracted with anchored regexes — the "
+    "same expressions both engines (Spark parse_url is Hive-specific; "
+    "regexp_extract semantics are shared). Inputs are the full "
+    "format×year×month URL grid from the reference's parameter "
+    "enumeration.",
+    tags=("fn", "tier_r"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # coalesce(1): parameter frames inherit defaultParallelism partitions,
+    # and crossJoin multiplies partition counts (7^3 = 343 near-empty
+    # tasks observed) — a 72-row grid belongs in one task
+    fmts = spark.createDataFrame([("standard",), ("rapid",), ("blitz",)], "g string").coalesce(1)
+    years = spark.createDataFrame([(2023,), (2024,)], "y int").coalesce(1)
+    months = spark.createDataFrame([(m,) for m in range(1, 13)], "m int").coalesce(1)
+    urls = (
+        fmts.crossJoin(years)
+        .crossJoin(months)
+        .select(
+            F.concat_ws("_", "g", F.col("y").cast("string"), F.col("m").cast("string")).alias(
+                "url_id"
+            ),
+            scalar.ratings_url(F.col("g"), F.col("y"), F.col("m")).alias("url"),
+        )
+    )
+    return urls.select(
+        "url_id",
+        F.regexp_extract("url", r"^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/]+(/.*)$", 1).alias("path"),
+        F.regexp_extract("url", r"/([a-z]+)_[a-z]{3}[0-9]{2}frl", 1).alias("game_format"),
+    ).orderBy("url_id")
+
+
+@register(
+    "fn_edit_distance",
+    oracle="""
+    SELECT levenshtein(a.c_name, b.c_name) AS dist,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    GROUP BY dist ORDER BY dist
+    """,
+    doc="Edit-distance (Levenshtein) histogram over adjacent-key "
+    "customer-name pairs — the fuzzy-key-matching primitive for "
+    "entity resolution; identical DP semantics in both engines. The "
+    "adjacent-key self-join is a co-partitioned equi-join (shift, "
+    "not cross).",
+    tags=("fn",),
+)
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name_a"))
+    b = c.select((F.col("c_custkey") - 1).alias("k"), F.col("c_name").alias("name_b"))
+    return (
+        a.join(b, "k")
+        .select(F.levenshtein("name_a", "name_b").alias("dist"))
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("dist")
+    )

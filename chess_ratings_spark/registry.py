@@ -156,6 +156,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_time_rolling",
     "text_idf_topk",
     "mm_image_resize",
+    "agg_histogram",
 )
 
 
