@@ -5,6 +5,7 @@ date/interval arithmetic.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas_udf resolves stringized hints here)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -492,3 +493,77 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("l_returnflag", "bucket")
     )
+
+
+@register(
+    "udf_grouped_trend",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, epoch_ns(ts) / 86400000000000.0), 6)
+             AS slope_per_day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    HAVING count(*) >= 3 ORDER BY user_id
+    """,
+    doc="Grouped-map UDF showcase (applyInPandas, the batch twin of the "
+    "streaming state path): per-user value-vs-time OLS slope computed "
+    "with the closed-form co-moment formula in numpy, checked against "
+    "DuckDB's regr_slope to 6dp. Exists to verify the Arrow "
+    "grouped-map path against SQL-verifiable semantics — the "
+    "equivalent column expression (regr_slope) is the production "
+    "route; Python earns its place only when the per-group logic "
+    "outgrows SQL (this is the harness that proves the boundary is "
+    "sound when it does).",
+    tags=("udf", "events"),
+)
+def udf_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events").select("user_id", "ts_ns", "value")
+
+    def trend(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        x = pdf["ts_ns"].to_numpy(dtype=np.float64) / 86_400_000_000_000.0
+        y = pdf["value"].to_numpy(dtype=np.float64)
+        mx, my = x.mean(), y.mean()
+        denom = ((x - mx) ** 2).sum()
+        slope = float(((x - mx) * (y - my)).sum() / denom) if denom > 0 else float("nan")
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "slope_per_day": [round(slope, 6)], "n": [n]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        trend, schema="user_id bigint, slope_per_day double, n bigint"
+    )
+    return out.filter(F.col("n") >= 3).orderBy("user_id")
+
+
+@register(
+    "udf_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings ORDER BY vec_id
+    """,
+    doc="Vectorized scalar UDF showcase (pandas_udf over Arrow "
+    "batches): embedding L2 norms via one numpy matvec per batch, "
+    "rounded to 6dp because numpy's pairwise summation and the SQL "
+    "left fold differ in reduction order (the in-expr F.aggregate "
+    "route is bit-exact and is what the similarity operators use — "
+    "this query exists to pin the Arrow scalar path against an "
+    "oracle).",
+    tags=("udf", "embeddings"),
+)
+def udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def l2(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.vstack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(np.round(np.sqrt((m * m).sum(axis=1)), 6))
+
+    e = tables.load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", l2("embedding").alias("l2_norm")).orderBy("vec_id")
