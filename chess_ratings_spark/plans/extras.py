@@ -248,3 +248,86 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5(F.col("resized_ppm"))).alias("n_distinct_outputs"),
         F.sum(F.length("resized_ppm")).alias("total_bytes"),
     )
+
+
+@register(
+    "sql_cte_surface",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+    ), seg_stats AS (
+      SELECT c_mktsegment, round(avg(c_acctbal), 2) AS avg_bal
+      FROM seg GROUP BY c_mktsegment
+    )
+    SELECT s.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_above,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM seg s JOIN seg_stats t ON s.c_mktsegment = t.c_mktsegment
+    WHERE s.c_acctbal > t.avg_bal
+    GROUP BY s.c_mktsegment ORDER BY s.c_mktsegment
+    """,
+    doc="The spark.sql(...) surface: temp views + a multi-CTE ANSI "
+    "query executed as a SQL string (not DataFrame calls) — the same "
+    "text modulo dialect runs on DuckDB as the oracle, demonstrating "
+    "that the engine's SQL front door reaches the identical Catalyst "
+    "plan as the DataFrame API.",
+    tags=("sql", "relational"),
+)
+def sql_cte_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView("crs_customer_v")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_mktsegment, c_custkey, c_acctbal FROM crs_customer_v
+        ), seg_stats AS (
+          SELECT c_mktsegment, round(avg(c_acctbal), 2) AS avg_bal
+          FROM seg GROUP BY c_mktsegment
+        )
+        SELECT s.c_mktsegment,
+               count(*) AS n_above,
+               round(max(s.c_acctbal), 2) AS max_bal
+        FROM seg s JOIN seg_stats t ON s.c_mktsegment = t.c_mktsegment
+        WHERE s.c_acctbal > t.avg_bal
+        GROUP BY s.c_mktsegment ORDER BY s.c_mktsegment
+        """
+    )
+
+
+@register(
+    "observe_metrics",
+    oracle=None,
+    doc="In-flight observability (df.observe + Observation): row count, "
+    "value sum, and null census accumulate DURING a single pass of a "
+    "filter+project pipeline — no second scan, the accumulator "
+    "pattern a 100 TB job uses to certify its own input volumes. "
+    "Self-certifying: the observed metrics are re-checked against "
+    "the materialized result in-row (observed_matches MUST be true).",
+    tags=("scale", "events"),
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = tables.load(spark, sf_dir, "events")
+    obs = Observation("ingest_census")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_users"),
+    ).filter(F.col("event_type") != "error")
+    kept = observed.count()
+    m = obs.get
+    ref = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("s"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("z"),
+    ).collect()[0]
+    ok = (
+        m["n_rows"] == ref["n"]
+        and abs(m["value_sum"] - ref["s"]) < 0.02
+        and m["null_users"] == ref["z"]
+    )
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), float(m["value_sum"]), int(m["null_users"]), int(kept), bool(ok))],
+        "n_rows bigint, value_sum double, null_users bigint, rows_kept bigint, observed_matches boolean",
+    )
