@@ -327,7 +327,11 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         and abs(m["value_sum"] - ref["s"]) < 0.02
         and m["null_users"] == ref["z"]
     )
-    return spark.createDataFrame(
-        [(int(m["n_rows"]), float(m["value_sum"]), int(m["null_users"]), int(kept), bool(ok))],
-        "n_rows bigint, value_sum double, null_users bigint, rows_kept bigint, observed_matches boolean",
+    return tables.local_row(
+        spark,
+        ("n_rows", int(m["n_rows"]), "bigint"),
+        ("value_sum", float(m["value_sum"]), "double"),
+        ("null_users", int(m["null_users"]), "bigint"),
+        ("rows_kept", int(kept), "bigint"),
+        ("observed_matches", bool(ok), "boolean"),
     )

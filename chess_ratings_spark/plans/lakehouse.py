@@ -186,16 +186,12 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         compacted = spark.read.parquet(big)
         files_after = len([f for f in compacted.inputFiles() if f.endswith(".parquet")])
         rows_after = compacted.count()
-        return spark.createDataFrame(
-            [
-                (
-                    int(files_before),
-                    int(files_after),
-                    int(n_rows),
-                    bool(rows_after == n_rows and files_after < files_before),
-                )
-            ],
-            "files_before int, files_after int, n_rows bigint, compacted_ok boolean",
+        return tables.local_row(
+            spark,
+            ("files_before", int(files_before), "int"),
+            ("files_after", int(files_after), "int"),
+            ("n_rows", int(n_rows), "bigint"),
+            ("compacted_ok", bool(rows_after == n_rows and files_after < files_before), "boolean"),
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)

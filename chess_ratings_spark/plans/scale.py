@@ -109,8 +109,14 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the (1-row) result so the catalog tables can be
         # dropped — a long-lived driver session must not accumulate one
         # pair of bucketed tables per invocation
-        rows = out.collect()
-        return spark.createDataFrame(rows, schema=out.schema)
+        r = out.collect()[0]
+        return tables.local_row(
+            spark,
+            ("n_rows", r["n_rows"], "bigint"),
+            ("total", r["total"], "double"),
+            ("shuffle_free", r["shuffle_free"], "boolean"),
+            ("bucketed_scans", r["bucketed_scans"], "int"),
+        )
     finally:
         for name in names:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -173,18 +179,13 @@ def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         has_partition_filter = "PartitionFilters: [" in plan and "event_date" in plan
         read_parts = int(metrics.get("numPartitions", -1))
-        return spark.createDataFrame(
-            [
-                (
-                    int(total_parts),
-                    read_parts,
-                    int(metrics.get("numFiles", -1)),
-                    int(n_rows),
-                    bool(has_partition_filter and read_parts == 1 and total_parts > 1),
-                )
-            ],
-            "partitions_total int, partitions_read int, files_read int, "
-            "rows_read bigint, pruned_ok boolean",
+        return tables.local_row(
+            spark,
+            ("partitions_total", int(total_parts), "int"),
+            ("partitions_read", read_parts, "int"),
+            ("files_read", int(metrics.get("numFiles", -1)), "int"),
+            ("rows_read", int(n_rows), "bigint"),
+            ("pruned_ok", bool(has_partition_filter and read_parts == 1 and total_parts > 1), "boolean"),
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -253,17 +254,62 @@ def join_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 metrics[kv._1()] = kv._2().value()
         has_dpp = bool(metrics)
         read_parts = int(metrics.get("numPartitions", -1))
-        return spark.createDataFrame(
-            [
-                (
-                    int(total_parts),
-                    read_parts,
-                    int(n_rows),
-                    bool(has_dpp and 0 < read_parts < total_parts),
-                )
-            ],
-            "partitions_total int, partitions_read int, rows_joined bigint, dpp_ok boolean",
+        return tables.local_row(
+            spark,
+            ("partitions_total", int(total_parts), "int"),
+            ("partitions_read", read_parts, "int"),
+            ("rows_joined", int(n_rows), "bigint"),
+            ("dpp_ok", bool(has_dpp and 0 < read_parts < total_parts), "boolean"),
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "join_runtime_bloom",
+    oracle=None,
+    doc="Runtime Bloom-filter join pruning: a selective dim filter "
+    "(URGENT orders) builds a bloom filter that is pushed into the "
+    "fact scan as might_contain BEFORE the shuffle — rows that can't "
+    "join never leave the map side. The third runtime-filtering "
+    "lever after static and dynamic partition pruning, and the one "
+    "that works on NON-partition keys at 100 TB. Self-certifying: "
+    "the plan must contain the injected filter (bloom_in_plan) and "
+    "the joined revenue is returned for cross-checking.",
+    tags=("scale", "join"),
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = tables.load(spark, sf_dir, "lineitem")
+        o = tables.load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        row = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        has_bloom = "might_contain" in plan
+        return tables.local_row(
+            spark,
+            ("n_rows", int(row["n_rows"]), "bigint"),
+            ("revenue", float(row["revenue"]), "double"),
+            ("bloom_in_plan", bool(has_bloom), "boolean"),
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -570,15 +570,22 @@ def src_http_zip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("fn", "tier_r"),
 )
 def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # coalesce(1): parameter frames inherit defaultParallelism partitions,
-    # and crossJoin multiplies partition counts (7^3 = 343 near-empty
-    # tasks observed) — a 72-row grid belongs in one task
-    fmts = spark.createDataFrame([("standard",), ("rapid",), ("blitz",)], "g string").coalesce(1)
-    years = spark.createDataFrame([(2023,), (2024,)], "y int").coalesce(1)
-    months = spark.createDataFrame([(m,) for m in range(1, 13)], "m int").coalesce(1)
+    # the 72-row parameter grid is a SQL VALUES literal — a pure JVM
+    # LocalTableScan. Python-list createDataFrame is RDD-backed and
+    # pays a Python-worker round trip per action (measured ~4 s/action
+    # at local[32]); chained crossJoins of such frames measured 12-23 s.
+    # Parameter grids are driver data, not distributed joins
+    # (join_cross_params demos the join form).
+    import itertools
+
+    vals = ", ".join(
+        f"('{g}', {y}, {m})"
+        for g, y, m in itertools.product(
+            ("standard", "rapid", "blitz"), (2023, 2024), range(1, 13)
+        )
+    )
     urls = (
-        fmts.crossJoin(years)
-        .crossJoin(months)
+        spark.sql(f"SELECT * FROM VALUES {vals} AS t(g, y, m)")
         .select(
             F.concat_ws("_", "g", F.col("y").cast("string"), F.col("m").cast("string")).alias(
                 "url_id"

@@ -498,3 +498,52 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+    ), h AS (
+      SELECT doc_id, sha256(text) AS content_hash FROM corpus
+    ), g AS (
+      SELECT content_hash, min(doc_id) AS keeper,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM h GROUP BY content_hash
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_distinct_contents,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(sum(n_copies - 1) AS BIGINT) AS n_exact_dups,
+           CAST(max(n_copies) AS INT) AS max_copies
+    FROM g
+    """,
+    doc="Exact content dedup by cryptographic hash (the first pass of "
+    "every dedup cascade — byte-identical copies drop before any "
+    "LSH): sha256(text) group-by with min-id keeper, reported as the "
+    "dedup census. The corpus unions byte-identical copies of every "
+    "40th document (the fixture has only NEAR-dups, so the exact "
+    "census would otherwise be unfalsifiable). The hash group-by shuffles 32-byte digests, not "
+    "documents — at 100 TB the shuffle moves ~0.03% of corpus bytes. "
+    "sha256 is bit-equal across engines, so the oracle is exact.",
+    tags=("training", "dedup", "documents"),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(planted)
+    g = (
+        corpus.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_distinct_contents"),
+        F.sum("n_copies").alias("n_docs"),
+        F.sum(F.col("n_copies") - 1).alias("n_exact_dups"),
+        F.max("n_copies").cast("int").alias("max_copies"),
+    )

@@ -157,6 +157,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_idf_topk",
     "mm_image_resize",
     "agg_histogram",
+    "dedup_exact_hash",
+    "join_runtime_bloom",
+    "sql_cte_surface",
+    "observe_metrics",
 )
 
 

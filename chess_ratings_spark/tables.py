@@ -109,3 +109,18 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def local_row(spark: SparkSession, *cols: tuple[str, object, str]) -> DataFrame:
+    """One-row DataFrame of literals built on spark.range(1) — a pure
+    JVM LocalTableScan. `spark.createDataFrame([python_tuple])` is
+    RDD-backed and pays a Python-worker round trip on EVERY action
+    (measured ~4 s/action at local[32] for a 72-row frame); literal
+    expressions cost milliseconds. Use for self-certifying result rows.
+
+    Each col is (name, value, spark_type); None values yield typed
+    NULLs.
+    """
+    return spark.range(1).select(
+        *[F.lit(v).cast(t).alias(n) for (n, v, t) in cols]
+    )

@@ -117,3 +117,22 @@ def test_dynamic_partition_pruning_certifies(spark):
     assert row["dpp_ok"], dict(row.asDict())
     assert 0 < row["partitions_read"] < row["partitions_total"]
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_runtime_bloom_certifies(spark):
+    row = REGISTRY["join_runtime_bloom"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["bloom_in_plan"], dict(row.asDict())
+    # conf restored
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") in ("false", "true")
+
+
+def test_exact_hash_dedup_finds_planted_copies(spark):
+    row = REGISTRY["dedup_exact_hash"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["n_exact_dups"] > 0
+    assert row["n_docs"] - row["n_exact_dups"] == row["n_distinct_contents"]
+    assert row["max_copies"] == 2
+
+
+def test_observe_metrics_matches(spark):
+    row = REGISTRY["observe_metrics"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["observed_matches"], dict(row.asDict())
