@@ -577,13 +577,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, part_value
     FROM value_by_part
     WHERE part_value > (
-      SELECT round(sum(part_value) * 0.001, 2) FROM value_by_part
+      SELECT round(sum(part_value) * 2.0 / count(*), 2) FROM value_by_part
     )
     ORDER BY part_value DESC, l_partkey
     """,
     doc="TPC-H Q11 shape (no partsupp fixture: per-part value derived "
     "from NATION_3 suppliers' lineitem revenue): grouped value vs a "
-    "scalar-subquery fraction-of-total threshold. Group sums are "
+    "scalar-subquery threshold of 2x the mean per-part value "
+    "(scale-free: a fixed fraction of total goes vacuous as the part "
+    "count grows with SF). Group sums are "
     "rounded to cents before both the total and the comparison, so "
     "the threshold cut is reduction-order-proof.",
     tags=("tpch",),
@@ -598,7 +600,7 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(money(F.sum("l_extendedprice")).alias("part_value"))
     )
-    thresh = vbp.agg(F.round(F.sum("part_value") * 0.001, 2).alias("t"))
+    thresh = vbp.agg(F.round(F.sum("part_value") * 2.0 / F.count(F.lit(1)), 2).alias("t"))
     return (
         vbp.join(F.broadcast(thresh))
         .filter(F.col("part_value") > F.col("t"))
