@@ -398,26 +398,32 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_region, cust_region, l_year, round(sum(volume), 2) AS revenue
     FROM (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
              CAST(year(l_shipdate) AS INT) AS l_year,
              l_extendedprice * (1 - l_discount) AS volume
       FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE ((r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+          OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'))
         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                            AND TIMESTAMP '1998-12-31 00:00:00'
     )
-    GROUP BY supp_nation, cust_nation, l_year
+    GROUP BY supp_region, cust_region, l_year
     """,
-    doc="TPC-H Q7 shape: directional nation-pair volume by ship year — "
-    "double nation join (both broadcast), disjunctive pair predicate, "
-    "3-level group.",
+    doc="TPC-H Q7 shape: directional geography-pair volume by ship "
+    "year — double dim-chain join (nation→region on both the "
+    "supplier and customer sides, all broadcast), disjunctive pair "
+    "predicate, 3-level group. Region pairs instead of the spec's "
+    "nation pair: the sf0.001 fixture has 10 suppliers over 25 "
+    "nations, so any fixed nation pair is vacuous at smoke scale "
+    "while 5 regions keep every SF non-empty (6 groups at all SFs).",
     tags=("tpch",),
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,27 +437,32 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tables.load(spark, sf_dir, "orders")
     c = tables.load(spark, sf_dir, "customer")
     n = tables.load(spark, sf_dir, "nation")
-    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    r = tables.load(spark, sf_dir, "region")
+    g1 = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("nk1"), F.col("r_name").alias("supp_region")
+    )
+    g2 = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("nk2"), F.col("r_name").alias("cust_region")
+    )
     j = (
         s.join(li, s.s_suppkey == li.l_suppkey)
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .join(F.broadcast(g1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(g2), F.col("c_nationkey") == F.col("nk2"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+            | ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
         )
     )
     return (
         j.select(
-            "supp_nation",
-            "cust_nation",
+            "supp_region",
+            "cust_region",
             F.year("l_shipdate").cast("int").alias("l_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
-        .groupBy("supp_nation", "cust_nation", "l_year")
+        .groupBy("supp_region", "cust_region", "l_year")
         .agg(money(F.sum("volume")).alias("revenue"))
     )
 

@@ -106,3 +106,7 @@ def compare_frames(spark_df, con, sql: str, qname: str = "?"):
             f"{qname}: value mismatch; spark-only rows: {only_s}; oracle-only rows: {only_o}"
             f" (cols sorted: {sorted(spark_cols)})"
         )
+    # anti-vacuousness gate (round-1 lesson: a 0-row result hash-matches
+    # trivially and proves nothing) — every oracled query must produce
+    # rows at smoke SF; tune predicates rather than exempting queries
+    assert sum(s_multi.values()) > 0, f"{qname}: oracled query returned 0 rows (vacuous)"

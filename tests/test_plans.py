@@ -1,0 +1,82 @@
+"""Physical-plan invariants: the plan properties DESIGN.md claims are
+asserted here so a regression (lost pushdown, surprise cartesian, lost
+broadcast, lost map-side combine) fails CI, not a 100 TB run.
+
+Plans are inspected unexecuted (queryExecution().executedPlan() before
+an action plans but does not run), so these are cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import chess_ratings_spark.plans  # noqa: F401
+from chess_ratings_spark.registry import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_prunes_and_pushes(spark):
+    p = plan_of(spark, "select_project")
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in p
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" in scan and "l_shipdate" in scan
+    assert "l_extendedprice" not in scan and "l_quantity" not in scan
+
+
+def test_broadcast_join_broadcasts(spark):
+    p = plan_of(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q8_star_join_is_all_broadcast_at_test_scale(spark):
+    p = plan_of(spark, "q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in p
+
+
+def test_q3_pushes_date_predicates_to_scans(spark):
+    p = plan_of(spark, "q3_shipping_priority")
+    assert "o_orderdate" in p and "PushedFilters" in p
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    assert any("o_orderdate" in s for s in scans)
+    assert any("l_shipdate" in s for s in scans)
+
+
+def test_hash_agg_has_partial_aggregation(spark):
+    p = plan_of(spark, "agg_hash_group")
+    # partial + final = map-side combine before the shuffle
+    assert p.count("HashAggregate") >= 2
+
+
+def test_global_topk_is_take_ordered(spark):
+    p = plan_of(spark, "limit_topk_global")
+    assert "TakeOrderedAndProject" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_near_minhash", "dedup_ngram_jaccard", "sim_join_threshold", "dedup_embedding_cosine"],
+)
+def test_lsh_family_never_goes_quadratic(spark, name):
+    """The no-O(n²) rule as a hard plan assertion: LSH-blocked
+    similarity paths must contain no cartesian/nested-loop join."""
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_whole_stage_codegen_covers_relational_core(spark):
+    # codegen stage markers (*(n)) appear only in the executed final
+    # plan under AQE, so run the query first
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_SMOKE)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    assert "*(" in p, p[:500]
