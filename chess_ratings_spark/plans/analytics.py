@@ -502,7 +502,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(regr_slope(value, epoch_ns(ts) / 86400000000000.0), 6)
              AS slope_per_day,
            CAST(count(*) AS BIGINT) AS n
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id % 5 = 0 GROUP BY user_id
     HAVING count(*) >= 3 ORDER BY user_id
     """,
     doc="Grouped-map UDF showcase (applyInPandas, the batch twin of the "
@@ -517,7 +517,15 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("udf", "events"),
 )
 def udf_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = tables.load(spark, sf_dir, "events").select("user_id", "ts_ns", "value")
+    # a deterministic 1-in-5 user subset: applyInPandas invokes Python
+    # once per GROUP, so group count — not row count — is the cost
+    # driver (measured ~5 s for ~4k groups at sf0.1); the showcase
+    # needs the Arrow path exercised, not every user
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select("user_id", "ts_ns", "value")
+    )
 
     def trend(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
