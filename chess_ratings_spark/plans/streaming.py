@@ -97,10 +97,16 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup",
-    oracle=None,
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
     doc="Stateful exact dedup within watermark: input rows duplicated "
-    "2×, dropDuplicatesWithinWatermark(event_id) emits each once; "
-    "per-type counts equal the distinct counts (asserted in pytest).",
+    "2×, dropDuplicatesWithinWatermark(event_id) emits each once. The "
+    "oracle is the batch DISTINCT count per type — a dedup that leaks "
+    "duplicates (2× counts) or drops uniques hash-mismatches. The "
+    "doubled input drains as ONE availableNow batch, so no duplicate "
+    "can hide behind a watermark-expired state entry.",
     tags=("streaming", "events", "live"),
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -426,7 +426,11 @@ def fn_math_std(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Validation (§2.7) + full pipeline
 # ---------------------------------------------------------------------------
 
-_PREPROCESSED_SQL = f"""
+def _preprocessed_sql(year: int, month: int, game_format: str) -> str:
+    """The preprocess pipeline as DuckDB SQL, parameterized by the
+    period stamp so multi-month oracles (partitioned sink, backfill)
+    can reuse it."""
+    return f"""
   SELECT fideid AS fide_id, name AS player_name, country AS fide_federation,
          CAST(CASE WHEN sex = 'F' THEN 0 WHEN sex = 'M' THEN 1 END AS TINYINT) AS sex,
          CAST(NULL AS VARCHAR) AS title, CAST(NULL AS VARCHAR) AS w_title,
@@ -434,10 +438,13 @@ _PREPROCESSED_SQL = f"""
          rating, games AS game_count, k,
          CAST(CASE WHEN birthday = 0 THEN NULL ELSE birthday END AS INT) AS birth_year,
          flag,
-         CAST(2024 AS INT) AS period_year, CAST(6 AS INT) AS period_month,
-         'standard' AS game_format
+         CAST({year} AS INT) AS period_year, CAST({month} AS INT) AS period_month,
+         '{game_format}' AS game_format
   FROM ({_RAW_SQL})
 """
+
+
+_PREPROCESSED_SQL = _preprocessed_sql(2024, 6, "standard")
 
 
 @register(
@@ -480,18 +487,32 @@ def val_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Sinks + listing (§2.1) and the XML source — rows-only (filesystem /
-# bytes paths; no DuckDB view to compare against)
+# Sinks + listing (§2.1) and the XML source
 # ---------------------------------------------------------------------------
 
 
 @register(
     "sink_parquet_partitioned",
-    oracle=None,
+    oracle=f"""
+    WITH p AS (
+      {_preprocessed_sql(2024, 6, "standard")}
+      UNION ALL
+      {_preprocessed_sql(2024, 7, "rapid")}
+    )
+    SELECT game_format, period_year, period_month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(fide_id) AS BIGINT) AS sum_fide_id,
+           CAST(sum(rating) AS BIGINT) AS sum_rating,
+           CAST(sum(CASE WHEN sex IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_sex
+    FROM p GROUP BY 1, 2, 3
+    """,
     doc="Partitioned parquet sink with idempotent re-run semantics "
     "(mode='ignore' ≡ the reference's skip-if-exists at "
-    "ingest_web_to_gcs.py:189-193). Writes twice; the second write is a "
-    "no-op; returns the partition inventory read back from disk.",
+    "ingest_web_to_gcs.py:189-193). Writes twice, re-reads the table "
+    "from disk, and summarizes CONTENT per partition — the oracle "
+    "recomputes the same summary from the logical input, so a "
+    "non-idempotent second write (doubled rows), a lost partition, or "
+    "a value corrupted in the parquet round trip all hash-mismatch.",
     tags=("tier-r", "sink"),
 )
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,7 +527,13 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="crs_sink_") + "/fide_ratings"
     cio.sink_parquet_partitioned(two_months, out, mode="overwrite")
     cio.sink_parquet_partitioned(two_months, out, mode="ignore")  # idempotent no-op
-    return cio.list_partitions(spark, out)
+    back = cio.scan_parquet(spark, out)
+    return back.groupBy("game_format", "period_year", "period_month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("fide_id").alias("sum_fide_id"),
+        F.sum("rating").alias("sum_rating"),
+        F.sum(F.when(F.col("sex").isNull(), 1).otherwise(0)).alias("n_null_sex"),
+    )
 
 
 @register(
