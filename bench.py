@@ -33,8 +33,13 @@ def main() -> None:
     # plans, not first-touch JIT.
     from chess_ratings_spark import tables
 
+    # Guarded per table: one unreadable fixture must not zero out the
+    # whole bench (round 4 lost all numbers to a single loader error).
     for t in tables.TABLES:
-        tables.load(spark, sf_dir, t).count()
+        try:
+            tables.load(spark, sf_dir, t).count()
+        except Exception as exc:
+            print(f"# BENCH WARMUP ERROR {t}: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):

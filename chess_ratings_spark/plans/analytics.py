@@ -323,38 +323,53 @@ def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_merge",
-    oracle=None,
+    oracle="""
+    SELECT event_type AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           true AS within_bound
+    FROM events
+    """,
     doc="Two-phase distinct-count sketching: an HLL sketch per "
     "event_type (hll_sketch_agg), then a global hll_union_agg merge — "
     "the mergeable-sketch pattern that replaces exact countDistinct "
     "at 100 TB (partials combine map-side; the merge moves bytes, "
-    "not rows). Rows-only: the estimate is engine-specific (Spark's "
-    "DataSketches HLL vs DuckDB's), so pytest instead bounds the "
-    "relative error against the exact count.",
+    "not rows). The estimate is engine-specific (Spark's DataSketches "
+    "HLL vs DuckDB's), so it is not a result column; the plan instead "
+    "emits within_bound = |estimate-exact|/exact ≤ 5% per scope AND "
+    "for the global merge, which the oracle pins to true — a sketch "
+    "or merge that drifts hash-mismatches.",
     tags=("agg", "events"),
 )
 def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("exact"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     per = per_type.select(
         F.col("event_type").alias("scope"),
         F.hll_sketch_estimate("sk").alias("estimate"),
-        "exact",
+        "exact_users",
     )
     glob = (
-        per_type.agg(
-            F.hll_union_agg("sk").alias("sk"),
-        )
+        per_type.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_users")))
         .select(
             F.lit("ALL").alias("scope"),
             F.hll_sketch_estimate("sk").alias("estimate"),
-            F.lit(None).cast("long").alias("exact"),
+            "exact_users",
         )
     )
-    return per.unionByName(glob).orderBy("scope")
+    both = per.unionByName(glob)
+    err = F.abs(F.col("estimate") - F.col("exact_users")) / F.col("exact_users")
+    return both.select(
+        "scope", "exact_users", (err <= 0.05).alias("within_bound")
+    ).orderBy("scope")
 
 
 @register(

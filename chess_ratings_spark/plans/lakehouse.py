@@ -112,14 +112,29 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_sketch_quantiles",
-    oracle=None,
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             list_sort(list(l_extendedprice)) AS s
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           s[CAST(floor(0.5 * (n_rows - 1)) AS BIGINT) + 1] AS exact_p50,
+           s[CAST(floor(0.9 * (n_rows - 1)) AS BIGINT) + 1] AS exact_p90,
+           s[CAST(floor(0.99 * (n_rows - 1)) AS BIGINT) + 1] AS exact_p99,
+           true AS within_bound
+    FROM g
+    """,
     doc="Sketch-based quantiles (percentile_approx — Spark's "
     "Greenwald-Khanna summary, the KLL-family mergeable-sketch path "
     "that scales to 100 TB with per-partition partial sketches) "
     "CERTIFIED in-plan against exact percentiles: each approx value "
-    "must lie within ±2 rank-percent of its target (within_bound must "
-    "be true on every row — falsifiable despite rows-only checking; "
-    "sketch merge order is engine-internal, so no SQL oracle).",
+    "must lie within ±2 rank-percent of its target (within_bound, "
+    "pinned true by the oracle). The hash-checked exact_p* columns use "
+    "DISCRETE selection (sorted-array lower-bracket index, identical "
+    "float-free index math both engines) — interpolated percentiles "
+    "differ across engines by 1 ulp, which flips a rounded cent. The "
+    "interpolated bracket is still used internally for the bound.",
     tags=("aggregate", "sketch"),
 )
 def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,6 +150,7 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"percentile(l_extendedprice, array({','.join(map(str, exact_ps))}))"
         ).alias("exact"),
+        F.sort_array(F.collect_list("l_extendedprice")).alias("sorted_vals"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     idx = {p: i + 1 for i, p in enumerate(exact_ps)}  # element_at is 1-based
@@ -144,8 +160,12 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = F.element_at("approx", j)
         lo_v = F.element_at("exact", idx[lo[p]])
         hi_v = F.element_at("exact", idx[hi[p]])
-        cols.append(F.round(a, 2).alias(f"approx_p{int(p * 100)}"))
-        cols.append(F.round(F.element_at("exact", idx[p]), 2).alias(f"exact_p{int(p * 100)}"))
+        # discrete lower-bracket pick: integer index math + raw element,
+        # bit-identical cross-engine (no interpolation, no rounding)
+        disc_idx = (F.floor(F.lit(p) * (F.col("n_rows") - 1)) + 1).cast("int")
+        cols.append(
+            F.element_at("sorted_vals", disc_idx).alias(f"exact_p{int(p * 100)}")
+        )
         bound = bound & (a >= lo_v) & (a <= hi_v)
     cols.append(bound.alias("within_bound"))
     return agg.select(*cols)

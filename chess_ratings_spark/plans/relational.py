@@ -364,12 +364,18 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # approximate by design -> rows-only check
-    doc="HLL++ approximate distinct (the 100 TB path for cardinality; "
-    "rows-only oracle because the estimate is engine-specific) — "
-    "self-certifying: each row carries the exact count and a "
-    "within_bound flag (|approx-exact|/exact ≤ 3·rsd) that MUST be "
-    "true.",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           true AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="HLL++ approximate distinct (the 100 TB path for cardinality). "
+    "The estimate itself is engine-specific, so it is not a result "
+    "column; instead the plan computes approx AND exact side by side "
+    "and emits within_bound = |approx-exact|/exact ≤ 3·rsd, which the "
+    "oracle pins to true — a drifting sketch hash-mismatches. The raw "
+    "estimate value is additionally bounded in pytest.",
     tags=("agg",),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,7 +389,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
     err = F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col("exact_orders")
-    return agg.select("*", (err <= 3 * rsd).alias("within_bound"))
+    return agg.select(
+        "l_returnflag", "exact_orders", (err <= 3 * rsd).alias("within_bound")
+    )
 
 
 @register(

@@ -116,10 +116,29 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_watermark_late",
-    oracle=None,
+    oracle="""
+    WITH b AS (
+      SELECT max(ts) AS hi,
+             min(ts) + to_microseconds(CAST(floor(
+               date_diff('microsecond', min(ts), max(ts)) / 2) AS BIGINT))
+               AS cutoff
+      FROM events
+    )
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, b
+    WHERE ts >= cutoff
+      AND time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+            <= hi - INTERVAL '10 minutes'
+    GROUP BY 1
+    """,
     doc="Late-data policy: newest half of events arrives first "
-    "(watermark advances), oldest half arrives second and is entirely "
-    "below watermark → dropped from the append output.",
+    "(watermark advances to max(ts)-10m), oldest half arrives second "
+    "and is entirely below watermark → dropped from the append "
+    "output. The oracle is the exact batch semantics of that run: "
+    "tumbling 1h counts over the on-time half, restricted to windows "
+    "the append mode has finalized (window end ≤ watermark).",
     tags=("streaming", "events", "live"),
 )
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:

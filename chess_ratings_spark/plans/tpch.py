@@ -364,11 +364,21 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch",),
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li = tables.load(spark, sf_dir, "lineitem")
     supply = li.groupBy(
         F.col("l_partkey"), F.col("l_suppkey")
     ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    best = supply.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    # Correlated-min as a window over the already-aggregated supply
+    # relation: one extra exchange on l_partkey instead of the previous
+    # second groupBy + equi-join back (two shuffles + a join). At 100 TB
+    # supply is |parts|x|suppliers|-bounded, far smaller than lineitem,
+    # so the window's sort-within-partition is cheap relative to the
+    # saved shuffle.
+    supply = supply.withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    )
     p = tables.load(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
     )
@@ -377,7 +387,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     return (
         p.join(supply, supply.l_partkey == p.p_partkey)
-        .join(best, "l_partkey")
         .filter(F.col("unit_cost") == F.col("best_cost"))
         .join(s, s.s_suppkey == F.col("l_suppkey"))
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)

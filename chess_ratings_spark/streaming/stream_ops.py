@@ -28,6 +28,16 @@ EVENT_SCHEMA = (
 )
 
 
+def _ntz_lit(ts_value) -> "F.Column":
+    """Session-timezone-proof TIMESTAMP_NTZ literal from a naive
+    datetime. ``F.lit(datetime)`` builds a TIMESTAMP (LTZ) literal, and
+    comparing that against an NTZ column routes through the session
+    timezone — under a non-UTC driver the boundary silently shifts by
+    the UTC offset (caught by the hostile-tz driver simulation). A
+    string parsed as TIMESTAMP_NTZ never consults the timezone."""
+    return F.lit(ts_value.isoformat(sep=" ")).cast("timestamp_ntz")
+
+
 def _stage(ev: DataFrame, subdir: str | None = None) -> str:
     path = tempfile.mkdtemp(prefix="crs_stream_") + "/" + (subdir or "in")
     ev.select(
@@ -137,13 +147,19 @@ def late_data_stream(spark: SparkSession, ev: DataFrame, split_frac: float = 0.5
     the oldest half, which is entirely late → dropped from the append
     output. Returns per-window counts; the total must cover only the
     on-time half."""
+    import datetime as _dt
+
     stats = ev.agg(
         F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
-    cutoff = stats.lo + (stats.hi - stats.lo) * split_frac
+    # floor-microsecond cutoff arithmetic, pinned so the SQL oracle can
+    # reproduce it exactly (timedelta * float rounds half-to-even at the
+    # µs; interval/2 in SQL engines may integer-divide the days field)
+    span_us = (stats.hi - stats.lo) // _dt.timedelta(microseconds=1)
+    cutoff = stats.lo + _dt.timedelta(microseconds=int(span_us * split_frac))
     base = tempfile.mkdtemp(prefix="crs_late_") + "/in"
-    new_half = ev.filter(F.col("ts") >= F.lit(cutoff))
-    old_half = ev.filter(F.col("ts") < F.lit(cutoff))
+    new_half = ev.filter(F.col("ts") >= _ntz_lit(cutoff))
+    old_half = ev.filter(F.col("ts") < _ntz_lit(cutoff))
 
     sel = lambda d: d.select("event_id", "ts", "user_id", "event_type", "value", "props")  # noqa: E731
     sel(new_half).write.mode("overwrite").parquet(base)
@@ -373,7 +389,7 @@ def checkpoint_recovery_stream(
     base = tempfile.mkdtemp(prefix="crs_ckpt_")
     src_dir, ckpt_dir = base + "/in", base + "/ckpt"
     sel = lambda d: d.select("event_id", "ts", "user_id", "event_type", "value", "props")  # noqa: E731
-    sel(ev.filter(F.col("ts") < F.lit(cutoff))).write.mode("overwrite").parquet(src_dir)
+    sel(ev.filter(F.col("ts") < _ntz_lit(cutoff))).write.mode("overwrite").parquet(src_dir)
 
     def run_instance() -> DataFrame:
         src = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
@@ -392,7 +408,7 @@ def checkpoint_recovery_stream(
         return _snapshot_sink(spark, name)
 
     run_instance()  # first instance: oldest half, then terminates
-    sel(ev.filter(F.col("ts") >= F.lit(cutoff))).write.mode("append").parquet(src_dir)
+    sel(ev.filter(F.col("ts") >= _ntz_lit(cutoff))).write.mode("append").parquet(src_dir)
     return run_instance()  # second instance: resumes from the checkpoint
 
 

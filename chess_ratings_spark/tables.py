@@ -3,15 +3,15 @@
 All driver fixtures live as one parquet file per table under an sf dir
 (``/root/testdata/sf*/``; see TESTDATA.md). Loading is a plain
 ``spark.read.parquet`` — vectorized columnar scan with predicate pushdown
-and column pruning — except ``events``, whose ``ts`` column is parquet
-TIMESTAMP(NANOS,false), a type Spark's reader rejects outright
-(PARQUET_TYPE_ILLEGAL). We flip the runtime-settable
-``spark.sql.legacy.parquet.nanosAsLong`` conf to read it as epoch-nanos
-LongType, then rebuild a TIMESTAMP_NTZ column with pure column
-arithmetic. NTZ (not LTZ) on purpose: the fixture values are naive wall
-times and NTZ semantics are session-timezone-independent, which keeps
-every downstream extraction (year/window/bucket) deterministic no matter
-how the driver configured its session.
+and column pruning — except ``events``, whose ``ts`` physical type has
+changed across driver fixture regenerations (TIMESTAMP(NANOS) through
+round 3, ``timestamp[us]`` since round 4). ``load_events`` adapts to the
+type actually present and normalizes to one contract: ``ts``
+TIMESTAMP_NTZ plus ``ts_ns`` epoch-nanos BIGINT. NTZ (not LTZ) on
+purpose: the fixture values are naive wall times and NTZ semantics are
+session-timezone-independent, which keeps every downstream extraction
+(year/window/bucket) deterministic no matter how the driver configured
+its session.
 """
 
 from __future__ import annotations
@@ -82,15 +82,73 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path_of(sf_dir, name))
 
 
+#: TIMESTAMP_NTZ -> epoch micros, timezone-proof. ``timestampdiff`` on
+#: two NTZ operands is pure wall-clock arithmetic; ``unix_micros`` on an
+#: NTZ would first cast NTZ->LTZ through the session timezone and shift
+#: the value on any non-UTC driver.
+_MICROS_FROM_NTZ = (
+    "timestampdiff(MICROSECOND, cast('1970-01-01 00:00:00' as timestamp_ntz), {ts})"
+)
+
+_EVENT_COLS = ("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as TIMESTAMP_NTZ (µs) and ``ts_ns`` epoch nanos.
 
-    The fixture's values are µs-precision, so `div 1000` is lossless.
+    Dtype-adaptive on purpose: the driver has regenerated this fixture
+    with a different physical type before (parquet TIMESTAMP(NANOS)
+    through round 3, ``timestamp[us]`` from round 4), and hard-coding
+    either assumption broke every events-touching plan for a round. We
+    read first, then branch on the *actual* resolved type of ``ts``:
+
+    - ``TIMESTAMP_NTZ`` (parquet us/ms with isAdjustedToUTC=false):
+      use it directly; derive ``ts_ns`` with wall-clock arithmetic
+      (``timestampdiff`` against the NTZ epoch — never consults the
+      session timezone).
+    - ``TIMESTAMP`` (LTZ; isAdjustedToUTC=true): the value is a real
+      instant, so ``unix_micros`` is exact and tz-independent; rebuild
+      ``ts`` as the UTC wall time in NTZ.
+    - ``LongType`` (a session already running with
+      ``spark.sql.legacy.parquet.nanosAsLong``): epoch-nanos path.
+    - read fails with PARQUET_TYPE_ILLEGAL (legacy TIMESTAMP(NANOS)
+      fixture): flip ``nanosAsLong`` for the read, then the nanos path.
+
+    All branches land on the same contract — ``ts`` TIMESTAMP_NTZ at µs
+    precision, ``ts_ns`` BIGINT epoch nanos — so downstream plans are
+    fixture-regeneration-proof.
     """
-    # The conf is consulted at frame-build (schema resolution) time and
-    # captured into the plan, so it can be restored immediately — later
-    # parquet reads on the shared session see the caller's original
-    # NANOS-timestamp behavior (verified: count() after restore works).
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    try:
+        raw = spark.read.parquet(path_of(sf_dir, "events"))
+    except Exception:
+        return _events_from_nanos_parquet(spark, sf_dir)
+
+    dt = raw.schema["ts"].dataType
+    if isinstance(dt, TimestampNTZType):
+        return raw.withColumn(
+            "ts_ns", F.expr(_MICROS_FROM_NTZ.format(ts="ts") + " * 1000")
+        ).select(*_EVENT_COLS)
+    if isinstance(dt, TimestampType):
+        return (
+            raw.withColumn("ts_ns", F.expr("unix_micros(ts) * 1000"))
+            .withColumn("ts", F.expr(_NTZ_FROM_MICROS.format(us="ts_ns div 1000")))
+            .select(*_EVENT_COLS)
+        )
+    if isinstance(dt, LongType):
+        return _events_rebuild_from_ns(raw)
+    raise TypeError(f"events.ts has unsupported type {dt}")
+
+
+def _events_from_nanos_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy fixture path: parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects outright (PARQUET_TYPE_ILLEGAL) unless
+    ``nanosAsLong`` maps it to epoch-nanos LongType. The conf is
+    consulted at frame-build (schema resolution) time and captured into
+    the plan, so it can be restored immediately — later parquet reads on
+    the shared session see the caller's original behavior.
+    """
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
@@ -100,10 +158,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return _events_rebuild_from_ns(raw)
+
+
+def _events_rebuild_from_ns(raw: DataFrame) -> DataFrame:
+    """epoch-nanos LongType ``ts`` -> (ts NTZ, ts_ns). µs-precision
+    values make ``div 1000`` lossless."""
     return (
         raw.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", F.expr(_NTZ_FROM_MICROS.format(us="ts_ns div 1000")))
-        .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+        .select(*_EVENT_COLS)
     )
 
 

@@ -92,10 +92,12 @@ def test_sketch_quantiles_within_certified_bounds(spark):
 
 def test_driver_order_contract():
     """The driver oracle-checks the first 50 names in queries() order
-    (fixed cap, observed rounds 1+2). Rounds 1+2 covered the §2 surface;
-    round 3 fronts verification-starved queries: every name in the first
-    50 positions must LACK a CORRECTNESS row from rounds 1 and 2, so the
-    driver's check window lands entirely on never-verified queries."""
+    (fixed cap, observed rounds 1+2). Round 5's rotation targets
+    verification debt: no front-50 slot may be wasted on a query that
+    already hash-passed under the CURRENT fixtures (r4 is the only
+    round whose green rows survive the round-4 fixture regeneration) —
+    except queries whose plan or oracle was rewritten this round and so
+    needs a fresh row."""
     import json
     import pathlib
 
@@ -108,13 +110,15 @@ def test_driver_order_contract():
     assert names[: len(order)] == order
     assert set(order) <= set(names)
     root = pathlib.Path(__file__).resolve().parents[1]
-    checked: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        p = root / fname
-        if p.exists():
-            checked |= set(json.loads(p.read_text()))
-    already = [n for n in names[:50] if n in checked]
-    assert not already, f"driver window wasted on already-verified: {already}"
+    current_green: set[str] = set()
+    p = root / "CORRECTNESS_r04.json"
+    if p.exists():
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("hash_match"):
+                current_green.add(name)
+    rewritten_r5 = {"q2_min_cost_supplier"}
+    wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r5]
+    assert not wasted, f"driver window wasted on already-verified: {wasted}"
 
 
 def test_image_resize_roundtrip(spark):

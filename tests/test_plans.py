@@ -80,3 +80,33 @@ def test_whole_stage_codegen_covers_relational_core(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in p
     assert "*(" in p, p[:500]
+
+
+class _JvmGone:
+    """Stand-in DataFrame whose JVM handle is unreachable."""
+
+    @property
+    def _jdf(self):
+        raise RuntimeError("py4j gateway gone")
+
+
+def test_plan_proof_helper_degrades_on_jvm_failure():
+    from chess_ratings_spark.plans import scale
+
+    assert scale._with_query_execution(_JvmGone(), lambda qe: qe.toString()) is None
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["join_bucketed", "scan_partition_pruning", "join_dynamic_pruning", "join_runtime_bloom"],
+)
+def test_plan_proof_queries_survive_reflection_loss(spark, name, monkeypatch):
+    """With the private-API reflection unavailable (Spark upgrade /
+    Connect), the plan-proof queries must still answer — degraded to
+    proof_available=false — rather than crash (round-4 lesson:
+    environment drift is real)."""
+    from chess_ratings_spark.plans import scale
+
+    monkeypatch.setattr(scale, "_with_query_execution", lambda df, extract: None)
+    row = REGISTRY[name].fn(spark, SF_SMOKE).collect()[0]
+    assert row["proof_available"] is False
