@@ -298,15 +298,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,
-    doc="SimHash(64-bit) near-dup pairs: per-bit majority vote over "
-    "token hashes, 16-bit chunk blocking, exact hamming verify ≤ 6. "
-    "rows-only (bit signatures are engine-hash-specific).",
+    oracle="""
+    WITH pairs AS ("""
+    + _EXACT_JACCARD_ORACLE.format(tau=0.8)
+    + """
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           true AS recall_ok,
+           true AS hamming_bound_ok
+    FROM pairs
+    """,
+    doc="SimHash(64-bit) near-dup detection: per-bit majority vote over "
+    "token hashes, chunk blocking (pigeonhole ⇒ exact recall within "
+    "the hamming budget), exact hamming verify ≤ 6. The pair list is "
+    "engine-hash-specific, so the driver-checked result is the "
+    "cross-measure certification: ≥85% of the EXACT Jaccard≥0.8 pairs "
+    "(SQL-recomputed by the oracle) must fall within simhash hamming "
+    "≤6 (measured 93/100/93% at sf0.001/0.01/0.1 — simhash approximates "
+    "token-frequency cosine, not Jaccard, so 100% is not expected), "
+    "and every emitted pair must respect the hamming bound. Pair-level "
+    "detail stays covered in pytest.",
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents")
-    return similarity.simhash_near_pairs(d, max_hamming=6)
+    found = similarity.simhash_near_pairs(d, max_hamming=6).cache()
+    true_pairs = shared_verified_pairs(spark, sf_dir, tau=0.8).select("doc_a", "doc_b")
+    n_true = true_pairs.count()
+    n_recalled = true_pairs.join(found, ["doc_a", "doc_b"]).count()
+    n_over_budget = found.filter(F.col("hamming") > 6).count()
+    found.unpersist()
+    return tables.local_row(
+        spark,
+        ("n_true_pairs", int(n_true), "bigint"),
+        ("recall_ok", bool(n_true > 0 and n_recalled / n_true >= 0.85), "boolean"),
+        ("hamming_bound_ok", bool(n_over_budget == 0), "boolean"),
+    )
 
 
 @register(

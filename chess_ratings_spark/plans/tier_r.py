@@ -538,11 +538,31 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "src_http_zip_xml",
-    oracle=None,
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS fide_id,
+           'Player ' || i AS player_name,
+           CASE WHEN i % 2 = 1 THEN 'USA' ELSE 'GER' END AS fide_federation,
+           CAST(CASE WHEN i % 3 = 0 THEN 0 ELSE 1 END AS TINYINT) AS sex,
+           CAST(2000 + i AS BIGINT) AS rating,
+           CAST(i % 30 AS BIGINT) AS game_count,
+           CAST(20 AS BIGINT) AS k,
+           CAST(CASE WHEN i % 10 = 0 THEN NULL ELSE 1960 + i % 40 END AS INT)
+             AS birth_year,
+           CASE WHEN i % 5 = 0 THEN 'i' ELSE NULL END AS flag,
+           CAST(NULL AS VARCHAR) AS title, CAST(NULL AS VARCHAR) AS w_title,
+           CAST(NULL AS VARCHAR) AS o_title, CAST(NULL AS VARCHAR) AS foa_title,
+           CAST(2024 AS INT) AS period_year, CAST(6 AS INT) AS period_month,
+           'standard' AS game_format
+    FROM generate_series(1, 100) AS t(i)
+    """,
     doc="The web source path (ingest_web_to_gcs.py:61-95) offline: "
     "deterministic in-memory zip+XML bytes → unzip → pd.read_xml → "
     "Arrow createDataFrame → full preprocess. Network fetch() is the "
-    "only untested stage (no egress here).",
+    "only untested stage (no egress here). The oracle regenerates the "
+    "synthetic player grid in SQL and applies the preprocess semantics "
+    "(sex recode, 0→NULL birth year, empty-string→NULL flag, typed "
+    "NULL title backfill, period stamp) — every row of the XML round "
+    "trip is value-checked, not just counted.",
     tags=("tier-r", "scan"),
 )
 def src_http_zip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:

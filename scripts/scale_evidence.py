@@ -1,0 +1,168 @@
+"""Dedup scale evidence: run the near-dup pipelines on a corpus
+inflated 10-50x beyond sf0.1 and measure how candidate volume and wall
+time actually scale — confirming (or falsifying) the band-sizing math
+argued in the operator docstrings.
+
+Inflation preserves the fixture's internal near-dup structure while
+keeping copies disjoint in similarity space, so truth scales linearly
+with the corpus (the honest regime for an LSH blocker; naive
+duplication would make every copy a true near-dup of its source and
+turn the workload quadratic by construction):
+
+- documents: copy c prefixes every WORD with ``c{c}~`` — every
+  3-word shingle changes, so cross-copy Jaccard is exactly 0 while
+  intra-copy Jaccard is untouched.
+- embeddings: copy c cyclically shifts the 64 components by c
+  positions — cosine between two shifted vectors equals the original
+  pair's cosine, while cross-copy cosine is that of unrelated
+  near-uniform vectors (<< tau).
+
+Prints one JSON line per (op, factor) with n, candidate pairs,
+candidate ratio vs n(n-1)/2, verified pairs, and stage wall times.
+Usage: python scripts/scale_evidence.py [factors...]  (default 1 10 50)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parents[1])
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def inflate_documents(d, factor: int):
+    from pyspark.sql import functions as F
+
+    copies = []
+    for c in range(factor):
+        tagged = d.select(
+            (F.col("doc_id") + c * 100_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "), lambda w: F.concat(F.lit(f"c{c}~"), w)
+                ),
+                " ",
+            ).alias("text"),
+        )
+        copies.append(tagged)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def inflate_embeddings(e, factor: int, dim: int = 64):
+    from pyspark.sql import functions as F
+
+    copies = []
+    for c in range(factor):
+        shift = c % dim
+        emb = (
+            F.col("embedding")
+            if shift == 0
+            else F.concat(
+                F.slice("embedding", shift + 1, dim - shift),
+                F.slice("embedding", 1, shift),
+            )
+        )
+        copies.append(
+            e.select(
+                (F.col("vec_id") + c * 100_000_000).alias("vec_id"),
+                emb.alias("embedding"),
+                "label",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def run_minhash(spark, factor: int) -> dict:
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators import similarity
+
+    d = inflate_documents(
+        tables.load(spark, SF_DIR, "documents").select("doc_id", "text"), factor
+    )
+    n = d.count()
+    t0 = time.perf_counter()
+    sh = similarity.shingle_sets(d).cache()
+    sigs = similarity.minhash_signatures(sh)
+    cands = similarity.lsh_candidate_pairs(sigs).cache()
+    n_cands = cands.count()
+    t_cand = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    verified = similarity.verified_jaccard_pairs(d, tau=0.8, sh=sh, cands=cands)
+    n_pairs = verified.count()
+    t_verify = time.perf_counter() - t0
+    sh.unpersist()
+    cands.unpersist()
+    all_pairs = n * (n - 1) / 2
+    return {
+        "op": "dedup_near_minhash",
+        "factor": factor,
+        "n": n,
+        "candidates": n_cands,
+        "cand_ratio_vs_n2": round(n_cands / all_pairs, 9),
+        "verified_pairs": n_pairs,
+        "secs_candidates": round(t_cand, 2),
+        "secs_verify": round(t_verify, 2),
+    }
+
+
+def run_signbit(spark, factor: int) -> dict:
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators import similarity
+    from chess_ratings_spark.plans.llm_tier import _with_planted_neardups
+
+    e = inflate_embeddings(
+        tables.load(spark, SF_DIR, "embeddings").select("vec_id", "embedding", "label"),
+        factor,
+    )
+    e = _with_planted_neardups(e).cache()
+    n = e.count()
+    n_bits, n_bands = similarity.auto_band_plan(n, 0.9)
+    t0 = time.perf_counter()
+    n_cands = similarity.signbit_candidates(e, n_bits=n_bits, n_bands=n_bands).count()
+    t_cand = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_pairs = similarity.signbit_lsh_pairs(e, tau=0.9).count()
+    t_total = time.perf_counter() - t0
+    e.unpersist()
+    all_pairs = n * (n - 1) / 2
+    return {
+        "op": "dedup_embedding_cosine",
+        "factor": factor,
+        "n": n,
+        "band_bits": n_bits // n_bands,
+        "n_bands": n_bands,
+        "candidates": n_cands,
+        "cand_ratio_vs_n2": round(n_cands / all_pairs, 9),
+        "verified_pairs": n_pairs,
+        "secs_candidates": round(t_cand, 2),
+        "secs_block_and_verify": round(t_total, 2),
+    }
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
+    from chess_ratings_spark.session import get_spark
+
+    spark = get_spark("chess-ratings-scale-evidence")
+    spark.sparkContext.setLogLevel("ERROR")
+    for factor in factors:
+        for fn in (run_minhash, run_signbit):
+            row = fn(spark, factor)
+            print(json.dumps(row), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
