@@ -155,15 +155,63 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _backfill_oracle() -> str:
+    from chess_ratings_spark.plans.tier_r import _preprocessed_sql
+
+    return f"""
+    WITH base AS ({_preprocessed_sql(2024, 1, "standard")}),
+    months(i, mm) AS (VALUES (0, 1), (1, 2), (2, 3)),
+    std AS (
+      SELECT base.* REPLACE (rating + 10 * i AS rating,
+                             CAST(mm AS INT) AS period_month)
+      FROM base, months
+    ),
+    viol AS (
+      SELECT CAST(
+          sum(CASE WHEN fide_id IS NULL THEN 1 ELSE 0 END)
+        + sum(CASE WHEN rating IS NULL THEN 1 ELSE 0 END)
+        + sum(CASE WHEN game_count IS NULL THEN 1 ELSE 0 END)
+        + sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+        + sum(CASE WHEN fide_federation IS NOT NULL
+                    AND NOT regexp_full_match(fide_federation, '(?i)[A-Z]{{3}}')
+               THEN 1 ELSE 0 END)
+        + sum(CASE WHEN sex IS NOT NULL AND sex NOT IN (0, 1) THEN 1 ELSE 0 END)
+        + sum(CASE WHEN birth_year IS NOT NULL
+                    AND birth_year NOT BETWEEN 1900 AND 2026 THEN 1 ELSE 0 END)
+        + sum(CASE WHEN period_year NOT BETWEEN 2000 AND 2026 THEN 1 ELSE 0 END)
+        + sum(CASE WHEN period_month NOT BETWEEN 1 AND 12 THEN 1 ELSE 0 END)
+        AS BIGINT) AS total_violations
+      FROM std
+    ),
+    deltas AS (
+      SELECT period_year, period_month,
+             CAST(count(*) AS BIGINT) AS n_players,
+             round(avg(delta), 2) AS avg_delta
+      FROM (
+        SELECT period_year, period_month,
+               rating - lag(rating) OVER (PARTITION BY fide_id
+                                          ORDER BY period_year, period_month)
+                 AS delta
+        FROM std
+      ) GROUP BY 1, 2
+    )
+    SELECT period_year, period_month, n_players, avg_delta, total_violations
+    FROM deltas, viol ORDER BY period_year, period_month
+    """
+
+
 @register(
     "pipeline_backfill",
-    oracle=None,
+    oracle=_backfill_oracle(),
     doc="§2.10 capstone: the reference's whole backfill flow "
     "(ingest_web_to_gcs.py:204-232) as ONE Spark job — parameter frame "
     "(formats × months) → per-month synthetic raw XML batches → "
     "preprocess → union → partitioned idempotent sink → re-read with "
     "partition pruning → constraint gate → per-player rating-delta "
-    "window. Returns per-partition violation/row summary.",
+    "window. The oracle recomputes the standard-format slice end to "
+    "end in SQL (preprocess twin × month drift → constraint census → "
+    "lag-delta summary), so a non-idempotent sink, a lost partition, "
+    "or a wrong window frame all hash-mismatch.",
     tags=("tier-r", "pipeline"),
 )
 def pipeline_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -173,15 +173,23 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "compact_small_files",
-    oracle=None,
+    oracle="""
+    SELECT CAST(64 AS INT) AS files_before,
+           CAST(greatest(1, ceil(count(*) / 50000.0)) AS INT) AS files_after,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           true AS compacted_ok
+    FROM events
+    """,
     doc="Small-file compaction — the daily-maintenance verb for any "
     "100 TB parquet lake (streaming sinks and fine-grained "
     "partitioning breed kilobyte files whose per-file open/footer "
     "cost dominates scans): write a deliberately over-split copy of "
     "events (64 files), re-write it sized by a target rows-per-file "
-    "derived from the actual row count, and return a self-certifying "
-    "row: file counts before/after and a row-count-preserved flag. "
-    "Rows-only (filesystem layout, not SQL-expressible).",
+    "derived from the actual row count, and return the file census "
+    "plus a row-count-preserved flag. Both file counts are "
+    "deterministic functions of the row count (repartition(n) with "
+    "no empty partitions writes exactly n files), so the oracle "
+    "recomputes them from the logical input.",
     tags=("lakehouse", "maintenance", "sink"),
 )
 def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:

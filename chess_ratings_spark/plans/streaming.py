@@ -83,11 +83,26 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_tumbling_live",
-    oracle=None,
+    oracle="""
+    WITH b AS (SELECT max(ts) AS hi FROM events)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events, b
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+            <= hi - INTERVAL '10 minutes'
+    GROUP BY 1, 2
+    """,
     doc="The stream_tumbling plan executed as a real Structured "
     "Streaming query: staged parquet → readStream(schema) → "
     "watermark(10m) → window agg → memory sink, drained with "
-    "availableNow. Output equals the batch twin (asserted in pytest).",
+    "availableNow. Append mode emits exactly the FINALIZED windows "
+    "(window end ≤ final watermark = max(ts) - 10m) — the oracle is "
+    "the batch aggregation restricted to that window set, so a "
+    "watermark that leaks an open window or drops a closed one "
+    "hash-mismatches.",
     tags=("streaming", "events", "live"),
 )
 def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,9 +163,18 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful",
-    oracle=None,
+    oracle="""
+    SELECT user_id,
+           round(sum(value), 2) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE value > 150.0) AS BIGINT) AS n_over
+    FROM events GROUP BY user_id
+    """,
     doc="Custom per-key state (applyInPandasWithState): per-user running "
-    "total / event count / over-threshold count carried across batches.",
+    "total / event count / over-threshold count carried across batches. "
+    "The final per-user state must equal the whole-input batch GROUP "
+    "BY, which the oracle recomputes — lost or double-counted state "
+    "hash-mismatches.",
     tags=("streaming", "events", "live"),
 )
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,9 +243,26 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sliding_live",
-    oracle=None,
+    oracle="""
+    WITH b AS (SELECT max(ts) AS hi FROM events)
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+               AS w,
+             event_type, value
+      FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+    ), b
+    WHERE w + INTERVAL '1 hour' <= hi - INTERVAL '10 minutes'
+    GROUP BY 1, 2
+    """,
     doc="The stream_sliding plan as a real streaming query (watermark + "
-    "append drain); batch twin stream_sliding carries the SQL oracle.",
+    "append drain): each event feeds 4 overlapping 1h/15m windows; "
+    "append emits the finalized ones (window end ≤ max(ts) - 10m), "
+    "which the oracle restates via the explicit offset unnest + "
+    "finalization filter.",
     tags=("streaming", "events", "live"),
 )
 def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
