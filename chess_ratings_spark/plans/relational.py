@@ -169,8 +169,10 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_cross_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chess_ratings_spark.functions import scalar
 
-    formats = spark.createDataFrame(
-        [("standard",), ("rapid",), ("blitz",)], "game_format string"
+    formats = tables.local_table(
+        spark,
+        [("standard",), ("rapid",), ("blitz",)],
+        [("game_format", "string")],
     )
     months = (
         spark.range(1)
@@ -206,9 +208,10 @@ def join_cross_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tables.load(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = tables.local_table(
+        spark,
         [("small", 0.0, 50_000.0), ("medium", 50_000.0, 150_000.0), ("large", 150_000.0, 1e18)],
-        "bucket_name string, lo double, hi double",
+        [("bucket_name", "string"), ("lo", "double"), ("hi", "double")],
     )
     j = joins.theta_join(
         o,

@@ -56,9 +56,10 @@ def _with_query_execution(df: DataFrame, extract):
 )
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
-    weights = spark.createDataFrame(
+    weights = tables.local_table(
+        spark,
         [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
-        "event_type string, weight double",
+        [("event_type", "string"), ("weight", "double")],
     )
     salted_fact = ev.withColumn("salt", (F.col("event_id") % N_SALTS).cast("int"))
     salted_dim = weights.withColumn(

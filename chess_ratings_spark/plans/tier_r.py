@@ -206,9 +206,10 @@ def fn_month_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tier-r",),
 )
 def fn_format_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    params = spark.createDataFrame(
+    params = tables.local_table(
+        spark,
         [(f, y, m) for f in ("standard", "rapid", "blitz") for y, m in ((2023, 9), (2024, 10))],
-        "game_format string, period_year int, period_month int",
+        [("game_format", "string"), ("period_year", "int"), ("period_month", "int")],
     )
     return params.select(
         "game_format",
@@ -239,8 +240,10 @@ def fn_format_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tier-r", "scan"),
 )
 def src_url_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    formats = spark.createDataFrame(
-        [("standard",), ("rapid",), ("blitz",)], "game_format string"
+    formats = tables.local_table(
+        spark,
+        [("standard",), ("rapid",), ("blitz",)],
+        [("game_format", "string")],
     )
     months = (
         spark.range(1)

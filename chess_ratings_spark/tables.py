@@ -175,6 +175,30 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
+def local_table(
+    spark: SparkSession, rows: list[tuple], cols: list[tuple[str, str]]
+) -> DataFrame:
+    """Small literal table as a pure JVM plan: explode of struct
+    literals over ``spark.range(1)``. ``createDataFrame(python_list)``
+    is RDD-backed and pays a Python-worker round trip on EVERY action
+    (measured ~4 s/action at local[32] — it made fn_format_string, a
+    6-row parameter grid, the 4th-slowest query in the whole bench);
+    literal expressions cost milliseconds. Use for parameter grids and
+    tiny dimension tables in query paths.
+
+    ``cols``: (name, spark_type) pairs, positionally matching each row.
+    """
+    structs = [
+        F.struct(*[F.lit(v).cast(t).alias(n) for v, (n, t) in zip(row, cols)])
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+    )
+
+
 def local_row(spark: SparkSession, *cols: tuple[str, object, str]) -> DataFrame:
     """One-row DataFrame of literals built on spark.range(1) — a pure
     JVM LocalTableScan. `spark.createDataFrame([python_tuple])` is
