@@ -58,6 +58,68 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_weighted_mix",
+    oracle="""
+    WITH t AS (
+      SELECT lang, n_chars,
+             substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+             CASE WHEN lang = 'en' THEN 'f'
+                  WHEN lang IN ('fr', 'de') THEN '7'
+                  ELSE '3' END AS cutoff
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN lang = 'en' THEN 1.0
+                WHEN lang IN ('fr', 'de') THEN 0.5
+                ELSE 0.25 END AS weight,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE h <= cutoff) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(n_chars) FILTER (WHERE h <= cutoff), 0) AS BIGINT)
+             AS kept_chars
+    FROM t GROUP BY lang, weight ORDER BY lang
+    """,
+    doc="Domain-weighted corpus mixing — the op that turns raw corpora "
+    "into a training mixture: per-language sampling rates (en 1.0, "
+    "fr/de 0.5, es/zh 0.25) applied as a deterministic hash-threshold "
+    "on a salted doc-id md5 (first hex digit ≤ cutoff ⇒ keep; 16ths "
+    "give exact rate fractions). Same discipline as sample_hash_split: "
+    "membership is a pure function of the key, so the mix is stable "
+    "under re-runs, repartitioning, and incremental corpus rebuilds — "
+    "the only way a 100 TB mixture stays reproducible. Pure column "
+    "expressions into one 5-group aggregate; the oracle replays the "
+    "identical md5 math (bit-equal across engines).",
+    tags=("training", "sample", "documents"),
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    cutoff = (
+        F.when(F.col("lang") == "en", "f")
+        .when(F.col("lang").isin("fr", "de"), "7")
+        .otherwise("3")
+    )
+    weight = (
+        F.when(F.col("lang") == "en", 1.0)
+        .when(F.col("lang").isin("fr", "de"), 0.5)
+        .otherwise(0.25)
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    kept = h <= cutoff
+    return (
+        d.groupBy("lang", weight.alias("weight"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_chars"))), F.lit(0)
+            ).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality gate (Gopher-style rules)
 # ---------------------------------------------------------------------------

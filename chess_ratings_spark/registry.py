@@ -109,8 +109,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "mm_frame_sample",
     "text_ngram_topk",
-    "tier_r_preprocess",
+    "sample_weighted_mix",
     # --- 50+: checked r3/r4 (green under current fixtures) ---
+    "tier_r_preprocess",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
