@@ -312,11 +312,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token hashes, chunk blocking (pigeonhole ⇒ exact recall within "
     "the hamming budget), exact hamming verify ≤ 6. The pair list is "
     "engine-hash-specific, so the driver-checked result is the "
-    "cross-measure certification: ≥85% of the EXACT Jaccard≥0.8 pairs "
+    "cross-measure certification: ≥80% of the EXACT Jaccard≥0.8 pairs "
     "(SQL-recomputed by the oracle) must fall within simhash hamming "
     "≤6 (measured 93/100/93% at sf0.001/0.01/0.1 — simhash approximates "
-    "token-frequency cosine, not Jaccard, so 100% is not expected), "
-    "and every emitted pair must respect the hamming bound. Pair-level "
+    "token-frequency cosine, not Jaccard, so 100% is not expected; the "
+    "0.8 floor leaves fixture-regeneration margin below the ~0.93 "
+    "measurement while still binding the cross-measure claim), and "
+    "every emitted pair must respect the hamming bound. Pair-level "
     "detail stays covered in pytest.",
     tags=("dedup",),
 )
@@ -331,7 +333,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.local_row(
         spark,
         ("n_true_pairs", int(n_true), "bigint"),
-        ("recall_ok", bool(n_true > 0 and n_recalled / n_true >= 0.85), "boolean"),
+        ("recall_ok", bool(n_true > 0 and n_recalled / n_true >= 0.8), "boolean"),
         ("hamming_bound_ok", bool(n_over_budget == 0), "boolean"),
     )
 
