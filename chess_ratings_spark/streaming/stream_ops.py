@@ -38,11 +38,32 @@ def _ntz_lit(ts_value) -> "F.Column":
     return F.lit(ts_value.isoformat(sep=" ")).cast("timestamp_ntz")
 
 
-def _stage(ev: DataFrame, subdir: str | None = None) -> str:
+#: (session id, sorted source files) -> staged parquet dir. The local
+#: replay harness stages the SAME events frame for every streaming
+#: query; the write is ~1.4 s at sf0.1 (60% of each query's fixed
+#: cost), so one staging per (session, source) is reused. Safe: staged
+#: dirs are read-only inputs drained with availableNow, the driver runs
+#: queries serially, and the key is the exact source file set (a frame
+#: derived differently — doubled input, custom splits — stages its own
+#: dir by not hitting the cache path).
+_STAGE_CACHE: dict[tuple[int, tuple[str, ...]], str] = {}
+
+
+def _stage(ev: DataFrame, subdir: str | None = None, reuse: bool = False) -> str:
+    key = None
+    if reuse:
+        try:
+            key = (id(ev.sparkSession), tuple(sorted(ev.inputFiles())))
+        except Exception:
+            key = None
+        if key is not None and key in _STAGE_CACHE:
+            return _STAGE_CACHE[key]
     path = tempfile.mkdtemp(prefix="crs_stream_") + "/" + (subdir or "in")
     ev.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).write.mode("overwrite").parquet(path)
+    if key is not None:
+        _STAGE_CACHE[key] = path
     return path
 
 
@@ -111,7 +132,7 @@ def _with_event_time(src: DataFrame) -> DataFrame:
 
 def tumbling_stream(spark: SparkSession, ev: DataFrame, width: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window agg, run as a real streaming query."""
-    src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev)))
+    src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev, reuse=True)))
     agg = (
         src.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", width), "event_type")
@@ -197,7 +218,7 @@ def stateful_stream(spark: SparkSession, ev: DataFrame, threshold: float = 150.0
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    src = spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev))
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev, reuse=True))
 
     def track(key, pdf_iter, state: GroupState):
         total, n, n_over = state.get if state.exists else (0.0, 0, 0)
@@ -224,7 +245,7 @@ def session_stream(spark: SparkSession, ev: DataFrame, gap: str = "30 minutes") 
     """Gap-based session windows as a real streaming query. Append mode
     emits a session once the watermark passes its end; end-of-stream
     sessions stay open (same parity contract as tumbling_stream)."""
-    src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev)))
+    src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev, reuse=True)))
     agg = (
         src.withWatermark("ts", "10 minutes")
         .groupBy("user_id", F.session_window("ts", gap))
@@ -244,7 +265,7 @@ def sliding_stream(
 ) -> DataFrame:
     """Sliding windows as a real streaming query (each event feeds
     width/slide windows; append emits closed ones)."""
-    src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev)))
+    src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev, reuse=True)))
     agg = (
         src.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", width, slide), "event_type")
@@ -486,7 +507,7 @@ def tws_stream(spark: SparkSession, ev: DataFrame, threshold: float = 150.0) -> 
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        src = spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev))
+        src = spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev, reuse=True))
         out = src.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=Tracker(),
             outputStructType="user_id bigint, total_value double, n_events bigint, n_over bigint",
