@@ -57,7 +57,12 @@ def _stage(ev: DataFrame, subdir: str | None = None, reuse: bool = False) -> str
         except Exception:
             key = None
         if key is not None and key in _STAGE_CACHE:
-            return _STAGE_CACHE[key]
+            import os
+
+            cached = _STAGE_CACHE[key]
+            if os.path.isdir(cached):  # tmp cleaner / id-reuse guard
+                return cached
+            del _STAGE_CACHE[key]
     path = tempfile.mkdtemp(prefix="crs_stream_") + "/" + (subdir or "in")
     ev.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
