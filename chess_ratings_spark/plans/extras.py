@@ -174,14 +174,16 @@ def join_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings WHERE vec_id % 100 = 0
     """,
     doc="IVF approximate top-k: coarse-quantize vectors to their "
-    "nearest seed centroid, queries probe nprobe=2 of 16 cells, exact "
+    "nearest seed centroid, queries probe nprobe=3 of 16 cells, exact "
     "cosine within probed cells only — the candidate join is a "
     "cell-key equi-join, so per query only ~nprobe/n_cells of the "
-    "corpus is scored vs 100% for brute force. Certified in-plan "
-    "against the brute-force exact top-k: recall@5 ≥ 0.2 "
-    "(recall_ok, pinned true by the oracle; measured 0.28 sf0.001 / "
-    "0.32 sf0.01 on the synthetic near-uniform embeddings — honest "
-    "for a 12.5% probe of structureless vectors) and every query must "
+    "corpus is scored vs 100% for brute force. nprobe is the "
+    "recall/cost dial: measured on the synthetic near-uniform "
+    "embeddings (structureless, so cell assignment carries little "
+    "signal — the hard case) recall@5 is 0.28/0.32 at nprobe=2 "
+    "(12.5% scanned) and 0.44-0.48 at nprobe=3 (18.75%). Certified "
+    "in-plan against the brute-force exact top-k: recall@5 ≥ 0.3 "
+    "(recall_ok, pinned true by the oracle) and every query must "
     "return exactly k results (n_results).",
     tags=("similarity", "embeddings"),
 )
@@ -193,7 +195,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipelines (each carrying windows + joins) execute exactly once —
     # separate counts would recompute them per action (measured 5.3 s
     # → ~2 s at sf0.1)
-    a = similarity.ivf_topk(e, queries, k=k, nprobe=2).select(
+    a = similarity.ivf_topk(e, queries, k=k, nprobe=3).select(
         "qid", "cid", F.lit(1).alias("in_a")
     )
     b = similarity.brute_force_topk(queries, e, k=k).select(
@@ -215,7 +217,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_queries", int(stats["nq"]), "bigint"),
         ("n_results", int(stats["n_results"]), "bigint"),
         ("k", k, "int"),
-        ("recall_ok", bool(recall >= 0.2), "boolean"),
+        ("recall_ok", bool(recall >= 0.3), "boolean"),
     )
 
 
