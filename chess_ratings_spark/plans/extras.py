@@ -173,18 +173,22 @@ def join_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
            true AS recall_ok
     FROM embeddings WHERE vec_id % 100 = 0
     """,
-    doc="IVF approximate top-k: coarse-quantize vectors to their "
-    "nearest seed centroid, queries probe nprobe=3 of 16 cells, exact "
-    "cosine within probed cells only — the candidate join is a "
-    "cell-key equi-join, so per query only ~nprobe/n_cells of the "
-    "corpus is scored vs 100% for brute force. nprobe is the "
-    "recall/cost dial: measured on the synthetic near-uniform "
-    "embeddings (structureless, so cell assignment carries little "
-    "signal — the hard case) recall@5 is 0.28/0.32 at nprobe=2 "
-    "(12.5% scanned) and 0.44-0.48 at nprobe=3 (18.75%). Certified "
-    "in-plan against the brute-force exact top-k: recall@5 ≥ 0.3 "
-    "(recall_ok, pinned true by the oracle) and every query must "
-    "return exactly k results (n_results).",
+    doc="IVF approximate top-k with a real k-means coarse quantizer: "
+    "3 Lloyd rounds as DataFrame jobs (operators/similarity.py::"
+    "kmeans_cells — assign = broadcast-seed join, update = groupBy "
+    "cell + posexplode mean), corpus indexed under its rep=3 nearest "
+    "cells (closure/replication clustering a la SPANN), queries probe "
+    "nprobe=6 of 32 cells — the same 18.75% probe fraction as the old "
+    "3-of-16 geometry. Exact cosine runs only inside probed cells via "
+    "a cell-key equi-join. Measured on the synthetic near-uniform "
+    "embeddings (structureless — the hard case for any quantizer): "
+    "recall@5 = 0.96 (sf0.01) / 0.89 (sf0.1), vs 0.44/0.48 for the "
+    "previous first-n-vectors seeds at the same probe fraction. "
+    "Certified in-plan against the brute-force exact top-k: recall@5 "
+    "≥ 0.75 (recall_ok, pinned true by the oracle; floor sits 0.14 "
+    "below the weakest measured value to absorb fixture "
+    "regeneration) and every query must return exactly k results "
+    "(n_results).",
     tags=("similarity", "embeddings"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +199,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipelines (each carrying windows + joins) execute exactly once —
     # separate counts would recompute them per action (measured 5.3 s
     # → ~2 s at sf0.1)
-    a = similarity.ivf_topk(e, queries, k=k, nprobe=3).select(
+    a = similarity.ivf_topk(e, queries, k=k).select(
         "qid", "cid", F.lit(1).alias("in_a")
     )
     b = similarity.brute_force_topk(queries, e, k=k).select(
@@ -217,7 +221,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_queries", int(stats["nq"]), "bigint"),
         ("n_results", int(stats["n_results"]), "bigint"),
         ("k", k, "int"),
-        ("recall_ok", bool(recall >= 0.3), "boolean"),
+        ("recall_ok", bool(recall >= 0.75), "boolean"),
     )
 
 

@@ -232,13 +232,71 @@ def test_simhash_finds_planted_near_dups(spark):
 
 
 def test_ivf_recall_and_determinism(spark):
-    """IVF with nprobe=2/16 cells scans ~12.5% of the corpus; recall@5
-    must beat random-cell chance and be exactly deterministic."""
+    """IVF at the default geometry (k-means seeds, 6-of-32 probes,
+    rep=3 corpus replication) must clear the certified 0.75 recall@5
+    floor on the near-uniform fixture and be exactly deterministic."""
     e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     q = e.filter(F.col("vec_id") % 100 == 0)
-    ivf1 = {(r.qid, r.cid, r.rank) for r in similarity.ivf_topk(e, q, k=5, nprobe=2).collect()}
-    ivf2 = {(r.qid, r.cid, r.rank) for r in similarity.ivf_topk(e, q, k=5, nprobe=2).collect()}
+    ivf1 = {(r.qid, r.cid, r.rank) for r in similarity.ivf_topk(e, q, k=5).collect()}
+    ivf2 = {(r.qid, r.cid, r.rank) for r in similarity.ivf_topk(e, q, k=5).collect()}
     assert ivf1 == ivf2
     bf = {(r.qid, r.cid) for r in similarity.brute_force_topk(q, e, k=5).collect()}
     recall = len({(a, b) for a, b, _ in ivf1} & bf) / len(bf)
-    assert recall >= 0.1
+    assert recall >= 0.75
+
+
+def test_capped_shingle_index_prunes_hot_key_keeps_true_pairs(spark):
+    """A boilerplate shingle shared by every document must be dropped
+    by the df cap (killing its quadratic join bucket), while a planted
+    near-dup pair — whose overlap rides on informative shingles —
+    survives with its capped-universe Jaccard intact."""
+    boiler = "click here to subscribe"
+    rows = [(i, f"unique{i} token{i} filler{i} more{i} {boiler}") for i in range(40)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta " + boiler))
+    rows.append((101, "alpha beta gamma delta epsilon zeta " + boiler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = similarity.shingle_sets(docs)
+    capped = similarity.capped_shingle_index(sh, df_cap=10)
+    postings = capped.collect()
+    # the two shingles fully inside the boilerplate run (df=42) must be
+    # dropped; boundary shingles like "more7 click here" are per-doc
+    # unique (df<=2) and survive — the cap only kills the hot keys
+    hot = {r.s for r in postings} & {"click here to", "here to subscribe"}
+    assert hot == set()
+    pair = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .collect()
+    )
+    assert {(r.da, r.db) for r in pair} == {(100, 101)}
+    r = pair[0]
+    assert r.inter / (r.na + r.nb - r.inter) == 1.0  # identical over capped universe
+
+
+def test_kmeans_cells_shape_and_convergence(spark):
+    """The k-means quantizer keeps exactly n_cells unit seeds of the
+    embedding dimensionality, and training tightens the cells: mean
+    best-cosine to the nearest seed must not decrease vs the init."""
+    import numpy as np
+
+    from chess_ratings_spark.operators.similarity import kmeans_cells
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.vstack(e.select("embedding").toPandas()["embedding"].to_numpy())
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    init = kmeans_cells(e, n_cells=8, iters=0)
+    trained = kmeans_cells(e, n_cells=8, iters=3)
+    assert trained.shape == (8, X.shape[1])
+    assert np.allclose(np.linalg.norm(trained, axis=1), 1.0)
+    assert (X @ trained.T).max(1).mean() >= (X @ init.T).max(1).mean()
