@@ -558,17 +558,22 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
            'standard' AS game_format
     FROM generate_series(1, 100) AS t(i)
     """,
-    doc="The web source path (ingest_web_to_gcs.py:61-95) offline: "
-    "deterministic in-memory zip+XML bytes → unzip → pd.read_xml → "
-    "Arrow createDataFrame → full preprocess. Network fetch() is the "
-    "only untested stage (no egress here). The oracle regenerates the "
-    "synthetic player grid in SQL and applies the preprocess semantics "
-    "(sex recode, 0→NULL birth year, empty-string→NULL flag, typed "
-    "NULL title backfill, period stamp) — every row of the XML round "
-    "trip is value-checked, not just counted.",
+    doc="The web source path (ingest_web_to_gcs.py:61-95) through the "
+    "registered Spark 4 Python DataSource (sources/http_xml.py::"
+    "FideWebDataSource): spark.read.format('fide_web_xml') with one "
+    "input partition per (format, month) — partition-native fetch "
+    "parallelism — unzip → pd.read_xml → Arrow batch per task → full "
+    "preprocess. Offline here via the stub_zip_b64 seam (deterministic "
+    "in-memory zip+XML bytes); network fetch() is the only unexercised "
+    "stage (no egress). The oracle regenerates the synthetic player "
+    "grid in SQL and applies the preprocess semantics (sex recode, "
+    "0→NULL birth year, empty-string→NULL flag, typed NULL title "
+    "backfill, period stamp) — every row of the XML round trip is "
+    "value-checked, not just counted.",
     tags=("tier-r", "scan"),
 )
 def src_http_zip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64
     import io as _io
     import zipfile
 
@@ -587,7 +592,17 @@ def src_http_zip_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     buf = _io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("standard_jun24frl_xml.xml", xml)
-    return http_xml.ingest_month_from_bytes(spark, buf.getvalue(), 2024, 6, "standard")
+    http_xml.register_web_source(spark)
+    raw = (
+        spark.read.format("fide_web_xml")
+        .option("formats", "standard")
+        .option("months", "2024-06")
+        .option("stub_zip_b64", base64.b64encode(buf.getvalue()).decode())
+        .load()
+    )
+    return ingest.preprocess(
+        raw.drop("period_year", "period_month", "game_format"), 2024, 6, "standard"
+    )
 
 
 @register(

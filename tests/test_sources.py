@@ -62,3 +62,93 @@ def test_zip_xml_roundtrip_parses():
     pdf = http_xml.parse_ratings_xml(http_xml.unzip_single(buf.getvalue()))
     assert list(pdf["fideid"]) == [1, 2]
     assert list(pdf["rating"]) == [2500, 2400]
+
+
+def _stub_zip(n: int = 4) -> bytes:
+    players = "".join(
+        f"<player><fideid>{i}</fideid><name>P{i}</name><country>USA</country>"
+        f"<sex>M</sex><rating>{2000 + i}</rating><games>3</games><k>20</k>"
+        f"<birthday>1980</birthday><flag></flag></player>"
+        for i in range(1, n + 1)
+    )
+    xml = f"<playerslist>{players}</playerslist>".encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("x.xml", xml)
+    return buf.getvalue()
+
+
+def test_month_url_matches_column_twin(spark):
+    """The Python URL builder the DataSource fetches with must agree
+    with the Column expression src_url_gen serves (functions/scalar.py
+    ::ratings_url) on every (format, month) of a backfill grid."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.functions import scalar
+
+    grid = [
+        (f, y, m)
+        for f in ("standard", "rapid", "blitz")
+        for y in (1999, 2015, 2024)
+        for m in (1, 6, 12)
+    ]
+    rows = (
+        tables.local_table(
+            spark,
+            grid,
+            [("game_format", "string"), ("y", "int"), ("m", "int")],
+        )
+        .select(
+            "game_format", "y", "m",
+            scalar.ratings_url(F.col("game_format"), F.col("y"), F.col("m")).alias("u"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert http_xml.month_url(r.game_format, r.y, r.m) == r.u
+
+
+def test_web_datasource_partitions_fan_out():
+    reader = http_xml.FideWebReader(
+        {"formats": "standard,rapid", "months": "2024-01,2024-02,2024-03"}
+    )
+    parts = reader.partitions()
+    assert len(parts) == 6
+    assert {(p.game_format, p.year, p.month) for p in parts} == {
+        (f, 2024, m) for f in ("standard", "rapid") for m in (1, 2, 3)
+    }
+
+
+def test_web_datasource_requires_months():
+    with pytest.raises(ValueError, match="months"):
+        http_xml.FideWebReader({"formats": "standard"})
+
+
+def test_web_datasource_reads_multi_month_offline(spark):
+    """End-to-end through the registered Spark source: 2 formats × 2
+    months = 4 partitions, each stamped with its own period, missing
+    columns (title family) arriving as typed NULLs."""
+    import base64
+
+    http_xml.register_web_source(spark)
+    df = (
+        spark.read.format("fide_web_xml")
+        .option("formats", "standard,blitz")
+        .option("months", "2024-06,2024-07")
+        .option("stub_zip_b64", base64.b64encode(_stub_zip(4)).decode())
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 4 * 4
+    stamps = {(r.game_format, r.period_year, r.period_month) for r in rows}
+    assert stamps == {
+        (f, 2024, m) for f in ("standard", "blitz") for m in (6, 7)
+    }
+    assert all(r.foa_title is None for r in rows)  # absent column -> typed NULL
+    assert df.schema.simpleString() == (
+        "struct<fideid:bigint,name:string,country:string,sex:string,"
+        "title:string,w_title:string,o_title:string,foa_title:string,"
+        "rating:bigint,games:bigint,k:bigint,birthday:bigint,flag:string,"
+        "period_year:int,period_month:int,game_format:string>"
+    )
