@@ -415,6 +415,50 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cc_twostar",
+    oracle="""
+    WITH RECURSIVE pairs AS ("""
+    + _EXACT_JACCARD_ORACLE.format(tau=0.8)
+    + """
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT component AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(node) AS BIGINT) AS max_doc
+    FROM (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ) GROUP BY component
+    """,
+    doc="The same near-dup clustering through the DIAMETER-INDEPENDENT "
+    "variant: alternating large-star/small-star edge contraction "
+    "(Kiveris et al., SoCC 2014 — O(log² n) rounds), the path for deep "
+    "pair graphs (long transitive chains) where label propagation "
+    "needs diameter rounds. Each round is two groupBy-min + join "
+    "passes shuffled on node id; the driver reads one edge-set "
+    "fingerprint scalar per round. Same recursive-CTE oracle as "
+    "dedup_connected_components — both variants must agree exactly.",
+    tags=("dedup", "graph"),
+)
+def dedup_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.graph import connected_components_twostar
+
+    pairs = shared_verified_pairs(spark, sf_dir, tau=0.8)
+    comp = connected_components_twostar(pairs)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_doc"),
+    )
+
+
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _LONGNUM_RE = "[0-9]{6,}"
 

@@ -195,6 +195,54 @@ def test_connected_components_chain_triangle_pair(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_path_graph_worst_case_diameter(spark):
+    """20 chained pairs (a 21-node path graph — worst-case diameter for
+    label propagation) must converge within the default max_iter for
+    BOTH variants, with every node labeled by the path minimum."""
+    from chess_ratings_spark.operators.graph import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 21)], "doc_a long, doc_b long"
+    )
+    want = {n: 1 for n in range(1, 22)}
+    got_lp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got_lp == want
+    got_ts = {
+        r.node: r.component
+        for r in connected_components_twostar(pairs).collect()
+    }
+    assert got_ts == want
+
+
+def test_twostar_matches_label_propagation_on_random_graph(spark):
+    """Property check: on a random sparse graph the two-star contraction
+    and label propagation must produce identical component labelings."""
+    import random
+
+    from chess_ratings_spark.operators.graph import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(100), 2)))
+            for _ in range(60)
+        }
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got_lp = {r.node: r.component for r in connected_components(pairs).collect()}
+    got_ts = {
+        r.node: r.component
+        for r in connected_components_twostar(pairs).collect()
+    }
+    assert got_ts == got_lp
+
+
 def test_simhash_chunk_blocking_is_exact_for_budget():
     """Pigeonhole guarantee: any 64-bit pair within hamming ≤ 6 shares
     at least one identical chunk under the 7-chunk layout — including
