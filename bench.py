@@ -41,6 +41,29 @@ def main() -> None:
         except Exception as exc:
             print(f"# BENCH WARMUP ERROR {t}: {exc}", file=sys.stderr)
 
+    # Warm the STREAMING engine too: the first streaming query in a JVM
+    # pays the micro-batch engine class-load + state-store init (~3-4 s
+    # measured), which otherwise lands entirely on whichever stream_*
+    # query sorts first and reads as a plan regression.
+    try:
+        import tempfile
+
+        warm_dir = tempfile.mkdtemp(prefix="crs_bench_warm_")
+        spark.range(1).write.mode("overwrite").parquet(warm_dir + "/in")
+        (
+            spark.readStream.schema("id long")
+            .parquet(warm_dir + "/in")
+            .groupBy("id")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    except Exception as exc:
+        print(f"# BENCH WARMUP ERROR streaming: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         q = REGISTRY[name]

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chess_ratings_spark.functions import scalar
+from chess_ratings_spark.models import FideRatings
 
 #: ingest_web_to_gcs.py:107-115 — raw FIDE XML names → canonical names.
 RENAMES = {
@@ -35,12 +36,10 @@ RENAMES = {
 #: chess_ratings_data_model.py:12-26 — declared model columns that may be
 #: absent in raw monthly files and must be backfilled as typed NULLs
 #: (foa_title is missing before ~2017; ingest_web_to_gcs.py:26-37).
+#: Derived from the SAME declaration validation runs on (models.py):
+#: a column added to the model is automatically backfilled here.
 REQUIRED_NULLABLE = {
-    "title": "string",
-    "w_title": "string",
-    "o_title": "string",
-    "foa_title": "string",
-    "flag": "string",
+    name: f.dtype for name, f in FideRatings.fields().items() if f.backfill
 }
 
 #: ingest_web_to_gcs.py:120 — sex recode F/M → 0/1 tinyint.
@@ -82,5 +81,11 @@ def stamp_period(df: DataFrame, year: int, month: int, game_format: str) -> Data
 
 def preprocess(df: DataFrame, year: int, month: int, game_format: str) -> DataFrame:
     """The full preprocess_ratings_data pipeline
-    (ingest_web_to_gcs.py:98-127) as one composed lazy plan."""
-    return stamp_period(recode(normalize_schema(rename_raw(df))), year, month, game_format)
+    (ingest_web_to_gcs.py:98-127) as one composed lazy plan, conformed
+    to the declared FideRatings model (column order + dtypes) — the
+    declarative twin of the reference's validate-after-preprocess step;
+    still a single scan-project stage under Catalyst."""
+    stamped = stamp_period(
+        recode(normalize_schema(rename_raw(df))), year, month, game_format
+    )
+    return FideRatings.conform(stamped, extra=("game_format",))

@@ -41,25 +41,21 @@ def violations_report(df: DataFrame, constraints: dict[str, Column]) -> DataFram
 
 def fide_constraints(current_year: int) -> dict[str, "F.Column"]:
     """The patito ChessRating model's row constraints as violation
-    predicates (chess_ratings_data_model.py:12-31).
+    predicates — now DERIVED from the declarative ``FideRatings`` model
+    (models.py), the single place the schema + constraints live
+    (chess_ratings_data_model.py:12-31).
 
-    ``current_year`` is REQUIRED: a wall-clock default would make the
-    constraint set nondeterministic across runs (registered plans pin
-    2026 explicitly)."""
-    y = current_year
-    c = F.col
-    return {
-        "fide_id_not_null": c("fide_id").isNull(),
-        "rating_not_null": c("rating").isNull(),
-        "game_count_not_null": c("game_count").isNull(),
-        "k_not_null": c("k").isNull(),
-        "federation_pattern": c("fide_federation").isNotNull()
-        & ~scalar.federation_valid("fide_federation"),
-        "sex_domain": c("sex").isNotNull() & ~c("sex").isin(0, 1),
-        "birth_year_range": c("birth_year").isNotNull() & ~c("birth_year").between(1900, y),
-        "period_year_range": ~c("period_year").between(2000, y),
-        "period_month_range": ~c("period_month").between(1, 12),
-    }
+    ``current_year`` is REQUIRED and must equal the model's pinned
+    ``CURRENT_YEAR``: a wall-clock default would make the constraint
+    set nondeterministic across runs."""
+    from chess_ratings_spark.models import CURRENT_YEAR, FideRatings
+
+    if current_year != CURRENT_YEAR:
+        raise ValueError(
+            f"constraint year {current_year} != model CURRENT_YEAR "
+            f"{CURRENT_YEAR}; edit models.CURRENT_YEAR to rebound"
+        )
+    return FideRatings.violation_predicates()
 
 
 def assert_unique(df: DataFrame, key: str) -> DataFrame:

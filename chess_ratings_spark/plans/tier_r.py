@@ -469,24 +469,32 @@ def tier_r_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS ({_PREPROCESSED_SQL})
     SELECT * FROM (
       SELECT 'fide_id_not_null' AS constraint, CAST(sum(CASE WHEN fide_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM p
+      UNION ALL SELECT 'federation_pattern', CAST(sum(CASE WHEN fide_federation IS NOT NULL AND NOT regexp_full_match(fide_federation, '(?i)[A-Z]{{3}}') THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'sex_domain', CAST(sum(CASE WHEN sex IS NOT NULL AND sex NOT IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) FROM p
       UNION ALL SELECT 'rating_not_null', CAST(sum(CASE WHEN rating IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p
       UNION ALL SELECT 'game_count_not_null', CAST(sum(CASE WHEN game_count IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p
       UNION ALL SELECT 'k_not_null', CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p
-      UNION ALL SELECT 'federation_pattern', CAST(sum(CASE WHEN fide_federation IS NOT NULL AND NOT regexp_full_match(fide_federation, '(?i)[A-Z]{{3}}') THEN 1 ELSE 0 END) AS BIGINT) FROM p
-      UNION ALL SELECT 'sex_domain', CAST(sum(CASE WHEN sex IS NOT NULL AND sex NOT IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) FROM p
       UNION ALL SELECT 'birth_year_range', CAST(sum(CASE WHEN birth_year IS NOT NULL AND birth_year NOT BETWEEN 1900 AND 2026 THEN 1 ELSE 0 END) AS BIGINT) FROM p
-      UNION ALL SELECT 'period_year_range', CAST(sum(CASE WHEN period_year NOT BETWEEN 2000 AND 2026 THEN 1 ELSE 0 END) AS BIGINT) FROM p
-      UNION ALL SELECT 'period_month_range', CAST(sum(CASE WHEN period_month NOT BETWEEN 1 AND 12 THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'period_year_not_null', CAST(sum(CASE WHEN period_year IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'period_year_range', CAST(sum(CASE WHEN period_year IS NOT NULL AND period_year NOT BETWEEN 2000 AND 2026 THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'period_month_not_null', CAST(sum(CASE WHEN period_month IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM p
+      UNION ALL SELECT 'period_month_range', CAST(sum(CASE WHEN period_month IS NOT NULL AND period_month NOT BETWEEN 1 AND 12 THEN 1 ELSE 0 END) AS BIGINT) FROM p
     )
     """,
     doc="The patito model's constraint set (chess_ratings_data_model.py:"
-    "12-31) as ONE aggregation pass returning a violations report — "
-    "constraint count does not multiply scan count.",
+    "12-31) COMPILED from the declarative FideRatings model "
+    "(models.py — fields declare dtype/nullable/unique/regex/domain/"
+    "bounds once; datamodel.py turns them into predicates) into ONE "
+    "aggregation pass returning a violations report — constraint count "
+    "does not multiply scan count. Required period fields now also get "
+    "not-null rows, which the hand-rolled predecessor omitted.",
     tags=("tier-r", "validation"),
 )
 def val_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.models import FideRatings
+
     pre = ingest.preprocess(_raw_fide(spark, sf_dir), 2024, 6, "standard")
-    return validate.violations_report(pre, validate.fide_constraints(current_year=2026))
+    return FideRatings.validate(pre)
 
 
 # ---------------------------------------------------------------------------

@@ -309,15 +309,14 @@ def interval_join_stream(
     purchase-side watermark passes v_ts + lookback), range condition
     bounds buffered state.
 
-    The input stages as ONE file so a single microbatch sees both
-    sides; with chunked arrival the inner join emits the same rows as
-    long as watermarks out-delay the arrival skew (here: generous
-    margin vs the fixture span). Output is id pairs only — the batch
-    inner join is the exact oracle."""
-    staged = tempfile.mkdtemp(prefix="crs_ssj_") + "/in"
-    ev.select("event_id", "ts", "user_id", "event_type", "value", "props").coalesce(
-        1
-    ).write.mode("overwrite").parquet(staged)
+    The input reuses the shared staged dir: availableNow with no
+    maxFilesPerTrigger drains every staged file in ONE microbatch, so
+    both sides see the full input together — and even with chunked
+    arrival the inner join emits the same rows as long as watermarks
+    out-delay the arrival skew (here: 35 days vs the fixture span).
+    Output is id pairs only — the batch inner join is the exact
+    oracle."""
+    staged = _stage(ev, reuse=True)
 
     def side(name: str, ts_alias: str, id_alias: str) -> DataFrame:
         src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(staged))
