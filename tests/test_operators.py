@@ -243,6 +243,32 @@ def test_twostar_matches_label_propagation_on_random_graph(spark):
     assert got_ts == got_lp
 
 
+def test_auto_band_plan_growth_bounds():
+    """The corpus-adaptive sign-LSH plan must (a) keep predicted
+    background candidates within the per-vector budget at every scale,
+    (b) keep the true-pair miss probability under target, and (c) grow
+    r monotonically with n (measured 1/10/50x table in DESIGN.md)."""
+    import math
+
+    from chess_ratings_spark.operators.similarity import auto_band_plan
+
+    tau, bg, target_miss, cand_per_n = 0.9, 0.53, 0.005, 8.0
+    p = 1 - math.acos(tau) / math.pi
+    prev_r = 0
+    for n in [2_020, 20_200, 101_000, 1_000_000, 100_000_000]:
+        n_bits, b = auto_band_plan(n, tau)
+        r = n_bits // b
+        assert r >= prev_r, f"r shrank at n={n}"
+        prev_r = r
+        # background collisions: b bands x n^2/2 x bg^r
+        bg_cands = b * n * n / 2 * bg**r
+        assert bg_cands <= cand_per_n * n * 1.01, f"budget blown at n={n}"
+        miss = (1 - p**r) ** b
+        assert miss <= target_miss, f"miss {miss:.4f} at n={n}"
+    # fixture scale keeps the measured-good floor plan
+    assert auto_band_plan(2_020, tau) == (16 * 61, 61)
+
+
 def test_simhash_chunk_blocking_is_exact_for_budget():
     """Pigeonhole guarantee: any 64-bit pair within hamming ≤ 6 shares
     at least one identical chunk under the 7-chunk layout — including
