@@ -64,6 +64,40 @@ def main() -> None:
     except Exception as exc:
         print(f"# BENCH WARMUP ERROR streaming: {exc}", file=sys.stderr)
 
+    # Warm the Python DataSource machinery: the FIRST Python-datasource
+    # read in a JVM pays ~6 s of engine bootstrap (measured with a
+    # trivial source; subsequent reads 0.5 s) that would otherwise be
+    # billed to src_http_zip_xml rather than its plan.
+    try:
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceReader,
+            InputPartition,
+        )
+
+        class _WarmReader(DataSourceReader):
+            def partitions(self):
+                return [InputPartition(0)]
+
+            def read(self, p):
+                yield (1,)
+
+        class _WarmSource(DataSource):
+            @classmethod
+            def name(cls):
+                return "bench_warm_src"
+
+            def schema(self):
+                return "x int"
+
+            def reader(self, schema):
+                return _WarmReader()
+
+        spark.dataSource.register(_WarmSource)
+        spark.read.format("bench_warm_src").load().count()
+    except Exception as exc:
+        print(f"# BENCH WARMUP ERROR datasource: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         q = REGISTRY[name]

@@ -459,6 +459,76 @@ def dedup_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_keep_representatives",
+    oracle="""
+    WITH RECURSIVE pairs AS ("""
+    + _EXACT_JACCARD_ORACLE.format(tau=0.8)
+    + """
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), comp AS (
+      SELECT src AS node, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ), enr AS (
+      SELECT c.node, c.component, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ), rep AS (
+      SELECT component, node AS keeper FROM (
+        SELECT component, node,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, node ASC) AS rk
+        FROM enr
+      ) WHERE rk = 1
+    )
+    SELECT CAST(e.node AS BIGINT) AS doc_id,
+           CAST(e.component AS BIGINT) AS cluster_id,
+           CAST(e.n_chars AS BIGINT) AS n_chars,
+           e.node = r.keeper AS keep
+    FROM enr e JOIN rep r ON e.component = r.component
+    """,
+    doc="The KEEP/DROP decision that dedup actually ships: near-dup "
+    "clusters (τ=0.8 verified pairs → connected components) reduced to "
+    "one representative each — keep the LONGEST member (ties → lowest "
+    "doc id), drop the rest. Representative choice is a max_by on the "
+    "lexicographic [n_chars, -doc_id] key (one groupBy over cluster "
+    "ids — clusters are tiny, so the rep table broadcasts back onto "
+    "the membership join). Emits one row per clustered doc with its "
+    "keep flag; the recursive-CTE oracle replays clustering AND "
+    "representative choice, so a wrong keeper — not just a wrong "
+    "cluster — hash-mismatches. Singleton docs never enter the pair "
+    "graph and are implicitly kept; at 100 TB the drop list joins back "
+    "to the corpus as a broadcast/bloom anti-join.",
+    tags=("dedup", "graph"),
+)
+def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.graph import connected_components
+
+    pairs = shared_verified_pairs(spark, sf_dir, tau=0.8)
+    comp = connected_components(pairs)
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    enr = comp.join(d, comp["node"] == d["doc_id"]).select(
+        "node", "component", "n_chars"
+    )
+    rep = enr.groupBy("component").agg(
+        F.max_by("node", F.array(F.col("n_chars"), -F.col("node"))).alias(
+            "keeper"
+        )
+    )
+    return enr.join(F.broadcast(rep), "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.col("n_chars"),
+        (F.col("node") == F.col("keeper")).alias("keep"),
+    )
+
+
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _LONGNUM_RE = "[0-9]{6,}"
 

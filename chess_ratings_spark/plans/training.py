@@ -120,6 +120,132 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_global_shuffle",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    )
+    SELECT substr(key, 1, 1) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(arg_min(doc_id, key) AS BIGINT) AS first_doc,
+           CAST(arg_max(doc_id, key) AS BIGINT) AS last_doc
+    FROM t GROUP BY shard ORDER BY shard
+    """,
+    doc="Global training-data shuffle + sharding: every epoch-ready "
+    "corpus needs its documents in an order UNCORRELATED with crawl/"
+    "source order, stable across re-runs. Shuffle key = md5 of the "
+    "salted doc id (content-independent, bit-equal across engines); "
+    "shard = first hex digit (16 shards). At 100 TB this is "
+    "repartitionByRange on the key + sortWithinPartitions — ONE "
+    "shuffle, no global sort, and late-arriving docs land in the same "
+    "shard position on rebuild. The result proves per-shard balance "
+    "and the shuffle-order endpoints (min_by/max_by on the key) so a "
+    "wrong ordering, not just a wrong partition count, hash-mismatches.",
+    tags=("training", "sample", "documents"),
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    t = d.select("doc_id", "n_chars", key.alias("key"))
+    return (
+        t.groupBy(F.substring("key", 1, 1).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min_by("doc_id", "key").alias("first_doc"),
+            F.max_by("doc_id", "key").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "sample_quality_buckets",
+    oracle="""
+    WITH s AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM documents
+    ), q AS (
+      SELECT max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1
+                      THEN n_chars END) AS q1,
+             max(CASE WHEN rn = CAST(floor(0.50 * (n - 1)) AS BIGINT) + 1
+                      THEN n_chars END) AS q2,
+             max(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1
+                      THEN n_chars END) AS q3
+      FROM s
+    )
+    SELECT CAST(1 + CASE WHEN n_chars > q1 THEN 1 ELSE 0 END
+                  + CASE WHEN n_chars > q2 THEN 1 ELSE 0 END
+                  + CASE WHEN n_chars > q3 THEN 1 ELSE 0 END AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents, q
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Curriculum / quality binning: bucket documents into quartiles "
+    "of a quality signal (n_chars here) by BOUNDARY ASSIGNMENT, not "
+    "ntile — three quartile scalars are computed once and broadcast, "
+    "then every document is assigned by three comparisons, so the "
+    "assignment stage (the one that touches all 100 TB) is "
+    "embarrassingly parallel with no global sort. The boundary job "
+    "here is an exact discrete lower-bracket rank pick over the single "
+    "quality column (identical float-free index math both engines — "
+    "what makes the oracle exact); at production scale that one-column "
+    "pass swaps to percentile_approx's mergeable sketch, changing only "
+    "the boundary values' precision, never the assignment shape. Ties "
+    "at a boundary go to the lower bucket on BOTH engines.",
+    tags=("training", "sample", "documents"),
+)
+def sample_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = tables.load(spark, sf_dir, "documents")
+    s = d.select(
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    q = s.agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == (F.floor(F.lit(p) * (F.col("n") - 1)) + 1),
+                    F.col("n_chars"),
+                )
+            ).alias(name)
+            for p, name in [(0.25, "q1"), (0.50, "q2"), (0.75, "q3")]
+        ]
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("n_chars") > F.col("q1")).cast("int")
+        + (F.col("n_chars") > F.col("q2")).cast("int")
+        + (F.col("n_chars") > F.col("q3")).cast("int")
+    ).alias("bucket")
+    return (
+        d.crossJoin(F.broadcast(q))
+        .groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality gate (Gopher-style rules)
 # ---------------------------------------------------------------------------

