@@ -7,6 +7,7 @@ exposes the registry to the driver.
 
 from chess_ratings_spark.plans import (  # noqa: F401
     analytics,
+    corpus,
     depth,
     extras,
     formats,

@@ -1,0 +1,255 @@
+"""Corpus-hygiene tier: the cross-document cleanup passes a 100 TB
+pre-training pipeline runs AFTER per-document filters and BEFORE
+tokenization — C4-style cross-corpus segment dedup, exact duplicated
+substring-span removal (Lee et al. 2021, "Deduplicating Training Data
+Makes Language Models Better"), Gopher repetition diagnostics, a hashed
+linear quality classifier, and lakehouse/temporal verbs (SCD2 history,
+binned big-big interval join, incremental-vs-full maintenance proof) —
+all expressed as pure DataFrame plans: every blocking step is an
+equi-join on a derived key, every checksum is an order-independent
+integer sum, no Python on the row path.
+
+The document fixtures are flat space-separated token streams (no
+newlines), so "line" granularity here is a fixed 10-token segment —
+the same plan applies verbatim to newline-split text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chess_ratings_spark import tables
+from chess_ratings_spark.registry import register
+
+# Order-independent corpus checksum: each doc's rebuilt text hashes to a
+# 32-bit int (md5 prefix), summed per group — commutative, so the value
+# is stable under any shuffle/partition layout while still pinning every
+# byte of every rebuilt document.
+def _text_checksum(col: str) -> F.Column:
+    return (
+        F.sum(
+            F.conv(F.substring(F.md5(F.coalesce(F.col(col), F.lit(""))), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+        )
+    ).cast("bigint")
+
+
+_SEG_W = 10  # tokens per pseudo-line segment
+
+
+@register(
+    "dedup_lines_corpus",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), segs AS (
+      SELECT doc_id, source, u.i AS seg_idx,
+             array_to_string(t[u.i*10+1 : u.i*10+10], ' ') AS seg
+      FROM base, LATERAL (
+        SELECT unnest(range(0, CAST(ceil(len(t) / 10.0) AS INT))) AS i
+      ) AS u
+    ), ranked AS (
+      SELECT doc_id, source, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    ), rebuilt AS (
+      SELECT doc_id, any_value(source) AS source,
+             count(*) AS n_seg,
+             count(*) FILTER (rn = 1) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) FILTER (rn = 1) AS new_text
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (n_kept < n_seg) AS BIGINT) AS n_docs_pruned,
+           CAST(sum(n_seg) AS BIGINT) AS n_seg_total,
+           CAST(sum(n_kept) AS BIGINT) AS n_seg_kept,
+           CAST(sum(('0x' || substr(md5(coalesce(new_text, '')), 1, 8))::UBIGINT)
+                AS BIGINT) AS text_checksum
+    FROM rebuilt GROUP BY source ORDER BY source
+    """,
+    doc="C4-style cross-document line dedup (Raffel et al. 2020 §2.2 "
+    "'we discarded all but one of any three-sentence span occurring "
+    "more than once'), at 10-token segment granularity: segment the "
+    "corpus, keep only the globally-first occurrence of each distinct "
+    "segment (min (doc_id, seg_idx) — a row_number window partitioned "
+    "BY SEGMENT TEXT, i.e. one shuffle keyed on the segment), rebuild "
+    "every document from its surviving segments, and report per-source "
+    "census + an order-independent md5 checksum over every rebuilt "
+    "text. Scale shape: the only wide exchange is the segment-key "
+    "shuffle, whose cardinality is n_tokens/10; rebuild is a doc_id "
+    "groupBy with sort_array(collect_list(struct)) — bounded by doc "
+    "length, never by corpus size. The oracle replays it verbatim.",
+    tags=("corpus", "dedup", "documents"),
+)
+def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(float(_SEG_W))).cast("int")
+    segs = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * _SEG_W + 1, _SEG_W)),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    rebuilt = ranked.groupBy("doc_id").agg(
+        F.any_value(F.col("source")).alias("source"),
+        F.count(F.lit(1)).alias("n_seg"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("new_text"),
+    )
+    return (
+        rebuilt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_kept") < F.col("n_seg"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_pruned"),
+            F.sum("n_seg").cast("bigint").alias("n_seg_total"),
+            F.sum("n_kept").cast("bigint").alias("n_seg_kept"),
+            _text_checksum("new_text").alias("text_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+_SPAN_K = 8  # tokens per duplicated-substring window
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, u.i AS wstart,
+             md5(array_to_string(t[u.i+1 : u.i+8], ' ')) AS h
+      FROM base, LATERAL (
+        SELECT unnest(range(0, greatest(len(t) - 7, 0))) AS i
+      ) AS u
+    ), dups AS (
+      SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+    ), covered AS (
+      SELECT DISTINCT w.doc_id, w.wstart + v.off AS pos
+      FROM wins w JOIN dups USING (h),
+           LATERAL (SELECT unnest(range(0, 8)) AS off) AS v
+    ), toks AS (
+      SELECT doc_id, source, u.j AS pos, t[u.j + 1] AS tok, len(t) AS n_tok
+      FROM base, LATERAL (SELECT unnest(range(0, len(t))) AS j) AS u
+    ), flagged AS (
+      SELECT k.doc_id, k.source, k.pos, k.tok, k.n_tok,
+             c.pos IS NOT NULL AS cov
+      FROM toks k LEFT JOIN covered c
+        ON k.doc_id = c.doc_id AND k.pos = c.pos
+    ), rebuilt AS (
+      SELECT doc_id, any_value(source) AS source, count(*) AS n_before,
+             count(*) FILTER (NOT cov) AS n_after,
+             coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (NOT cov), '')
+               AS new_text
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (n_after < n_before) AS BIGINT) AS n_docs_affected,
+           CAST(sum(n_before) AS BIGINT) AS tokens_before,
+           CAST(sum(n_before - n_after) AS BIGINT) AS tokens_removed,
+           CAST(sum(('0x' || substr(md5(new_text), 1, 8))::UBIGINT) AS BIGINT)
+             AS text_checksum
+    FROM rebuilt GROUP BY source ORDER BY source
+    """,
+    doc="Exact duplicated-substring removal (Lee et al. 2021, ExactSubstr: "
+    "drop every corpus position covered by a k-token span that occurs "
+    ">=2 times anywhere), k=8, re-expressed without suffix arrays as "
+    "three equi-joins: (1) rolling k-token window hashes (linear "
+    "explode, ~n_tokens rows), (2) duplicate hashes = groupBy(h) "
+    "HAVING count>=2 — map-side-combinable, and the join back is an "
+    "equi-join on the hash so hot spans cost their own frequency, not "
+    "a cross product, (3) covered positions = window-start explode x k "
+    "then DISTINCT, anti-joined against the token-position table and "
+    "documents rebuilt from survivors. Census + order-independent md5 "
+    "checksum per source; the oracle replays every step including "
+    "rebuilt-text bytes.",
+    tags=("corpus", "dedup", "documents"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id", "source", toks.alias("t"), F.size(toks).alias("n_tok")
+    )
+    starts = F.when(
+        F.col("n_tok") >= _SPAN_K, F.sequence(F.lit(0), F.col("n_tok") - _SPAN_K)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        "doc_id",
+        F.explode(starts).alias("wstart"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "wstart",
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("wstart") + 1, _SPAN_K))).alias(
+            "h"
+        ),
+    )
+    dups = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    covered = (
+        wins.join(dups.select("h"), "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("wstart"), F.col("wstart") + (_SPAN_K - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("cov", F.lit(1))
+    )
+    tokpos = base.select(
+        "doc_id", "source", "n_tok", F.posexplode("t").alias("pos", "tok")
+    )
+    flagged = tokpos.join(covered, ["doc_id", "pos"], "left")
+    keep = F.col("cov").isNull()
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.any_value(F.col("source")).alias("source"),
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_after"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.when(keep, F.struct("pos", "tok")))),
+                lambda s: s["tok"],
+            ),
+        ).alias("new_text"),
+    )
+    return (
+        rebuilt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_after") < F.col("n_before"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+            F.sum("n_before").cast("bigint").alias("tokens_before"),
+            F.sum(F.col("n_before") - F.col("n_after"))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            _text_checksum("new_text").alias("text_checksum"),
+        )
+        .orderBy("source")
+    )
