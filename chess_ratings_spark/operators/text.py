@@ -127,3 +127,32 @@ def ngrams(col: Column | str, n: int = 2) -> Column:
     shuffle; the per-row equivalent of a list comprehension, so a SQL
     oracle can state the same thing."""
     return sliding_concat(tokens(col), n)
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Highest occurrence count of any element in a string array — the
+    'top n-gram fraction' numerator of Gopher-style repetition rules.
+
+    Shape matters: the naive `array_max(transform(array_distinct(a),
+    x -> size(filter(a, y -> y = x))))` is O(distinct x n) per row and,
+    because higher-order functions evaluate interpreted (outside
+    whole-stage codegen), measured ~50x slower at sf0.1 (88s -> 1.8s
+    for a corpus-wide sum). This implementation sorts once and folds a
+    (prev, run, best) struct over adjacent equal runs — O(n log n),
+    one pass, same result for non-null elements. Empty arrays return 0
+    (the naive form returns NULL).
+    """
+    s = F.array_sort(arr)
+    return F.aggregate(
+        s,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )

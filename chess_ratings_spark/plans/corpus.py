@@ -253,3 +253,105 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             CAST(ceil(len(t) / 10.0) AS INT) AS n_seg,
+             len(list_distinct([array_to_string(t[i*10+1 : i*10+10], ' ')
+                  FOR i IN range(0, CAST(ceil(len(t) / 10.0) AS INT))]))
+               AS n_seg_distinct,
+             len(t) - 1 AS n2,
+             len(list_distinct([array_to_string(t[i : i+1], ' ')
+                  FOR i IN range(1, len(t))])) AS d2,
+             (SELECT max(c) FROM (
+                SELECT count(*) AS c
+                FROM unnest([array_to_string(t[i : i+1], ' ')
+                             FOR i IN range(1, len(t))]) AS g(x)
+                GROUP BY x)) AS top2,
+             len(t) - 2 AS n3,
+             (SELECT max(c) FROM (
+                SELECT count(*) AS c
+                FROM unnest([array_to_string(t[i : i+2], ' ')
+                             FOR i IN range(1, len(t) - 1)]) AS g(x)
+                GROUP BY x)) AS top3
+      FROM base
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (n_seg_distinct < n_seg) AS BIGINT)
+             AS n_dup_seg_docs,
+           CAST(count(*) FILTER (top2 * 16 > n2) AS BIGINT) AS n_top2_viol,
+           CAST(count(*) FILTER (top3 * 25 > n3) AS BIGINT) AS n_top3_viol,
+           CAST(sum(top2) AS BIGINT) AS sum_top2,
+           CAST(sum(top3) AS BIGINT) AS sum_top3,
+           CAST(sum(n2 - d2) AS BIGINT) AS sum_rep2
+    FROM m GROUP BY source ORDER BY source
+    """,
+    doc="Gopher repetition diagnostics (Rae et al. 2021 §A1.1: duplicate "
+    "line fraction, top n-gram fraction, duplicate n-gram fraction) as "
+    "one scan of pure array expressions — per doc: duplicate 10-token "
+    "segments (the 'duplicate lines' analogue), top-2-gram and "
+    "top-3-gram occupancy with integer-ratio thresholds (top2/n2 > "
+    "1/16, top3/n3 > 1/25 — integer cross-multiplication, so the "
+    "threshold compare is exact and engine-portable, never a float "
+    "division), and repeated-2-gram mass (n2 - distinct2). Outputs are "
+    "all integer counts/sums per source — no float reduction anywhere, "
+    "so the driver hash compare is bit-trivial. Per-doc cost is "
+    "O(words x distinct n-grams) inside codegen; no shuffle at all "
+    "until the final per-source agg.",
+    tags=("corpus", "text", "documents"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+
+    def ngrams(width: int) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(1), n - (width - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, width)),
+        )
+
+    from chess_ratings_spark.operators.text import max_multiplicity as top_count
+
+    n_seg = F.ceil(n / F.lit(10.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * 10 + 1, 10)),
+    )
+    g2, g3 = ngrams(2), ngrams(3)
+    m = d.select(
+        "source",
+        n_seg.alias("n_seg"),
+        F.size(F.array_distinct(segs)).alias("n_seg_distinct"),
+        (n - 1).alias("n2"),
+        F.size(F.array_distinct(g2)).alias("d2"),
+        top_count(g2).alias("top2"),
+        (n - 2).alias("n3"),
+        top_count(g3).alias("top3"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_seg_distinct") < F.col("n_seg"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_seg_docs"),
+            F.sum(F.when(F.col("top2") * 16 > F.col("n2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_top2_viol"),
+            F.sum(F.when(F.col("top3") * 25 > F.col("n3"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_top3_viol"),
+            F.sum("top2").cast("bigint").alias("sum_top2"),
+            F.sum("top3").cast("bigint").alias("sum_top3"),
+            F.sum(F.col("n2") - F.col("d2")).cast("bigint").alias("sum_rep2"),
+        )
+        .orderBy("source")
+    )

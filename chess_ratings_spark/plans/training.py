@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from chess_ratings_spark import tables
 from chess_ratings_spark.operators import similarity
+from chess_ratings_spark.operators import text as text_ops
 from chess_ratings_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -307,10 +308,9 @@ def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n_words = F.size(toks)
     mean_wlen = F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_words
-    top_freq = F.expr(
-        "array_max(transform(array_distinct(split(text, ' ')), "
-        "t -> size(filter(split(text, ' '), x -> x = t))))"
-    )
+    # Sorted-run fold, not the O(distinct x n) interpreted-HOF scan —
+    # measured ~50x faster at sf0.1 (see operators/text.max_multiplicity).
+    top_freq = text_ops.max_multiplicity(toks)
     rep_ratio = top_freq * F.lit(1.0) / n_words
     has_stop = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in _STOPWORDS]))
     v = d.select(
@@ -655,10 +655,9 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n_words = F.size(toks)
     mean_wlen = F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_words
-    top_freq = F.expr(
-        "array_max(transform(array_distinct(split(text, ' ')), "
-        "t -> size(filter(split(text, ' '), x -> x = t))))"
-    )
+    # Sorted-run fold, not the O(distinct x n) interpreted-HOF scan —
+    # measured ~50x faster at sf0.1 (see operators/text.max_multiplicity).
+    top_freq = text_ops.max_multiplicity(toks)
     has_stop = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in _STOPWORDS]))
     kept = d.filter(
         n_words.between(20, 80)
