@@ -355,3 +355,171 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH feed AS (
+      SELECT user_id, event_id, ts, round(value, 2) AS value
+      FROM events WHERE user_id % 41 = 0
+    ), v AS (
+      SELECT user_id, value,
+             row_number() OVER w AS version,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+             lead(ts) OVER w IS NULL AS is_current
+      FROM feed
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, valid_from, valid_to,
+           is_current, value
+    FROM v ORDER BY user_id, version
+    """,
+    doc="Slowly-changing-dimension type-2 build from a change feed "
+    "(Kimball SCD2: every attribute change closes the previous version "
+    "and opens a new one): per key, versions ordered by (ts, event_id "
+    "— the unique tiebreak that makes the history deterministic under "
+    "same-second updates), valid_from/valid_to as adjacent-event "
+    "boundaries via lead(), open-ended current row flagged. One window "
+    "over the key partition — the exact shape that scales: building "
+    "SCD2 for 10^9 keys is one shuffle on the key, no self-join, no "
+    "driver state; appending a new day of changes re-windows only the "
+    "affected keys' partitions. Returned for a bounded key subset "
+    "(user_id % 41 = 0) with full row values checked.",
+    tags=("lakehouse", "window", "events"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    feed = ev.filter(F.col("user_id") % 41 == 0).select(
+        "user_id", "event_id", "ts", F.round("value", 2).alias("value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    nxt = F.lead("ts").over(w)
+    return (
+        feed.select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.date_format("ts", fmt).alias("valid_from"),
+            F.date_format(nxt, fmt).alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            "value",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+@register(
+    "mm_scalar_quantize",
+    oracle="""
+    WITH el AS (
+      SELECT u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS v
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) AS u
+    ), st AS (
+      SELECT i, min(v) AS mn, max(v) AS mx FROM el GROUP BY i
+    ), arrs AS (
+      SELECT list(mn ORDER BY i) AS mn_a, list(mx ORDER BY i) AS mx_a FROM st
+    ), enc AS (
+      SELECT e.label,
+        list_sum([CASE WHEN mx_a[i] > mn_a[i]
+           THEN CAST(floor((CAST(embedding[i] AS DOUBLE) - mn_a[i])
+                           / (mx_a[i] - mn_a[i]) * 255.0 + 0.5) AS BIGINT)
+           ELSE 0 END FOR i IN range(1, 65)]) AS code_sum,
+        list_sum([
+          (CAST(embedding[i] AS DOUBLE)
+           - (CASE WHEN mx_a[i] > mn_a[i]
+                THEN mn_a[i]
+                     + CAST(floor((CAST(embedding[i] AS DOUBLE) - mn_a[i])
+                                  / (mx_a[i] - mn_a[i]) * 255.0 + 0.5) AS BIGINT)
+                       / 255.0 * (mx_a[i] - mn_a[i])
+                ELSE mn_a[i] END))
+          * (CAST(embedding[i] AS DOUBLE)
+             - (CASE WHEN mx_a[i] > mn_a[i]
+                  THEN mn_a[i]
+                       + CAST(floor((CAST(embedding[i] AS DOUBLE) - mn_a[i])
+                                    / (mx_a[i] - mn_a[i]) * 255.0 + 0.5) AS BIGINT)
+                         / 255.0 * (mx_a[i] - mn_a[i])
+                  ELSE mn_a[i] END))
+          FOR i IN range(1, 65)]) AS err
+      FROM embeddings e, arrs
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(code_sum) AS BIGINT) AS sum_codes,
+           CAST(sum(CAST(floor(err * 1e9) AS BIGINT)) AS BIGINT) AS sum_err_e9
+    FROM enc GROUP BY label ORDER BY label
+    """,
+    doc="Int8 scalar quantization of the embedding column (the faiss "
+    "SQ8 layout: per-dimension min/max affine map to a 0..255 code, "
+    "4x compression before ANN): pass 1 computes per-dim min/max — a "
+    "posexplode + groupBy(dim), map-side combinable, 64 rows out "
+    "regardless of corpus size; pass 2 broadcasts the 64-entry "
+    "codebook row and encodes every vector with pure array "
+    "expressions (no UDF). Rounding is floor(x + 0.5), never round() "
+    "— identical halfway behavior in every engine. Reported per "
+    "label: code-mass and reconstruction-error checksums as exact "
+    "integers (err scaled by 1e9 and floored per vector BEFORE the "
+    "sum, so the group total is order-independent — the discipline "
+    "this repo uses everywhere float sums would otherwise depend on "
+    "reduction order). The oracle replays codebook, encode, decode "
+    "and error bit-for-bit.",
+    tags=("multimodal", "similarity", "embeddings"),
+)
+def mm_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "embeddings")
+    el = e.select(F.posexplode("embedding").alias("p", "vf")).select(
+        (F.col("p") + 1).alias("i"), F.col("vf").cast("double").alias("v")
+    )
+    st = el.groupBy("i").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    arrs = st.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "mn"))), lambda s: s["mn"]
+        ).alias("mn_a"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "mx"))), lambda s: s["mx"]
+        ).alias("mx_a"),
+    )
+    j = e.crossJoin(F.broadcast(arrs))
+
+    def vd(i):
+        return F.element_at("embedding", i).cast("double")
+
+    def mn(i):
+        return F.element_at("mn_a", i)
+
+    def mx(i):
+        return F.element_at("mx_a", i)
+
+    def code(i):
+        return F.when(
+            mx(i) > mn(i),
+            F.floor((vd(i) - mn(i)) / (mx(i) - mn(i)) * 255.0 + 0.5).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    def recon(i):
+        return F.when(
+            mx(i) > mn(i), mn(i) + code(i) / 255.0 * (mx(i) - mn(i))
+        ).otherwise(mn(i))
+
+    idx = F.sequence(F.lit(1), F.lit(64))
+    code_sum = F.aggregate(
+        F.transform(idx, code), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    err = F.aggregate(
+        F.transform(idx, lambda i: (vd(i) - recon(i)) * (vd(i) - recon(i))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    enc = j.select("label", code_sum.alias("code_sum"), err.alias("err"))
+    return (
+        enc.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("code_sum").cast("bigint").alias("sum_codes"),
+            F.sum(F.floor(F.col("err") * 1e9).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_err_e9"),
+        )
+        .orderBy("label")
+    )
