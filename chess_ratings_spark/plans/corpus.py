@@ -523,3 +523,227 @@ def mm_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "quality_classifier_score",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             -256 + list_sum([
+               (CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 64 AS BIGINT)
+                  * 2654435761 % 97 - 48)
+               FOR w IN string_split(text, ' ')]) AS millis
+      FROM documents
+    )
+    SELECT source,
+           CAST(floor(millis / 1024.0) AS BIGINT) AS logit_floor,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(millis) AS BIGINT) AS sum_millis,
+           CAST(min(millis) AS BIGINT) AS min_millis,
+           CAST(max(millis) AS BIGINT) AS max_millis
+    FROM scored GROUP BY source, logit_floor
+    ORDER BY source, logit_floor
+    """,
+    doc="fastText-shaped linear quality classifier applied at corpus "
+    "scale as pure column expressions: each token hashes to one of 64 "
+    "feature buckets (engine-portable md5-prefix bucket — the same "
+    "bridge operators/maintenance.hash_bucket uses), each bucket "
+    "carries a fixed literal weight derived by a Knuth multiplicative "
+    "mix ((b * 2654435761) % 97 - 48, i.e. an integer in [-48, 48]), "
+    "and a document's logit is bias + sum(weights)/1024. ALL "
+    "arithmetic is integer 1/1024ths ('millis') end-to-end, so the "
+    "score is exact, order-independent, and bit-identical in any "
+    "engine — the way to make model-score reproducibility auditable "
+    "at 100 TB (a float dot product would depend on reduction order). "
+    "One scan, no shuffle before the final group; real classifier "
+    "weights would arrive as a broadcast literal array the same way. "
+    "Output: per (source, floor(logit)) histogram with exact "
+    "mass/min/max checks.",
+    tags=("corpus", "text", "documents"),
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.maintenance import hash_bucket
+
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    w_of = lambda w: hash_bucket(w, 64) * F.lit(2654435761) % 97 - 48
+    millis = F.lit(-256).cast("bigint") + F.aggregate(
+        F.transform(toks, w_of), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    scored = d.select("source", millis.alias("millis"))
+    return (
+        scored.groupBy(
+            "source",
+            F.floor(F.col("millis") / 1024.0).cast("bigint").alias("logit_floor"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("millis").cast("bigint").alias("sum_millis"),
+            F.min("millis").cast("bigint").alias("min_millis"),
+            F.max("millis").cast("bigint").alias("max_millis"),
+        )
+        .orderBy("source", "logit_floor")
+    )
+
+
+@register(
+    "join_interval_binned",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey AS iv_id,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS start_day,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 14 AS end_day
+      FROM orders WHERE o_orderkey % 997 = 0
+    )
+    SELECT iv.iv_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM iv JOIN lineitem l
+      ON (CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') >= iv.start_day
+     AND (CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') < iv.end_day
+    GROUP BY iv.iv_id ORDER BY iv.iv_id
+    """,
+    doc="Big-big interval containment join via bin blocking — the scale "
+    "path for range joins that join_theta_range's broadcast-NLJ shape "
+    "cannot take when BOTH sides are large: each 14-day interval is "
+    "exploded to the 7-day bins it overlaps (<=3 rows), each probe "
+    "timestamp maps to exactly ONE bin, and the join becomes an "
+    "EQUI-join on bin id followed by the exact range predicate — no "
+    "nested loop, no cross product, and no dedup step needed because "
+    "a probe's single bin meets each interval at most once. Bin width "
+    "~ interval length keeps the replication factor ~2-3x; skewed "
+    "probe density degrades to an ordinary skewed equi-join (AQE/salt "
+    "territory), never to O(n x m). Oracle is the naive range join.",
+    tags=("join", "scale"),
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _BIN = 7
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    epoch = F.to_date(F.lit("1970-01-01"))
+    start = F.datediff(F.to_date("o_orderdate"), epoch)
+    iv = o.filter(F.col("o_orderkey") % 997 == 0).select(
+        F.col("o_orderkey").alias("iv_id"),
+        start.alias("start_day"),
+        (start + 14).alias("end_day"),
+    )
+    iv_binned = iv.select(
+        "iv_id",
+        "start_day",
+        "end_day",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_day") / _BIN),
+                F.floor((F.col("end_day") - 1) / _BIN),
+            )
+        ).alias("bin"),
+    )
+    probe = li.select(
+        F.datediff(F.to_date("l_shipdate"), epoch).alias("ship_day"),
+        "l_quantity",
+    ).withColumn("bin", F.floor(F.col("ship_day") / _BIN))
+    j = probe.join(iv_binned, "bin").filter(
+        (F.col("ship_day") >= F.col("start_day"))
+        & (F.col("ship_day") < F.col("end_day"))
+    )
+    return (
+        j.groupBy("iv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("iv_id")
+    )
+
+
+@register(
+    "pipeline_incremental",
+    oracle="""
+    WITH batch AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(floor(value * 1000) AS BIGINT)) AS vm
+      FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY event_type
+    ), delta AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(floor(value * 1000) AS BIGINT)) AS vm
+      FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY event_type
+    ), merged AS (
+      SELECT coalesce(b.event_type, d.event_type) AS event_type,
+             coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+             coalesce(b.vm, 0) + coalesce(d.vm, 0) AS vm
+      FROM batch b FULL OUTER JOIN delta d ON b.event_type = d.event_type
+    ), full_agg AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(floor(value * 1000) AS BIGINT)) AS vm
+      FROM events GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n_merged,
+           CAST(f.n AS BIGINT) AS n_full,
+           m.n = f.n AS count_consistent,
+           CAST(m.vm AS BIGINT) AS vm_merged,
+           CAST(f.vm AS BIGINT) AS vm_full,
+           m.vm = f.vm AS value_consistent
+    FROM merged m JOIN full_agg f ON m.event_type = f.event_type
+    ORDER BY m.event_type
+    """,
+    doc="Incremental-view-maintenance proof — the bookmark pattern every "
+    "incremental 100 TB pipeline rests on: a high-watermark cutoff "
+    "splits the feed into an already-processed batch and a late delta; "
+    "each side computes PARTIAL aggregates (count + exact fixed-point "
+    "value mass — floor(value*1000) per row before summing, so the "
+    "merge is integer arithmetic with no float-order dependence); the "
+    "merge is a full-outer combine on the group key. The query emits "
+    "merged-vs-full-recompute side by side with equality flags — the "
+    "invariant (merge(partials) == recompute(all)) that lets a daily "
+    "pipeline process only the new partition instead of re-scanning "
+    "the lake. Scale shape: in production the batch side is a tiny "
+    "stored summary, the delta side scans one partition — this plan's "
+    "cost is the delta scan alone.",
+    tags=("lakehouse", "events", "streaming-adjacent"),
+)
+def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    vm_row = F.floor(F.col("value") * 1000).cast("bigint")
+
+    def part(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(vm_row).alias("vm")
+        )
+
+    batch = part(ev.filter(F.col("ts") < cutoff))
+    delta = part(ev.filter(F.col("ts") >= cutoff))
+    b, d = batch.alias("b"), delta.alias("d")
+    merged = b.join(
+        d, F.col("b.event_type") == F.col("d.event_type"), "full_outer"
+    ).select(
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias("event_type"),
+        (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias(
+            "n"
+        ),
+        (
+            F.coalesce(F.col("b.vm"), F.lit(0)) + F.coalesce(F.col("d.vm"), F.lit(0))
+        ).alias("vm"),
+    )
+    full_agg = part(ev)
+    m, f = merged.alias("m"), full_agg.alias("f")
+    return (
+        m.join(f, F.col("m.event_type") == F.col("f.event_type"))
+        .select(
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.n").cast("bigint").alias("n_merged"),
+            F.col("f.n").cast("bigint").alias("n_full"),
+            (F.col("m.n") == F.col("f.n")).alias("count_consistent"),
+            F.col("m.vm").cast("bigint").alias("vm_merged"),
+            F.col("f.vm").cast("bigint").alias("vm_full"),
+            (F.col("m.vm") == F.col("f.vm")).alias("value_consistent"),
+        )
+        .orderBy("event_type")
+    )

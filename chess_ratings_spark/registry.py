@@ -41,24 +41,33 @@ REGISTRY: dict[str, Query] = {}
 #: Driver-facing emission order. Two rounds of evidence fixed the cap:
 #: the driver oracle-checks exactly the FIRST 50 names in ``queries()``
 #: iteration order (a fixed 50, not proportional). Round-6 rotation
-#: fronts, in order: the four queries NEW this round (two-star CC,
-#: keep/drop representatives, global shuffle, quality buckets), the
-#: queries whose PLANS changed this round (agg_sketch_quantiles window
-#: rewrite; val_constraints now model-compiled with 11 rows;
-#: tier_r_preprocess + its downstream sinks/backfill now conform to the
-#: declared model schema; both CC variants' lineage hygiene;
-#: dedup_embedding_cosine's corrected band sizing; src_http_zip_xml
-#: through preprocess; stream_interval_join's staging change), then the
-#: oldest-evidence r1/r2 entries to refresh. Names here must exist in
-#: REGISTRY once plans are imported — ``queries()`` raises on a stale
-#: entry.
+#: fronts, in order: the eight corpus-hygiene queries NEW this round
+#: (cross-doc line dedup, substring-span dedup, repetition stats, SCD2,
+#: scalar quantization, quality classifier, binned interval join,
+#: incremental proof), the two plans changed by the max_multiplicity
+#: rewrite (filter_gopher_rules, corpus_prepare), the four queries new
+#: earlier in round 6, the round-6 plan changes, then oldest-evidence
+#: r1/r2 entries to refresh. Names here must exist in REGISTRY once
+#: plans are imported — ``queries()`` raises on a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
-    # --- 0..3: new in round 6 ---
+    # --- new in round 6, second session (corpus-hygiene tier) ---
+    "dedup_lines_corpus",
+    "dedup_substring_spans",
+    "text_repetition_stats",
+    "scd2_history",
+    "mm_scalar_quantize",
+    "quality_classifier_score",
+    "join_interval_binned",
+    "pipeline_incremental",
+    # --- plans changed in round 6 second session (max_multiplicity) ---
+    "filter_gopher_rules",
+    "corpus_prepare",
+    # --- new in round 6, first session ---
     "dedup_cc_twostar",
     "dedup_keep_representatives",
     "sample_global_shuffle",
     "sample_quality_buckets",
-    # --- 4..13: plans changed in round 6 ---
+    # --- plans changed in round 6, first session ---
     "agg_sketch_quantiles",
     "val_constraints",
     "tier_r_preprocess",
@@ -69,7 +78,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "src_http_zip_xml",
     "stream_interval_join",
     "udf_grouped_trend",
-    # --- 14..49: oldest-evidence r1/r2 entries, refreshed ---
+    # --- oldest-evidence r1/r2 entries, refreshed ---
     "proj_rename",
     "proj_add_missing",
     "proj_lit",
@@ -173,11 +182,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
     "sample_hash_split",
-    "filter_gopher_rules",
     "contamination_ngram",
     "doc_chunk_split",
     "doc_pack_tokens",
-    "corpus_prepare",
     "text_normalize",
     "text_idf_topk",
     "dedup_exact_hash",
