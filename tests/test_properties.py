@@ -235,3 +235,32 @@ def test_hash_split_partitions_the_keyspace(spark, keys):
         r.doc_id: r.split for r in sub.select("doc_id", split.alias("split")).collect()
     }
     assert all(assign[k] == assign_sub[k] for k in half)
+
+
+@SLOW
+@given(
+    arrs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd", ""]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_max_multiplicity_matches_naive(spark, arrs):
+    """The sorted-run fold equals the naive O(distinct x n) definition
+    for every array (including empty -> 0 and repeated empty strings) —
+    the law that justified the ~50x rewrite of the Gopher top-count."""
+    from chess_ratings_spark.operators.text import max_multiplicity
+
+    df = spark.createDataFrame([(i, a) for i, a in enumerate(arrs)], "i long, arr array<string>")
+    naive = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("arr")),
+                lambda x: F.size(F.filter(F.col("arr"), lambda y: y == x)),
+            )
+        ),
+        F.lit(0),
+    )
+    rows = df.select(max_multiplicity(F.col("arr")).alias("fast"), naive.alias("slow")).collect()
+    for r in rows:
+        assert r.fast == r.slow
