@@ -128,6 +128,10 @@ def test_driver_order_contract():
         "src_http_zip_xml",  # preprocess conform flows through
         "stream_interval_join",  # shared staged dir instead of coalesce(1)
         "udf_grouped_trend",  # preprocess-adjacent; oldest r5 row
+        # round-6 second session: top-count rewritten to the sorted-run
+        # fold (operators/text.max_multiplicity) inside both plans
+        "filter_gopher_rules",
+        "corpus_prepare",
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r6]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"
