@@ -151,6 +151,101 @@ def run_signbit(spark, factor: int) -> dict:
     }
 
 
+def run_substr(spark, factor: int) -> dict:
+    """Stage census for dedup_substring_spans (plans/corpus.py) on the
+    inflated corpus: the c{c}~ word prefixes guarantee zero cross-copy
+    duplicate 8-grams, so duplicated spans (and removed tokens) must
+    scale LINEARLY with the factor while the dup-hash join stays an
+    equi-join — the claim in the operator docstring."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+
+    K = 8
+    d = inflate_documents(
+        tables.load(spark, SF_DIR, "documents").select("doc_id", "text"), factor
+    )
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n_tok")).cache()
+    n_docs = base.count()
+    t0 = time.perf_counter()
+    starts = F.when(
+        F.col("n_tok") >= K, F.sequence(F.lit(0), F.col("n_tok") - K)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        "doc_id",
+        F.explode(starts).alias("wstart"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("wstart") + 1, K))).alias("h"),
+    ).cache()
+    n_wins = wins.count()
+    dups = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    n_dups = dups.count()
+    t_index = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    covered = (
+        wins.join(dups.select("h"), "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("wstart"), F.col("wstart") + K - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    n_covered = covered.count()
+    t_cover = time.perf_counter() - t0
+    wins.unpersist()
+    base.unpersist()
+    return {
+        "op": "dedup_substring_spans",
+        "factor": factor,
+        "n_docs": n_docs,
+        "n_windows": n_wins,
+        "dup_hashes": n_dups,
+        "tokens_removed": n_covered,
+        "secs_index": round(t_index, 2),
+        "secs_cover": round(t_cover, 2),
+    }
+
+
+def run_lines(spark, factor: int) -> dict:
+    """Stage census for dedup_lines_corpus: distinct segments and
+    removed occurrences must both scale linearly under the
+    prefix-disjoint inflation (no cross-copy segment collisions)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from chess_ratings_spark import tables
+
+    W = 10
+    d = inflate_documents(
+        tables.load(spark, SF_DIR, "documents").select("doc_id", "text"), factor
+    )
+    toks = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(float(W))).cast("int")
+    t0 = time.perf_counter()
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * W + 1, W)),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w)).cache()
+    n_occ = ranked.count()
+    n_removed = ranked.filter(F.col("rn") > 1).count()
+    t_all = time.perf_counter() - t0
+    ranked.unpersist()
+    return {
+        "op": "dedup_lines_corpus",
+        "factor": factor,
+        "seg_occurrences": n_occ,
+        "removed_occurrences": n_removed,
+        "secs": round(t_all, 2),
+    }
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
     from chess_ratings_spark.session import get_spark
@@ -158,7 +253,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()
