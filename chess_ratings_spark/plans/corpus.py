@@ -747,3 +747,184 @@ def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "text_perplexity_filter",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, source, array_to_string(t[u.i : u.i+1], ' ') AS bg
+      FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i) AS u
+    ), model AS (
+      SELECT bg, count(*) AS c FROM bg GROUP BY bg
+    ), tot AS (
+      SELECT count(*) AS n FROM bg
+    ), scored AS (
+      SELECT b.doc_id, any_value(b.source) AS source, count(*) AS n_bg,
+             sum(CAST(floor(ln(m.c * 1.0 / t.n) * 1000000) AS BIGINT)) AS nll_e6
+      FROM bg b JOIN model m USING (bg), tot t
+      GROUP BY b.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nll_e6) AS BIGINT) AS sum_nll_e6,
+           CAST(sum(n_bg) AS BIGINT) AS sum_bigrams,
+           CAST(count(*) FILTER (nll_e6 < -6800000 * n_bg) AS BIGINT)
+             AS n_flagged
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    doc="CCNet-style perplexity filtering (Wenzek et al. 2020: score "
+    "each document under a language model; outliers are boilerplate / "
+    "gibberish candidates), with the LM as a word-bigram MLE fit on "
+    "the corpus itself: pass 1 builds the bigram count model (one "
+    "groupBy — map-side combinable), pass 2 equi-joins every document "
+    "bigram occurrence against the model and folds per-occurrence "
+    "log-probs. Determinism discipline: each occurrence contributes "
+    "floor(ln(p)*1e6) — an INTEGER per distinct bigram — so per-doc "
+    "and per-source totals are exact integer sums, order-independent; "
+    "the flag threshold (mean log-prob < -6.8) is the integer "
+    "cross-multiplication nll_e6 < -6800000*n_bg, never a float "
+    "division. At 100 TB the model side is the vocabulary-squared "
+    "long tail — kept as a shuffle equi-join (NOT broadcast); a "
+    "production variant would prune the model to top-K bigrams + an "
+    "UNK floor, which only changes the model CTE.",
+    tags=("corpus", "text", "documents"),
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            )
+        ).alias("bg"),
+    )
+    model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n"))
+    lp = F.floor(F.log(F.col("c") * F.lit(1.0) / F.col("n")) * 1000000).cast("bigint")
+    scored = (
+        bg.join(model, "bg")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("source")).alias("source"),
+            F.count(F.lit(1)).alias("n_bg"),
+            F.sum(lp).alias("nll_e6"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
+            F.sum("n_bg").cast("bigint").alias("sum_bigrams"),
+            F.sum(
+                F.when(F.col("nll_e6") < F.lit(-6800000) * F.col("n_bg"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+             || 'Example' || CAST(doc_id % 5 AS VARCHAR) || '.com/page/'
+             || CAST(doc_id % 250 AS VARCHAR)
+             || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 11 = 0 THEN '?utm_source=feed&ref=rss'
+                 ELSE '' END) AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url), '^https?://', ''), '^www\\.', ''), '\\?.*$', ''),
+               '/$', '') AS canonical
+      FROM urls
+    ), grouped AS (
+      SELECT canonical, regexp_extract(canonical, '^([^/]+)', 1) AS host,
+             count(*) AS n_variants, min(doc_id) AS keeper
+      FROM canon GROUP BY canonical
+    )
+    SELECT host,
+           CAST(sum(n_variants) AS BIGINT) AS n_urls,
+           CAST(count(*) AS BIGINT) AS n_canonical,
+           CAST(sum(n_variants) - count(*) AS BIGINT) AS n_dropped,
+           CAST(sum(keeper) AS BIGINT) AS keeper_id_sum,
+           CAST(sum(('0x' || substr(md5(canonical), 1, 8))::UBIGINT) AS BIGINT)
+             AS canonical_checksum
+    FROM grouped GROUP BY host ORDER BY host
+    """,
+    doc="URL canonicalization + dedup — the crawl-side dedup every web "
+    "corpus runs BEFORE content dedup (CommonCrawl-style: the same "
+    "page arrives under http/https, with/without www., trailing "
+    "slash, and tracking params): canonical form = lowercase, scheme "
+    "stripped, www. stripped, query string stripped, trailing slash "
+    "stripped — a regexp_replace chain identical in both engines — "
+    "then keep the smallest doc_id per canonical URL. The fixture has "
+    "no URL column, so dirty variants are GENERATED deterministically "
+    "from doc_id (every noise axis exercised: 2 schemes x www x slash "
+    "x params, collapsing 2:1 onto 250 pages x 5 hosts); the operator "
+    "itself — canonicalize, group, keep-first — is exactly the "
+    "production plan: one shuffle on the canonical key, no Python. "
+    "Per-host census with keeper-id and canonical-text checksums.",
+    tags=("corpus", "dedup", "documents"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Example"),
+        (did % 5).cast("string"),
+        F.lit(".com/page/"),
+        (did % 250).cast("string"),
+        F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("?utm_source=feed&ref=rss")).otherwise(F.lit("")),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "^https?://", ""), r"^www\.", ""
+            ),
+            r"\?.*$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    canon = d.select("doc_id", canonical.alias("canonical"))
+    grouped = canon.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_variants"), F.min("doc_id").alias("keeper")
+    )
+    return (
+        grouped.groupBy(
+            F.regexp_extract("canonical", "^([^/]+)", 1).alias("host")
+        )
+        .agg(
+            F.sum("n_variants").cast("bigint").alias("n_urls"),
+            F.count(F.lit(1)).alias("n_canonical"),
+            (F.sum("n_variants") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+            F.sum("keeper").cast("bigint").alias("keeper_id_sum"),
+            F.sum(
+                F.conv(F.substring(F.md5("canonical"), 1, 8), 16, 10).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("canonical_checksum"),
+        )
+        .orderBy("host")
+    )

@@ -59,6 +59,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "quality_classifier_score",
     "join_interval_binned",
     "pipeline_incremental",
+    "text_perplexity_filter",
+    "dedup_url_canonical",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
