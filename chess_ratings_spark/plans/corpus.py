@@ -807,6 +807,9 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg"),
     )
     model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    # scalar total: a ONE-row broadcast cross — the single legitimate
+    # BroadcastNestedLoopJoin shape (cost O(n) x 1); a constant-key
+    # equi-join folds back to the same plan anyway
     tot = bg.agg(F.count(F.lit(1)).alias("n"))
     lp = F.floor(F.log(F.col("c") * F.lit(1.0) / F.col("n")) * 1000000).cast("bigint")
     scored = (

@@ -110,3 +110,28 @@ def test_plan_proof_queries_survive_reflection_loss(spark, name, monkeypatch):
     monkeypatch.setattr(scale, "_with_query_execution", lambda df, extract: None)
     row = REGISTRY[name].fn(spark, SF_SMOKE).collect()[0]
     assert row["proof_available"] is False
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "join_interval_binned",
+        "dedup_substring_spans",
+        "dedup_lines_corpus",
+        "text_perplexity_filter",
+        "dedup_url_canonical",
+    ],
+)
+def test_corpus_tier_never_goes_quadratic(spark, name):
+    """Corpus-hygiene tier plan proof: the bin/hash blocking must reach
+    the physical plan as equi-joins — no cartesian product, and no
+    nested-loop join except the one legitimate shape: broadcasting a
+    single-row scalar aggregate (text_perplexity_filter's corpus-total
+    attach — O(n) x 1 by construction; Catalyst folds any constant-key
+    equi-join back to this plan)."""
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p
+    if name == "text_perplexity_filter":
+        assert p.count("BroadcastNestedLoopJoin") == 1
+    else:
+        assert "BroadcastNestedLoopJoin" not in p
