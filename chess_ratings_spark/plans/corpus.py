@@ -312,11 +312,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.split(F.col("text"), " ")
     n = F.size(t)
 
+    from chess_ratings_spark.operators.text import sliding_concat
+
     def ngrams(width: int) -> F.Column:
-        return F.transform(
-            F.sequence(F.lit(1), n - (width - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, width)),
-        )
+        return sliding_concat(t, width)
 
     from chess_ratings_spark.operators.text import max_multiplicity as top_count
 
@@ -796,15 +795,15 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     n = F.size(t)
+    from chess_ratings_spark.operators.text import sliding_concat
+
+    # sliding_concat (shifted-slice zip_with fold), NOT transform+slice:
+    # the per-position re-slice form measured 6x slower at sf0.1, and
+    # this subtree is evaluated on all three branches (probe/model/total)
     bg = d.select(
         "doc_id",
         "source",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
-            )
-        ).alias("bg"),
+        F.explode(sliding_concat(t, 2)).alias("bg"),
     )
     model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     # scalar total: a ONE-row broadcast cross — the single legitimate
