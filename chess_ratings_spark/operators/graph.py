@@ -220,3 +220,67 @@ def connected_components_twostar(
     )
     all_nodes.unpersist()
     return labels
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    iters: int = 10,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(node, rank) after `iters` PageRank power iterations in EXACT
+    integer fixed-point arithmetic: ranks live in units of 1/scale,
+    per-edge contribution is rank div out_degree (integer division),
+    and the damping step is (damping_pct * s) div 100 — no floats
+    anywhere, so the result is bit-identical on any engine, partition
+    layout, or reduction order (the property that makes an iterative
+    numeric job auditable; float PageRank differs per run by summation
+    order). Dangling mass is dropped, not redistributed — the variant
+    with an exact integer form; document the choice where ranking
+    absolute values matter.
+
+    Scale shape per iteration: one equi-join of the static
+    (edges ⋈ out-degree) relation against the current ranks, one
+    map-side-combinable sum keyed on dst, one left join back to the
+    node set. Same lineage hygiene as connected_components: static
+    relations checkpointed once, each round's ranks eagerly
+    localCheckpoint-ed and the superseded round unpersisted.
+    """
+    base = scale - (damping_pct * scale) // 100
+    with _loop_shuffle_partitions(edges):
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+        ranks = nodes.select(
+            "node", F.lit(scale).cast("bigint").alias("rank")
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            contrib = (
+                edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+                .select("dst", F.expr("rank div d").alias("part"))
+                .groupBy("dst")
+                .agg(F.sum("part").alias("s"))
+            )
+            new_ranks = (
+                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+                    )
+                    .cast("bigint")
+                    .alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            ranks.unpersist()
+            ranks = new_ranks
+        nodes.unpersist()
+        edges_deg.unpersist()
+    return ranks

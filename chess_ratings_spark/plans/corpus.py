@@ -930,3 +930,159 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+#: 10 power iterations unrolled as chained CTEs — recursive CTEs cannot
+#: aggregate over the recursive reference, and an unrolled chain states
+#: the same integer arithmetic the Spark loop runs, term for term.
+_PAGERANK_ORACLE = """WITH edges AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), deg AS (
+      SELECT src, count(*) AS d FROM edges GROUP BY src
+    ), pr0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+    ),
+    c1 AS (
+      SELECT e.dst AS node, sum(p.rank // g.d) AS s
+      FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ), pr1 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c1 c ON n.node = c.node
+    ),
+    c2 AS (
+      SELECT e.dst AS node, sum(p.rank // g.d) AS s
+      FROM edges e JOIN pr1 p ON e.src = p.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ), pr2 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c2 c ON n.node = c.node
+    ),
+    c3 AS (
+      SELECT e.dst AS node, sum(p.rank // g.d) AS s
+      FROM edges e JOIN pr2 p ON e.src = p.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ), pr3 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c3 c ON n.node = c.node
+    ),
+    c4 AS (
+      SELECT e.dst AS node, sum(p.rank // g.d) AS s
+      FROM edges e JOIN pr3 p ON e.src = p.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ), pr4 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c4 c ON n.node = c.node
+    ),
+    c5 AS (
+      SELECT e.dst AS node, sum(p.rank // g.d) AS s
+      FROM edges e JOIN pr4 p ON e.src = p.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ), pr5 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c5 c ON n.node = c.node
+    ),
+    c6 AS (
+      SELECT e.dst AS node, sum(p.rank // g.d) AS s
+      FROM edges e JOIN pr5 p ON e.src = p.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ), pr6 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c6 c ON n.node = c.node
+    ),
+    c7 AS (
+      SELECT e.dst AS node, sum(p.rank // g.d) AS s
+      FROM edges e JOIN pr6 p ON e.src = p.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ), pr7 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c7 c ON n.node = c.node
+    ),
+    c8 AS (
+      SELECT e.dst AS node, sum(p.rank // g.d) AS s
+      FROM edges e JOIN pr7 p ON e.src = p.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ), pr8 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c8 c ON n.node = c.node
+    ),
+    c9 AS (
+      SELECT e.dst AS node, sum(p.rank // g.d) AS s
+      FROM edges e JOIN pr8 p ON e.src = p.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ), pr9 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c9 c ON n.node = c.node
+    ),
+    c10 AS (
+      SELECT e.dst AS node, sum(p.rank // g.d) AS s
+      FROM edges e JOIN pr9 p ON e.src = p.node JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ), pr10 AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c10 c ON n.node = c.node
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           rank AS rank_e6
+    FROM pr10
+    ORDER BY rank_e6 DESC, node LIMIT 20"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=_PAGERANK_ORACLE,
+    doc="PageRank over the customer->supplier purchase graph (edges = "
+    "distinct (o_custkey, l_suppkey) via orders x lineitem; node ids "
+    "disambiguated by even/odd encoding), 10 power iterations in EXACT "
+    "integer fixed-point (operators/graph.pagerank_fixedpoint): rank "
+    "in millionths, per-edge contribution rank div degree, damping as "
+    "(85*s) div 100 — bit-identical across engines and partition "
+    "layouts, which is what makes an iterative numeric job oracle-able "
+    "at all (float PageRank varies per run with reduction order). "
+    "Per-iteration cost is one equi-join + one keyed sum + one left "
+    "join; static relations checkpointed once, superseded rank states "
+    "unpersisted — the identical loop hygiene as the CC operators. "
+    "Returns the top-20 entities by rank with deterministic tiebreak.",
+    tags=("graph", "analytics"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.graph import pagerank_fixedpoint
+
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_fixedpoint(edges, iters=10)
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("kind"),
+            F.expr("node div 2").cast("bigint").alias("entity_id"),
+            F.col("rank").alias("rank_e6"),
+            F.col("node").alias("__n"),
+        )
+        .orderBy(F.col("rank_e6").desc(), F.col("__n"))
+        .limit(20)
+        .drop("__n")
+    )

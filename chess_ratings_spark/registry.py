@@ -61,6 +61,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "pipeline_incremental",
     "text_perplexity_filter",
     "dedup_url_canonical",
+    "graph_pagerank",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",

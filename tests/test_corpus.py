@@ -196,3 +196,21 @@ def test_scalar_quantize_error_bound(spark):
     for r in rows:
         assert 0 <= r["sum_err_e9"] <= r["n_vecs"] * bound_per_vec_e9
         assert 0 <= r["sum_codes"] <= r["n_vecs"] * 64 * 255
+
+
+def test_pagerank_fixedpoint_invariants(spark):
+    """Integer PageRank: every rank >= the base mass (150000 e6ths);
+    pure sinks (suppliers — in-links only in the bipartite purchase
+    graph) hold every top slot because customer ranks never exceed the
+    base (no in-edges); re-running yields bit-identical ranks."""
+    rows = REGISTRY["graph_pagerank"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    assert all(r["rank_e6"] >= 150000 for r in rows)
+    # customers have no in-edges in the bipartite purchase graph, so
+    # their rank is EXACTLY the base mass; suppliers accumulate it
+    assert all(r["rank_e6"] == 150000 for r in rows if r["kind"] == "customer")
+    assert any(r["kind"] == "supplier" and r["rank_e6"] > 150000 for r in rows)
+    ranks = [r["rank_e6"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    again = [r["rank_e6"] for r in REGISTRY["graph_pagerank"].fn(spark, SF_SMOKE).collect()]
+    assert again == ranks
