@@ -1086,3 +1086,172 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("__n")
     )
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle="""
+    WITH reps AS (SELECT unnest(range(1, 9)) AS rep),
+    w AS (
+      SELECT d.doc_id, r.rep,
+             ('0x' || substr(md5('boot:' || CAST(r.rep AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS u,
+             len(string_split(d.text, ' ')) AS n_tok
+      FROM documents d, reps r
+    ), wt AS (
+      SELECT doc_id, rep, n_tok,
+             CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 WHEN u < 920 THEN 2
+                  WHEN u < 981 THEN 3 WHEN u < 996 THEN 4 WHEN u < 999 THEN 5
+                  ELSE 6 END AS w
+      FROM w
+    )
+    SELECT CAST(rep AS INT) AS rep,
+           CAST(sum(w) AS BIGINT) AS n_eff_docs,
+           CAST(sum(w * n_tok) AS BIGINT) AS token_estimate
+    FROM wt GROUP BY rep ORDER BY rep
+    """,
+    doc="Deterministic Poisson bootstrap (Chamandy et al., Google 2012 "
+    "'Estimating Uncertainty for Massive Data Streams'): 8 bootstrap "
+    "replicates of the corpus token-count estimator WITHOUT "
+    "resampling — each (row, replicate) draws a Poisson(1) weight by "
+    "pushing a salted md5 hash through the integer inverse-CDF "
+    "thresholds (368/736/920/981/996/999 of 1000), so every weight "
+    "is a pure function of (key, replicate): reproducible across "
+    "engines, re-runs, and late data, the same discipline as the "
+    "hash splits. One scan x R replicates (a literal explode, no "
+    "shuffle until the per-replicate agg); the spread of the 8 "
+    "estimates IS the uncertainty interval a 100 TB census reports "
+    "without a second pass. All-integer output.",
+    tags=("corpus", "sampling", "documents"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    reps = F.explode(F.sequence(F.lit(1), F.lit(8))).alias("rep")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    w = (
+        F.when(u < 368, 0)
+        .when(u < 736, 1)
+        .when(u < 920, 2)
+        .when(u < 981, 3)
+        .when(u < 996, 4)
+        .when(u < 999, 5)
+        .otherwise(6)
+    )
+    n_tok = F.size(F.split("text", " "))
+    tagged = d.select("doc_id", n_tok.alias("n_tok"), reps).select(
+        F.col("rep").cast("int").alias("rep"), w.alias("w"), "n_tok"
+    )
+    return (
+        tagged.groupBy("rep")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff_docs"),
+            F.sum(F.col("w") * F.col("n_tok")).cast("bigint").alias("token_estimate"),
+        )
+        .orderBy("rep")
+    )
+
+
+@register(
+    "val_distribution_drift",
+    oracle="""
+    WITH early AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, count(*) AS a
+      FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY event_type, bin
+    ), late AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, count(*) AS b
+      FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY event_type, bin
+    ), tot AS (
+      SELECT e.event_type, sum(e.a) AS na, l.nb
+      FROM early e JOIN (SELECT event_type, sum(b) AS nb FROM late GROUP BY event_type) l
+        ON e.event_type = l.event_type
+      GROUP BY e.event_type, l.nb
+    ), joined AS (
+      SELECT coalesce(e.event_type, l.event_type) AS event_type,
+             coalesce(e.a, 0) AS a, coalesce(l.b, 0) AS b
+      FROM early e FULL OUTER JOIN late l
+        ON e.event_type = l.event_type AND e.bin = l.bin
+    )
+    SELECT t.event_type,
+           CAST(t.na AS BIGINT) AS n_early,
+           CAST(t.nb AS BIGINT) AS n_late,
+           CAST(sum(abs(j.a * t.nb - j.b * t.na)) AS BIGINT) AS tvd_numerator
+    FROM joined j JOIN tot t ON j.event_type = t.event_type
+    GROUP BY t.event_type, t.na, t.nb ORDER BY t.event_type
+    """,
+    doc="Distribution-drift monitor between the early and late halves "
+    "of the feed (the production check a pipeline runs before "
+    "trusting a new partition): per event_type, total variation "
+    "distance between the two value histograms (integer floor(value) "
+    "bins), emitted as the EXACT integer numerator "
+    "sum|a*nb - b*na| — TVD = numerator / (2*na*nb) — so the drift "
+    "score involves no float division, no ln (PSI's failure mode on "
+    "empty bins), and no reduction-order sensitivity. Bins absent on "
+    "one side count with mass 0 via the full-outer bin join — "
+    "exactly where drift hides. Shapes: two filtered scans, keyed "
+    "aggs, one full-outer equi-join on (type, bin).",
+    tags=("validation", "events", "lakehouse"),
+)
+def val_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    binc = F.floor("value").cast("bigint").alias("bin")
+    early = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("event_type", binc)
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    late = (
+        ev.filter(F.col("ts") >= cutoff)
+        .groupBy("event_type", binc)
+        .agg(F.count(F.lit(1)).alias("b"))
+    )
+    na = early.groupBy("event_type").agg(F.sum("a").alias("na"))
+    nb = late.groupBy("event_type").agg(F.sum("b").alias("nb"))
+    tot = na.join(nb, "event_type")
+    e, l = early.alias("e"), late.alias("l")
+    joined = e.join(
+        l,
+        (F.col("e.event_type") == F.col("l.event_type"))
+        & (F.col("e.bin") == F.col("l.bin")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("e.event_type"), F.col("l.event_type")).alias("event_type"),
+        F.coalesce(F.col("e.a"), F.lit(0)).alias("a"),
+        F.coalesce(F.col("l.b"), F.lit(0)).alias("b"),
+    )
+    return (
+        joined.join(tot, "event_type")
+        .groupBy("event_type", "na", "nb")
+        .agg(
+            F.sum(F.abs(F.col("a") * F.col("nb") - F.col("b") * F.col("na")))
+            .cast("bigint")
+            .alias("tvd_numerator")
+        )
+        .select(
+            "event_type",
+            F.col("na").cast("bigint").alias("n_early"),
+            F.col("nb").cast("bigint").alias("n_late"),
+            "tvd_numerator",
+        )
+        .orderBy("event_type")
+    )

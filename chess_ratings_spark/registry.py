@@ -62,6 +62,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_perplexity_filter",
     "dedup_url_canonical",
     "graph_pagerank",
+    "sample_poisson_bootstrap",
+    "val_distribution_drift",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
