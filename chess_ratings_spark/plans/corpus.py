@@ -98,18 +98,31 @@ def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg_idx", "seg"),
     )
-    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
-    ranked = segs.withColumn("rn", F.row_number().over(w))
-    rebuilt = ranked.groupBy("doc_id").agg(
+    # keep-first via min(struct(doc_id, seg_idx)) per segment, NOT a
+    # row_number window: the min-agg partially aggregates map-side, so a
+    # hot segment (boilerplate line repeated 10^8 times) costs one
+    # combiner cell per map task instead of forcing its every occurrence
+    # through a single window partition — the skew-immune form of the
+    # same keep rule (the SQL oracle states it as the rn=1 window, which
+    # is the identical relation).
+    mins = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first_occ")
+    )
+    flagged = segs.join(mins, "seg").withColumn(
+        "is_first",
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("seg_idx") == F.col("first_occ.seg_idx")),
+    )
+    rebuilt = flagged.groupBy("doc_id").agg(
         F.any_value(F.col("source")).alias("source"),
         F.count(F.lit(1)).alias("n_seg"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("n_kept"),
         F.concat_ws(
             " ",
             F.transform(
                 F.sort_array(
                     F.collect_list(
-                        F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+                        F.when(F.col("is_first"), F.struct("seg_idx", "seg"))
                     )
                 ),
                 lambda s: s["seg"],
