@@ -74,8 +74,10 @@ _SEG_W = 10  # tokens per pseudo-line segment
     "'we discarded all but one of any three-sentence span occurring "
     "more than once'), at 10-token segment granularity: segment the "
     "corpus, keep only the globally-first occurrence of each distinct "
-    "segment (min (doc_id, seg_idx) — a row_number window partitioned "
-    "BY SEGMENT TEXT, i.e. one shuffle keyed on the segment), rebuild "
+    "segment (min(struct(doc_id, seg_idx)) per segment — a map-side-"
+    "combinable agg keyed on the segment, skew-immune on hot "
+    "boilerplate lines where a window would funnel one partition), "
+    "rebuild "
     "every document from its surviving segments, and report per-source "
     "census + an order-independent md5 checksum over every rebuilt "
     "text. Scale shape: the only wide exchange is the segment-key "
