@@ -1270,3 +1270,97 @@ def val_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_COS_SQL = """list_sum(list_transform(list_zip({a}, {b}),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(list_zip({a}, {a}),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(list_zip({b}, {b}),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))"""
+
+
+@register(
+    "sim_maxsim_multivector",
+    oracle="""
+    WITH q AS (
+      SELECT label AS ql, vec_id AS qid, embedding AS qv,
+             row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      FROM embeddings WHERE label IN (0, 1, 2)
+    ), qs AS (SELECT ql, qid, qv FROM q WHERE rn <= 8),
+    c AS (
+      SELECT label AS cl, vec_id AS cid, embedding AS cv,
+             row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      FROM embeddings
+    ), cs AS (SELECT cl, cid, cv FROM c WHERE rn <= 16),
+    pairs AS (
+      SELECT ql, cl, qid,
+             CAST(floor("""
+    + _COS_SQL.format(a="qv", b="cv")
+    + """ * 1000000000) AS BIGINT) AS cos_e9
+      FROM qs JOIN cs ON ql != cl
+    ), best AS (
+      SELECT ql, cl, qid, max(cos_e9) AS m FROM pairs GROUP BY ql, cl, qid
+    ), score AS (
+      SELECT ql, cl, CAST(sum(m) AS BIGINT) AS maxsim_e9
+      FROM best GROUP BY ql, cl
+    ), ranked AS (
+      SELECT ql, cl, maxsim_e9,
+             row_number() OVER (PARTITION BY ql
+                                ORDER BY maxsim_e9 DESC, cl) AS rank
+      FROM score
+    )
+    SELECT ql AS query_label, cl AS candidate_label, maxsim_e9,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3 ORDER BY query_label, rank
+    """,
+    doc="ColBERT-style late-interaction retrieval (Khattab & Zaharia "
+    "2020, MaxSim): treating each label's vectors as one multi-vector "
+    "document, score(query doc, candidate doc) = sum over query "
+    "vectors of the max cosine against any candidate vector — the "
+    "scoring that beats single-vector retrieval because each query "
+    "token matches its own best passage token. Token sets are bounded "
+    "deterministically (8 query / 16 candidate vectors per label via "
+    "row_number — the production analogue of fixed per-doc token "
+    "budgets), so the pair block is O(labels^2 x 128), independent of "
+    "corpus sf; per-pair cosine is the repo's bit-exact left-fold "
+    "dot, floored to an e9 integer BEFORE the per-query-vector max "
+    "and the per-document sum, keeping the whole score exact and "
+    "order-independent. Top-3 candidates per query label.",
+    tags=("similarity", "embeddings"),
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.similarity import cosine
+
+    e = tables.load(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    ranked = e.select(
+        "label", "vec_id", "embedding", F.row_number().over(w).alias("rn")
+    )
+    qs = ranked.filter(F.col("label").isin(0, 1, 2) & (F.col("rn") <= 8)).select(
+        F.col("label").alias("ql"), F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+    )
+    cs = ranked.filter(F.col("rn") <= 16).select(
+        F.col("label").alias("cl"), F.col("embedding").alias("cv")
+    )
+    pairs = cs.join(F.broadcast(qs), F.col("ql") != F.col("cl")).select(
+        "ql",
+        "cl",
+        "qid",
+        F.floor(cosine("qv", "cv") * 1000000000).cast("bigint").alias("cos_e9"),
+    )
+    best = pairs.groupBy("ql", "cl", "qid").agg(F.max("cos_e9").alias("m"))
+    score = best.groupBy("ql", "cl").agg(F.sum("m").cast("bigint").alias("maxsim_e9"))
+    wr = Window.partitionBy("ql").orderBy(F.col("maxsim_e9").desc(), F.col("cl"))
+    return (
+        score.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("ql").alias("query_label"),
+            F.col("cl").alias("candidate_label"),
+            "maxsim_e9",
+            "rank",
+        )
+        .orderBy("query_label", "rank")
+    )

@@ -64,6 +64,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "graph_pagerank",
     "sample_poisson_bootstrap",
     "val_distribution_drift",
+    "sim_maxsim_multivector",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
