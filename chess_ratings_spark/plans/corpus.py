@@ -1364,3 +1364,59 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_label", "rank")
     )
+
+
+@register(
+    "win_gap_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_t
+      FROM events WHERE user_id % 29 = 0
+    ), isl AS (
+      SELECT user_id, event_type, rn - rn_t AS island_key,
+             count(*) AS run_len
+      FROM seq GROUP BY user_id, event_type, island_key
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(sum(run_len) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, event_type ORDER BY user_id, event_type
+    """,
+    doc="Gaps-and-islands: maximal runs of CONSECUTIVE same-type events "
+    "per user via the classic rn - rn_per_type difference (constant "
+    "within a run, jumps at each interruption — turning a sequential "
+    "scan problem into two windows + a groupBy, no self-join, no "
+    "iteration). The production shape for streak/run analytics (login "
+    "streaks, consecutive failures before an alert): both windows "
+    "partition by user, so one shuffle on the user key serves "
+    "everything, per-partition cost is the sort a key's own history "
+    "needs. Deterministic under same-timestamp events via the "
+    "event_id tiebreak. Bounded key subset, full values checked.",
+    tags=("window", "events"),
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("island_key"),
+    )
+    isl = seq.groupBy("user_id", "event_type", "island_key").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        isl.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").cast("bigint").alias("longest_run"),
+            F.sum("run_len").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "event_type")
+    )

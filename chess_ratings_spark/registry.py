@@ -65,6 +65,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sample_poisson_bootstrap",
     "val_distribution_drift",
     "sim_maxsim_multivector",
+    "win_gap_islands",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
