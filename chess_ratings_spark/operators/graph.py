@@ -228,6 +228,7 @@ def pagerank_fixedpoint(
     damping_pct: int = 85,
     scale: int = 1_000_000,
     ckpt_every: int = 3,
+    shuffle_parts: int = 16,
 ) -> DataFrame:
     """(node, rank) after `iters` PageRank power iterations in EXACT
     integer fixed-point arithmetic: ranks live in units of 1/scale,
@@ -252,7 +253,11 @@ def pagerank_fixedpoint(
     soon as its successor materializes).
     """
     base = scale - (damping_pct * scale) // 100
-    with _loop_shuffle_partitions(edges):
+    # 16 loop partitions, not the CC default 32: every iteration runs
+    # ~4 tiny shuffles to completion (the eager checkpoints execute
+    # them), so task-launch overhead dominates — measured 9.5s -> 5.0s
+    # at sf0.1 (587k edges). Callers with genuinely huge graphs raise it.
+    with _loop_shuffle_partitions(edges, shuffle_parts):
         nodes = (
             edges.select(F.col("src").alias("node"))
             .union(edges.select(F.col("dst").alias("node")))
