@@ -246,6 +246,53 @@ def run_lines(spark, factor: int) -> dict:
     }
 
 
+def run_pagerank(spark, factor: int) -> dict:
+    """Fixed-point PageRank on `factor` disjoint copies of the purchase
+    graph (node ids offset per copy — component structure and ranks
+    replicate exactly, so per-iteration cost must scale linearly in
+    edges and the top rank must be IDENTICAL across factors; any
+    deviation is a blocker/skew bug)."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators.graph import pagerank_fixedpoint
+
+    o = tables.load(spark, SF_DIR, "orders")
+    li = tables.load(spark, SF_DIR, "lineitem")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    copies = base
+    if factor > 1:
+        copies = base.crossJoin(
+            spark.range(factor).select(F.col("id").alias("c"))
+        ).select(
+            (F.col("src") + F.col("c") * 10_000_000).alias("src"),
+            (F.col("dst") + F.col("c") * 10_000_000).alias("dst"),
+        )
+    copies = copies.localCheckpoint(eager=True)
+    n_edges = copies.count()
+    t0 = time.perf_counter()
+    ranks = pagerank_fixedpoint(copies, iters=10)
+    top = ranks.agg(
+        {"rank": "max"}
+    ).collect()[0][0]
+    secs = round(time.perf_counter() - t0, 2)
+    copies.unpersist()
+    return {
+        "op": "graph_pagerank",
+        "factor": factor,
+        "n_edges": n_edges,
+        "top_rank_e6": top,
+        "secs_10_iters": secs,
+    }
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
     from chess_ratings_spark.session import get_spark
@@ -253,7 +300,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit, run_substr, run_lines):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_pagerank):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()
