@@ -805,3 +805,78 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, key="user_id", left_ts="ts", right_ts="ts", value_cols=["view_value"]
     )
     return out.select("event_id", "user_id", "value", "view_value")
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS ("""
+    + _EXACT_JACCARD_ORACLE.format(tau=0.8)
+    + """
+    ), e AS (
+      SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b FROM pairs
+    ), nodes AS (
+      SELECT a AS node FROM e UNION SELECT b FROM e
+    ), deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+    doc="Triangle + wedge census of the verified near-dup pair graph — "
+    "the global-clustering-coefficient inputs (3*triangles/wedges), "
+    "the standard probe for whether near-dup clusters are cliques "
+    "(transitively consistent similarity) or thin paths (chained "
+    "borderline pairs, the dedup-quality smell). Triangles via the "
+    "canonical a<b<c ordered two-join (Suri & Vassilvitskii 2011 "
+    "MapReduce pattern: every triangle counted exactly once, "
+    "intermediate size = wedge count, and ordering by id — by DEGREE "
+    "on skewed graphs — bounds the per-key fanout); wedges are one "
+    "degree aggregation. All-integer one-row output.",
+    tags=("graph", "dedup"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = shared_verified_pairs(spark, sf_dir, tau=0.8)
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("a").alias("node")).union(
+        e.select(F.col("b").alias("node"))
+    ).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+        .crossJoin(
+            deg.agg(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+            )
+        )
+        .crossJoin(tri.select(F.col("n_triangles").cast("bigint")))
+    )
+    return out

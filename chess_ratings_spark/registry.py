@@ -66,6 +66,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "val_distribution_drift",
     "sim_maxsim_multivector",
     "win_gap_islands",
+    "graph_triangle_count",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
