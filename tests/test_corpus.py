@@ -10,7 +10,6 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-import pytest
 
 import chess_ratings_spark.plans  # noqa: F401
 from chess_ratings_spark.registry import REGISTRY
