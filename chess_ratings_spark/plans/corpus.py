@@ -1420,3 +1420,77 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "ml_linear_trend_exact",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             epoch(ts)::BIGINT // 86400 - 19723 AS x,
+             CAST(floor(value * 1000) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx) AS BIGINT)
+             AS slope_milli_per_day_e3
+    FROM s ORDER BY event_type
+    """,
+    doc="Closed-form OLS trend per event type WITHOUT Python — the "
+    "normal-equations twin of udf_grouped_trend's pandas OLS: slope = "
+    "(n*Sxy - Sx*Sy)/(n*Sxx - Sx^2), where every S is a plain "
+    "map-side-combinable SUM over integer-rescaled coordinates (x = "
+    "whole days since the feed epoch, y = value in exact milli units) "
+    "— so the whole fit is ONE aggregation pass producing exact "
+    "integers, and the slope is emitted as the exact numerator/"
+    "denominator pair plus a truncating fixed-point quotient "
+    "(Spark `div` and DuckDB `//` both truncate toward zero — "
+    "verified, including negatives). The integer-rescale is also the "
+    "overflow lever: bounds are documented per scale factor, and a "
+    "bigger corpus coarsens x or y units rather than falling back to "
+    "floats (a float Sxy loses the determinism the oracle needs). "
+    "This is the shape regression-at-scale actually takes: sums in "
+    "the engine, algebra on the driver-sized result.",
+    tags=("analytics", "events"),
+)
+def ml_linear_trend_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    # integer floor of epoch-seconds/86400: cast truncates, but epoch
+    # seconds here are always positive so truncate == floor
+    x = (
+        F.floor(
+            F.expr(
+                "timestampdiff(SECOND, cast('1970-01-01 00:00:00' as timestamp_ntz), ts)"
+            )
+            / 86400
+        ).cast("bigint")
+        - 19723
+    )
+    y = F.floor(F.col("value") * 1000).cast("bigint")
+    pts = ev.select("event_type", x.alias("x"), y.alias("y"))
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        F.expr(
+            "(CAST(n * sxy - sx * sy AS BIGINT) * 1000)"
+            " div (CAST(n * sxx - sx * sx AS BIGINT))"
+        ).alias("slope_milli_per_day_e3"),
+    ).orderBy("event_type")

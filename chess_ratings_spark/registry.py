@@ -67,6 +67,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sim_maxsim_multivector",
     "win_gap_islands",
     "graph_triangle_count",
+    "ml_linear_trend_exact",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
