@@ -68,6 +68,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_gap_islands",
     "graph_triangle_count",
     "ml_linear_trend_exact",
+    "dedup_incremental_digest",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
