@@ -1575,3 +1575,60 @@ def dedup_incremental_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "agg_decayed_counts",
+    oracle="""
+    WITH aged AS (
+      SELECT event_type,
+             (epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+              - epoch_us(ts)) // 3600000000 AS h,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ), w AS (
+      SELECT event_type, vm,
+             CAST(floor(pow(2.0, -(h / 168.0)) * 1000000000) AS BIGINT) AS w_e9
+      FROM aged
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w_e9) AS BIGINT) AS decayed_count_e9,
+           CAST(sum(w_e9 * vm) AS BIGINT) AS decayed_value_e9milli
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exponentially time-decayed counters (7-day half-life) — the "
+    "recency-weighted metric a monitoring/feature pipeline keeps "
+    "instead of raw counts: weight = 2^(-age/halflife), age "
+    "quantized to whole hours so the pow() input grid is small and "
+    "shared, and every weight floored to an e9 integer BEFORE "
+    "summation — pow floor-grid agreement Spark vs DuckDB verified "
+    "over the full 800-hour grid, and the integer sums make the "
+    "decayed mass exact and layout-independent. The decayed counter "
+    "is MERGEABLE (sum of per-partition integer partials) and "
+    "incrementally maintainable (yesterday's total re-scales by one "
+    "global factor, today's partition adds) — the IVM-friendly shape "
+    "that replaces full-history rescans. One scan, one grouped agg.",
+    tags=("analytics", "events", "lakehouse"),
+)
+def agg_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    # exact integer MICROSECONDS on both sides (epoch_us in DuckDB):
+    # second-granularity epoch() rounds sub-second parts differently
+    # per engine and flips hour buckets at boundaries (observed)
+    ref = "timestampdiff(MICROSECOND, ts, cast('2024-01-31 00:00:00' as timestamp_ntz))"
+    h = F.expr(f"({ref}) div 3600000000").cast("bigint")
+    w_e9 = F.floor(F.pow(F.lit(2.0), -(h / 168.0)) * 1e9).cast("bigint")
+    vm = F.floor(F.col("value") * 1000).cast("bigint")
+    w = ev.select("event_type", w_e9.alias("w_e9"), vm.alias("vm"))
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w_e9").cast("bigint").alias("decayed_count_e9"),
+            F.sum(F.col("w_e9") * F.col("vm"))
+            .cast("bigint")
+            .alias("decayed_value_e9milli"),
+        )
+        .orderBy("event_type")
+    )

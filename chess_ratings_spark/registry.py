@@ -69,6 +69,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "graph_triangle_count",
     "ml_linear_trend_exact",
     "dedup_incremental_digest",
+    "agg_decayed_counts",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
