@@ -1632,3 +1632,67 @@ def agg_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_fuzzy_editdistance",
+    oracle="""
+    WITH names AS (
+      SELECT c_custkey AS k, c_name AS nm FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT CAST((SELECT count(*) FROM names) AS BIGINT) AS n_names,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(a.k + b.k) AS BIGINT) AS pair_key_sum
+    FROM names a JOIN names b
+      ON a.k < b.k AND levenshtein(a.nm, b.nm) <= 1
+    """,
+    doc="Fuzzy self-join at edit distance <= 1 via SYMMETRIC-DELETE "
+    "blocking (the SymSpell algorithm): each name emits itself plus "
+    "its |name| single-deletion variants; any ins/del/sub-1 pair is "
+    "GUARANTEED to share a variant (substitution: both delete the "
+    "differing position; ins/del: the longer's deletion hits the "
+    "shorter identity), so an equi-join on the variant key is a "
+    "complete candidate generator and exact levenshtein verifies the "
+    "survivors — entity resolution without the O(n^2) name cross "
+    "join. Candidate volume is n x (len+1) keys, join fanout bounded "
+    "by per-variant frequency (hot variants are capped the same way "
+    "the shingle index caps df). The oracle is the BRUTE-FORCE "
+    "distance join — blocking must not lose a single pair.",
+    tags=("join", "similarity"),
+)
+def join_fuzzy_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    names = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("nm")
+    )
+    ln = F.length("nm")
+    variants = F.concat(
+        F.array(F.col("nm")),
+        F.transform(
+            F.sequence(F.lit(1), ln),
+            lambda i: F.concat(
+                F.col("nm").substr(F.lit(1), i - 1),
+                F.col("nm").substr(i + 1, ln),
+            ),
+        ),
+    )
+    v = names.select("k", "nm", F.explode(variants).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cands = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.k") < F.col("b.k")))
+        .select(
+            F.col("a.k").alias("ka"),
+            F.col("a.nm").alias("na"),
+            F.col("b.k").alias("kb"),
+            F.col("b.nm").alias("nb"),
+        )
+        .distinct()
+    )
+    pairs = cands.filter(F.levenshtein("na", "nb") <= 1)
+    n_names = names.agg(F.count(F.lit(1)).cast("bigint").alias("n_names"))
+    return n_names.crossJoin(
+        pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("ka") + F.col("kb")).cast("bigint").alias("pair_key_sum"),
+        )
+    )

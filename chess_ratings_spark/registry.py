@@ -70,6 +70,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ml_linear_trend_exact",
     "dedup_incremental_digest",
     "agg_decayed_counts",
+    "join_fuzzy_editdistance",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
