@@ -1696,3 +1696,93 @@ def join_fuzzy_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ka") + F.col("kb")).cast("bigint").alias("pair_key_sum"),
         )
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ), v2 AS (
+      SELECT event_id, event_type, value, user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    ), unioned AS (
+      SELECT event_id, event_type, value, NULL AS user_id FROM v1
+      UNION ALL
+      SELECT event_id, event_type, value, user_id FROM v2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (user_id IS NULL) AS BIGINT) AS n_pre_evolution,
+           CAST(count(*) FILTER (user_id IS NOT NULL) AS BIGINT)
+             AS n_post_evolution,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             AS value_milli_sum
+    FROM unioned GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Schema evolution at the SCAN, not in application code — the "
+    "lake reality that old partitions lack columns added later: two "
+    "physical parquet generations are written (v1 without user_id, "
+    "v2 with it) into one table dir and read back through ONE scan "
+    "with mergeSchema=true; Spark unions the footers' schemas and "
+    "backfills typed NULLs for the missing column, and the query "
+    "reports the per-type null census proving which generation each "
+    "row came from plus an exact value checksum proving no row was "
+    "lost or doubled. At 100 TB this is the difference between "
+    "ALTER-TABLE-rewriting years of partitions and just writing the "
+    "new column forward. (mergeSchema costs a footer read per file — "
+    "production tables pin the merged schema in a metastore; the "
+    "semantics demonstrated here are identical.)",
+    tags=("scan", "lakehouse", "events"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ev = tables.load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    base = tempfile.mkdtemp(prefix="crs_schema_evo_")
+    try:
+        ev.filter(F.col("ts") < cutoff).select(
+            "event_id", "event_type", "value"
+        ).write.mode("overwrite").parquet(base + "/gen=1")
+        ev.filter(F.col("ts") >= cutoff).select(
+            "event_id", "event_type", "value", "user_id"
+        ).write.mode("overwrite").parquet(base + "/gen=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            base + "/gen=1", base + "/gen=2"
+        )
+        out = (
+            merged.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_pre_evolution"),
+                F.sum(F.when(F.col("user_id").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_post_evolution"),
+                F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+                .cast("bigint")
+                .alias("value_milli_sum"),
+            )
+            .orderBy("event_type")
+        )
+        # materialize before the staging dir is deleted; rebuild as a
+        # JVM literal plan (tables.local_table), NOT createDataFrame —
+        # the RDD-backed python path costs ~4s per downstream action
+        rows = [tuple(r) for r in out.collect()]
+        return tables.local_table(
+            spark,
+            rows,
+            [
+                ("event_type", "string"),
+                ("n_rows", "bigint"),
+                ("n_pre_evolution", "bigint"),
+                ("n_post_evolution", "bigint"),
+                ("value_milli_sum", "bigint"),
+            ],
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

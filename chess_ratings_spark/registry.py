@@ -71,6 +71,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_incremental_digest",
     "agg_decayed_counts",
     "join_fuzzy_editdistance",
+    "scan_schema_evolution",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
