@@ -1786,3 +1786,223 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "corpus_prepare_v2",
+    oracle="""
+    WITH gate AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' ')) AS n_words,
+               length(replace(text, ' ', ''))
+                 * 1.0 / len(string_split(text, ' ')) AS mean_wlen,
+               (SELECT max(c) FROM (
+                  SELECT count(*) AS c
+                  FROM unnest(string_split(text, ' ')) AS t(w) GROUP BY w))
+                 AS top_freq,
+               len(list_intersect(string_split(text, ' '),
+                   ['the', 'a', 'of', 'to', 'and'])) > 0 AS has_stop,
+               -256 + list_sum([
+                 (CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 64 AS BIGINT)
+                    * 2654435761 % 97 - 48)
+                 FOR w IN string_split(text, ' ')]) AS millis
+        FROM documents
+      ) WHERE n_words BETWEEN 20 AND 80 AND mean_wlen BETWEEN 2.0 AND 12.0
+          AND top_freq * 5 <= n_words AND has_stop AND millis > -2048
+    ), segs AS (
+      SELECT doc_id, source, u.i AS seg_idx,
+             array_to_string(t[u.i*10+1 : u.i*10+10], ' ') AS seg
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM gate),
+           LATERAL (SELECT unnest(range(0, CAST(ceil(len(t) / 10.0) AS INT)))
+                    AS i) AS u
+    ), ranked AS (
+      SELECT doc_id, source, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    ), r1 AS (
+      SELECT doc_id, any_value(source) AS source,
+             coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (rn = 1), '')
+               AS t1
+      FROM ranked GROUP BY doc_id
+    ), f1 AS (
+      SELECT doc_id, source, string_split(t1, ' ') AS t FROM r1
+      WHERE t1 <> '' AND len(string_split(t1, ' ')) >= 5
+    ), wins AS (
+      SELECT doc_id, u.i AS wstart,
+             md5(array_to_string(t[u.i+1 : u.i+8], ' ')) AS h
+      FROM f1, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) AS i)
+               AS u
+    ), dups AS (
+      SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+    ), covered AS (
+      SELECT DISTINCT w.doc_id, w.wstart + v.off AS pos
+      FROM wins w JOIN dups USING (h),
+           LATERAL (SELECT unnest(range(0, 8)) AS off) AS v
+    ), toks AS (
+      SELECT doc_id, source, u.j AS pos, t[u.j + 1] AS tok
+      FROM f1, LATERAL (SELECT unnest(range(0, len(t))) AS j) AS u
+    ), r2 AS (
+      SELECT k.doc_id, any_value(k.source) AS source,
+             coalesce(string_agg(k.tok, ' ' ORDER BY k.pos)
+                      FILTER (c.pos IS NULL), '') AS t2
+      FROM toks k LEFT JOIN covered c
+        ON k.doc_id = c.doc_id AND k.pos = c.pos
+      GROUP BY k.doc_id
+    ), f2 AS (
+      SELECT doc_id, source, t2 FROM r2
+      WHERE t2 <> '' AND len(string_split(t2, ' ')) >= 5
+    ), exact AS (
+      SELECT doc_id, source, t2,
+             row_number() OVER (PARTITION BY md5(t2) ORDER BY doc_id) AS rn
+      FROM f2
+    ), final AS (
+      SELECT doc_id, t2 FROM exact WHERE rn = 1
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(t2, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(('0x' || substr(md5(t2), 1, 8))::UBIGINT) AS BIGINT)
+             AS text_checksum
+    FROM final GROUP BY split ORDER BY split
+    """,
+    doc="The corpus-hygiene capstone — the ROUND-6 tier composed end to "
+    "end in one plan, each stage feeding the next's REBUILT text (not "
+    "the original): Gopher quality gate AND hashed-classifier "
+    "threshold (millis > -2048) -> C4 cross-doc line dedup (rebuild) "
+    "-> ExactSubstr span removal on the rebuilt text (rebuild again) "
+    "-> short-doc floor after each rebuild -> exact content dedup "
+    "(min doc_id per md5) -> deterministic md5 split census with a "
+    "final-text checksum. Every stage is the already-verified "
+    "operator; the capstone proves they CHAIN — the checksum pins "
+    "every byte of every surviving document after two rebuilds, so a "
+    "single token lost or duplicated anywhere in the pipeline fails "
+    "the hash. Scale shape is the union of the stages' shapes; "
+    "nothing re-materializes between stages.",
+    tags=("corpus", "training", "dedup", "documents"),
+)
+def corpus_prepare_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.maintenance import hash_bucket
+    from chess_ratings_spark.operators.text import max_multiplicity
+
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wlen = F.length(F.regexp_replace("text", " ", "")) * F.lit(1.0) / n_words
+    top_freq = max_multiplicity(toks)
+    has_stop = F.arrays_overlap(
+        toks, F.array(*[F.lit(w) for w in ("the", "a", "of", "to", "and")])
+    )
+    millis = F.lit(-256).cast("bigint") + F.aggregate(
+        F.transform(toks, lambda w: hash_bucket(w, 64) * F.lit(2654435761) % 97 - 48),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    gate = d.filter(
+        n_words.between(20, 80)
+        & (mean_wlen >= 2.0)
+        & (mean_wlen <= 12.0)
+        & (top_freq * 5 <= n_words)
+        & has_stop
+        & (millis > -2048)
+    ).select("doc_id", "source", "text")
+
+    # stage 2: C4 line dedup (skew-immune min-struct keep rule)
+    t = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(t) / F.lit(10.0)).cast("int")
+    segs = gate.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i * 10 + 1, 10)),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    mins = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("fo")
+    )
+    first = (F.col("doc_id") == F.col("fo.doc_id")) & (
+        F.col("seg_idx") == F.col("fo.seg_idx")
+    )
+    r1 = (
+        segs.join(mins, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("source")).alias("source"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.when(first, F.struct("seg_idx", "seg")))
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("t1"),
+        )
+    )
+    f1 = r1.filter(
+        (F.col("t1") != "") & (F.size(F.split("t1", " ")) >= 5)
+    ).select("doc_id", "source", F.split("t1", " ").alias("t"), F.size(F.split("t1", " ")).alias("n_tok"))
+
+    # stage 3: ExactSubstr span removal on the rebuilt text
+    starts = F.when(
+        F.col("n_tok") >= 8, F.sequence(F.lit(0), F.col("n_tok") - 8)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = f1.select("doc_id", F.explode(starts).alias("wstart"), "t").select(
+        "doc_id",
+        "wstart",
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("wstart") + 1, 8))).alias("h"),
+    )
+    dups = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    covered = (
+        wins.join(dups.select("h"), "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("wstart"), F.col("wstart") + 7)).alias("pos"),
+        )
+        .distinct()
+        .withColumn("cov", F.lit(1))
+    )
+    tokpos = f1.select("doc_id", "source", F.posexplode("t").alias("pos", "tok"))
+    keep = F.col("cov").isNull()
+    r2 = (
+        tokpos.join(covered, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("source")).alias("source"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.when(keep, F.struct("pos", "tok")))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("t2"),
+        )
+    )
+    f2 = r2.filter((F.col("t2") != "") & (F.size(F.split("t2", " ")) >= 5))
+
+    # stage 4: exact content dedup, min doc_id survives
+    ex_min = f2.groupBy(F.md5("t2").alias("ch")).agg(F.min("doc_id").alias("keep_id"))
+    final = f2.join(
+        ex_min, (F.md5(F.col("t2")) == F.col("ch")) & (F.col("doc_id") == F.col("keep_id"))
+    )
+
+    # stage 5: deterministic split census
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(c <= "b", "train").when(c <= "d", "val").otherwise("test").alias("split")
+    )
+    return (
+        final.groupBy(split)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("t2", " "))).cast("bigint").alias("n_tokens"),
+            _text_checksum("t2").alias("text_checksum"),
+        )
+        .orderBy("split")
+    )

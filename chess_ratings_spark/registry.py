@@ -72,6 +72,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_decayed_counts",
     "join_fuzzy_editdistance",
     "scan_schema_evolution",
+    "corpus_prepare_v2",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
