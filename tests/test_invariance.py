@@ -37,6 +37,11 @@ SLICE = [
     "q1_pricing_summary",
     "dedup_near_minhash",
     "sim_topk_cosine",
+    "corpus_prepare_v2",
+    "agg_decayed_counts",
+    "dedup_incremental_digest",
+    "join_fuzzy_editdistance",
+    "ml_linear_trend_exact",
 ]
 
 
