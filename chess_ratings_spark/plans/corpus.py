@@ -1,17 +1,29 @@
-"""Corpus-hygiene tier: the cross-document cleanup passes a 100 TB
-pre-training pipeline runs AFTER per-document filters and BEFORE
-tokenization — C4-style cross-corpus segment dedup, exact duplicated
-substring-span removal (Lee et al. 2021, "Deduplicating Training Data
-Makes Language Models Better"), Gopher repetition diagnostics, a hashed
-linear quality classifier, and lakehouse/temporal verbs (SCD2 history,
-binned big-big interval join, incremental-vs-full maintenance proof) —
-all expressed as pure DataFrame plans: every blocking step is an
-equi-join on a derived key, every checksum is an order-independent
-integer sum, no Python on the row path.
+"""Round-6 extension tier: corpus hygiene plus the operational verbs
+around it, all as pure DataFrame plans.
 
-The document fixtures are flat space-separated token streams (no
-newlines), so "line" granularity here is a fixed 10-token segment —
-the same plan applies verbatim to newline-split text.
+Corpus hygiene (the cross-document cleanup a 100 TB pre-training
+pipeline runs AFTER per-document filters and BEFORE tokenization):
+C4-style cross-corpus segment dedup, exact duplicated substring-span
+removal (Lee et al. 2021), URL canonicalization dedup, Gopher
+repetition diagnostics, CCNet-style perplexity filtering, a hashed
+linear quality classifier, digest-blocked incremental dedup vs a
+historical corpus, Poisson-bootstrap uncertainty, and the
+`corpus_prepare_v2` capstone chaining the gate -> line dedup ->
+substring dedup -> exact dedup -> split census end to end.
+
+Operational/temporal verbs: SCD2 history, binned big-big interval
+join, incremental-vs-full maintenance proof, TVD distribution-drift
+monitor, half-life decayed counters, schema-evolution scan,
+gaps-and-islands streaks, SymSpell fuzzy join, exact normal-equations
+OLS, and ColBERT-style MaxSim retrieval.
+
+Shared design invariants: every blocking step is an equi-join on a
+derived key; every float that would be summed across rows is floored
+onto an integer grid FIRST (order-independent exact totals); rebuilt
+text is pinned by an order-independent md5 checksum; no Python on the
+row path. The document fixtures are flat space-separated token streams
+(no newlines), so "line" granularity is a fixed 10-token segment — the
+same plans apply verbatim to newline-split text.
 """
 
 from __future__ import annotations
