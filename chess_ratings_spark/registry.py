@@ -73,6 +73,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_fuzzy_editdistance",
     "scan_schema_evolution",
     "corpus_prepare_v2",
+    "sink_manifest_atomic",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
