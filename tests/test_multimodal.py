@@ -129,7 +129,8 @@ def test_driver_order_contract():
         "stream_interval_join",  # shared staged dir instead of coalesce(1)
         "udf_grouped_trend",  # preprocess-adjacent; oldest r5 row
         # round-6 second session: top-count rewritten to the sorted-run
-        # fold (operators/text.max_multiplicity) inside both plans
+        # fold (operators/text.max_multiplicity) inside both plans;
+        # corpus_prepare additionally reuses the shared pair graph
         "filter_gopher_rules",
         "corpus_prepare",
     }
