@@ -15,16 +15,19 @@ import chess_ratings_spark.plans  # noqa: F401,E402
 from chess_ratings_spark.registry import REGISTRY  # noqa: E402
 
 SECTIONS = [
-    ("Scans / sources / sinks (SURVEY §2.1)", ["src_", "sink_"]),
+    ("Scans / sources / sinks (SURVEY §2.1)", ["src_", "sink_", "scan_"]),
     ("Projections / filters (§2.2)", ["proj_", "filter_", "select_"]),
     ("Scalar functions (§2.3)", ["fn_"]),
     ("Joins (§2.4)", ["join_"]),
     ("Aggregations (§2.5)", ["agg_"]),
     ("Windows / sorts / set ops / dedup (§2.6)", ["win_", "sort_", "limit_", "set_", "dedup_exact"]),
-    ("Validation (§2.7)", ["val_"]),
+    ("Validation (§2.7)", ["val_", "quality_", "scd2_"]),
     ("Streaming (§2.8)", ["stream_"]),
     ("LLM-data tier (§2.9 + north star)", ["text_", "dedup_", "sim_", "mm_"]),
-    ("Composite / pipeline (§2.10, TPC-H shapes)", ["q3_", "q4_", "q5_", "q6_", "q12_", "q14_", "pipeline_", "tier_r_", "scalar_", "unpivot_"]),
+    ("Composite / pipeline (§2.10, TPC-H shapes)", ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "pipeline_", "tier_r_", "scalar_", "unpivot_", "corpus_prepare"]),
+    ("Sampling / splits", ["sample_"]),
+    ("Graph analytics", ["graph_"]),
+    ("Lakehouse / maintenance / profiling", ["merge_", "compact_", "profile_", "observe_", "anomaly_", "ml_", "funnel_", "contamination_", "doc_", "sql_", "udf_"]),
 ]
 
 
