@@ -293,6 +293,45 @@ def run_pagerank(spark, factor: int) -> dict:
     }
 
 
+def run_perplexity(spark, factor: int) -> dict:
+    """Census for text_perplexity_filter's model equi-join under
+    inflation: the c{c}~ word prefixes make each copy's bigram
+    vocabulary disjoint, so the model (distinct bigrams) must grow
+    linearly and the per-bigram document frequency distribution stays
+    fixed — the model-side join key never gets hotter with corpus
+    growth, which is the operator's scale claim."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators.text import sliding_concat
+
+    d = inflate_documents(
+        tables.load(spark, SF_DIR, "documents").select("doc_id", "text"), factor
+    )
+    t0 = time.perf_counter()
+    bg = d.select(
+        "doc_id", F.explode(sliding_concat(F.split("text", " "), 2)).alias("bg")
+    ).cache()
+    n_occ = bg.count()
+    model = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).cache()
+    n_model = model.count()
+    max_df = model.agg(F.max("c")).collect()[0][0]
+    scored = bg.join(model, "bg").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    n_docs = scored.count()
+    secs = round(time.perf_counter() - t0, 2)
+    bg.unpersist()
+    model.unpersist()
+    return {
+        "op": "text_perplexity_filter",
+        "factor": factor,
+        "n_docs": n_docs,
+        "bigram_occurrences": n_occ,
+        "model_rows": n_model,
+        "max_bigram_df": max_df,
+        "secs": secs,
+    }
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
     from chess_ratings_spark.session import get_spark
@@ -300,7 +339,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_pagerank):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_pagerank, run_perplexity):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()
