@@ -125,8 +125,23 @@ def main() -> None:
     # also persist the FULL per-query dict to a committed file so every
     # round's 154 timings are diffable (round-5 verdict item 7).
     try:
+        import subprocess
+
+        full = dict(line)
+        try:
+            full["commit"] = (
+                subprocess.run(
+                    ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                    capture_output=True,
+                    text=True,
+                    timeout=10,
+                ).stdout.strip()
+                or None
+            )
+        except Exception:
+            full["commit"] = None
         (Path(REPO) / "BENCH_FULL.json").write_text(
-            json.dumps(line, indent=1, sort_keys=True) + "\n"
+            json.dumps(full, indent=1, sort_keys=True) + "\n"
         )
     except OSError as exc:
         print(f"# BENCH_FULL write failed: {exc}", file=sys.stderr)

@@ -38,6 +38,14 @@ spark = (
     SparkSession.builder.master("local[7]")
     .appName("driver-sim-r2")
     .config("spark.sql.session.timeZone", "America/New_York")
+    # SIM_SHUFFLE_PARTITIONS: run the whole registry under an arbitrary
+    # exchange layout — with the default-layout run, a green pass here
+    # is a FULL-REGISTRY partition-invariance proof (every query equals
+    # the same DuckDB answer under both layouts)
+    .config(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SIM_SHUFFLE_PARTITIONS", "200"),
+    )
     .config("spark.driver.memory", "8g")
     .getOrCreate()
 )
