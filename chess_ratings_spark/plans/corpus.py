@@ -2093,3 +2093,65 @@ def sink_manifest_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ), target AS (
+      SELECT min(n) AS n_min FROM counts
+    ), ranked AS (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5('bal:' || CAST(event_id AS VARCHAR)),
+                                         event_id) AS rn
+      FROM events
+    )
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(any_value(t.n_min) AS BIGINT) AS n_target,
+           CAST(sum(r.event_id) AS BIGINT) AS kept_id_sum
+    FROM ranked r, target t
+    WHERE r.rn <= t.n_min
+    GROUP BY r.event_type ORDER BY r.event_type
+    """,
+    doc="Deterministic class balancing — downsample every class to the "
+    "minority-class count (the classifier-training prep step): "
+    "per-class uniform subset selected by ranking on a salted md5 of "
+    "the row key (content-independent, so membership survives "
+    "re-runs, engine swaps, and repartitioning — same discipline as "
+    "the hash splits) with the key itself as the total-order "
+    "tiebreak, keeping exactly n_min rows per class. Shapes: one "
+    "count agg (map-combinable), one 1-row minimum broadcast, one "
+    "rank window per class partition. On a skewed 100 TB corpus the "
+    "window sorts only each class's own partition; for extreme "
+    "majority classes swap the exact rank for the bottom-k "
+    "hash-threshold variant (sample_bottomk) to avoid the full "
+    "per-class sort. Exact integer outputs incl. a kept-set "
+    "id-sum checksum.",
+    tags=("sampling", "events", "training"),
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    target = counts.agg(F.min("n").alias("n_min"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("event_id").cast("string"))), "event_id"
+    )
+    ranked = ev.select(
+        "event_type", "event_id", F.row_number().over(w).alias("rn")
+    )
+    kept = ranked.crossJoin(F.broadcast(target)).filter(
+        F.col("rn") <= F.col("n_min")
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.any_value(F.col("n_min")).cast("bigint").alias("n_target"),
+            F.sum("event_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -74,6 +74,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "scan_schema_evolution",
     "corpus_prepare_v2",
     "sink_manifest_atomic",
+    "sample_balanced_classes",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
