@@ -2155,3 +2155,65 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "win_event_pattern",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ), counts AS (
+      SELECT user_id,
+             len(regexp_extract_all(seq, 'view,click,purchase')) AS n_funnel,
+             len(regexp_extract_all(seq, 'error,error')) AS n_err_pairs
+      FROM seqs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (n_funnel > 0) AS BIGINT) AS n_users_funnel,
+           CAST(sum(n_funnel) AS BIGINT) AS total_funnels,
+           CAST(count(*) FILTER (n_err_pairs > 0) AS BIGINT)
+             AS n_users_err_burst,
+           CAST(sum(n_err_pairs) AS BIGINT) AS total_err_bursts
+    FROM counts
+    """,
+    doc="MATCH_RECOGNIZE-style event pattern detection (CEP-lite, the "
+    "SQL:2016 row-pattern feature Spark lacks): per user, the event "
+    "history collapses to ONE ordered symbol string (sort_array over "
+    "collect_list(struct(ts, event_id, type)) — deterministic under "
+    "same-timestamp events via the id tiebreak), and patterns become "
+    "plain regexes over that string — strict-adjacency funnel "
+    "view->click->purchase and error-burst error,error here. Both "
+    "engines scan non-overlapping left-to-right, so counts agree "
+    "exactly. Scale shape: one shuffle on the user key; per-user "
+    "state is the user's own history (the same bound any "
+    "MATCH_RECOGNIZE engine carries), and the regex runs inside the "
+    "JVM — no UDF. Arbitrary patterns = swap the literal.",
+    tags=("window", "events", "analytics"),
+)
+def win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+        ",",
+    )
+    seqs = ev.groupBy("user_id").agg(seq.alias("seq"))
+    counts = seqs.select(
+        F.regexp_count("seq", F.lit("view,click,purchase")).alias("n_funnel"),
+        F.regexp_count("seq", F.lit("error,error")).alias("n_err_pairs"),
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("n_funnel") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_users_funnel"),
+        F.sum("n_funnel").cast("bigint").alias("total_funnels"),
+        F.sum(F.when(F.col("n_err_pairs") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_users_err_burst"),
+        F.sum("n_err_pairs").cast("bigint").alias("total_err_bursts"),
+    )

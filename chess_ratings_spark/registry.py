@@ -75,6 +75,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "corpus_prepare_v2",
     "sink_manifest_atomic",
     "sample_balanced_classes",
+    "win_event_pattern",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
