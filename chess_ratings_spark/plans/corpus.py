@@ -2217,3 +2217,77 @@ def win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_users_err_burst"),
         F.sum("n_err_pairs").cast("bigint").alias("total_err_bursts"),
     )
+
+
+@register(
+    "agg_retention_cohorts",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), firsts AS (
+      SELECT user_id, event_type AS first_action,
+             epoch_us(ts) // 86400000000 AS first_day
+      FROM ranked WHERE rn = 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id, epoch_us(e.ts) // 86400000000 AS day
+      FROM events e
+    )
+    SELECT f.first_action,
+           CAST((a.day - f.first_day) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active,
+           CAST(count(*) AS BIGINT) AS n_user_days
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.first_action, week_offset
+    ORDER BY f.first_action, week_offset
+    """,
+    doc="Cohort retention matrix — the product-analytics staple: cohort "
+    "each user by their FIRST action (rn=1 window with the (ts, "
+    "event_id) tiebreak), then count distinct active users and active "
+    "user-days per (cohort, weeks-since-first) cell. Day arithmetic "
+    "in exact integer microseconds (epoch_us // 86400e6 — the "
+    "engine-portable day bucket this repo standardized on after "
+    "second-granularity epoch() rounding flipped buckets). Shapes: "
+    "one user-key window for firsts, one DISTINCT on (user, day) — "
+    "both shuffle on the user key and AQE coalesces them into the "
+    "same exchange; the cohort join broadcasts the firsts side when "
+    "users << activity. All-integer output, every cell value-checked.",
+    tags=("analytics", "events"),
+)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    day = F.expr(
+        "timestampdiff(MICROSECOND, cast('1970-01-01 00:00:00' as timestamp_ntz), ts)"
+        " div 86400000000"
+    ).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        ev.select(
+            "user_id",
+            "event_type",
+            day.alias("day"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_action"),
+            F.col("day").alias("first_day"),
+        )
+    )
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    joined = activity.join(firsts, "user_id").select(
+        "first_action",
+        F.expr("(day - first_day) div 7").cast("bigint").alias("week_offset"),
+        "user_id",
+    )
+    return (
+        joined.groupBy("first_action", "week_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.count(F.lit(1)).alias("n_user_days"),
+        )
+        .orderBy("first_action", "week_offset")
+    )

@@ -76,6 +76,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sink_manifest_atomic",
     "sample_balanced_classes",
     "win_event_pattern",
+    "agg_retention_cohorts",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
