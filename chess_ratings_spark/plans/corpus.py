@@ -2291,3 +2291,94 @@ def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_action", "week_offset")
     )
+
+
+@register(
+    "agg_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type, vm AS med_milli FROM v
+      WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+    ), dev AS (
+      SELECT v.event_type, abs(v.vm - m.med_milli) AS d,
+             row_number() OVER (PARTITION BY v.event_type
+                                ORDER BY abs(v.vm - m.med_milli), v.rn) AS drn,
+             count(*) OVER (PARTITION BY v.event_type) AS n
+      FROM v JOIN med m ON v.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, d AS mad_milli FROM dev
+      WHERE drn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+    )
+    SELECT d.event_type,
+           CAST(any_value(m2.med_milli) AS BIGINT) AS med_milli,
+           CAST(any_value(a.mad_milli) AS BIGINT) AS mad_milli,
+           CAST(count(*) FILTER (d.d > 5 * a.mad_milli) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dev d
+    JOIN mad a ON d.event_type = a.event_type
+    JOIN med m2 ON d.event_type = m2.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    doc="Robust outlier gate via median absolute deviation — the "
+    "companion to anomaly_zscore that heavy-tailed values actually "
+    "need (mean/stddev are themselves dragged by the outliers they "
+    "hunt; median/MAD have a 50% breakdown point): exact discrete "
+    "median via the rank-pick (the same float-free index machinery "
+    "as agg_sketch_quantiles), deviations in exact milli ints, MAD "
+    "by a second rank-pick, outlier = |x - med| > 5*MAD as integer "
+    "cross-multiplication. Two window passes + one broadcastable "
+    "5-row join back; at 100 TB both picks swap for "
+    "percentile_approx sketches without changing the plan shape. "
+    "Full tie discipline: value ties broken by event_id, deviation "
+    "ties by the value rank.",
+    tags=("analytics", "validation", "events"),
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = (F.floor(0.5 * (F.col("n") - 1)) + 1).cast("bigint")
+    med = v.filter(F.col("rn") == pick).select(
+        "event_type", F.col("vm").alias("med_milli")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("vm") - F.col("med_milli")).alias("d"),
+        "rn",
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "rn")
+    dev_r = dev.select(
+        "event_type",
+        "d",
+        F.row_number().over(wd).alias("drn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = dev_r.filter(F.col("drn") == pick).select(
+        "event_type", F.col("d").alias("mad_milli")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value(F.col("med_milli")).cast("bigint").alias("med_milli"),
+            F.any_value(F.col("mad_milli")).cast("bigint").alias("mad_milli"),
+            F.sum(F.when(F.col("d") > 5 * F.col("mad_milli"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -77,6 +77,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sample_balanced_classes",
     "win_event_pattern",
     "agg_retention_cohorts",
+    "agg_mad_outliers",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
