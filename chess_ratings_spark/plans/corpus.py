@@ -2250,9 +2250,10 @@ def win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in exact integer microseconds (epoch_us // 86400e6 — the "
     "engine-portable day bucket this repo standardized on after "
     "second-granularity epoch() rounding flipped buckets). Shapes: "
-    "one user-key window for firsts, one DISTINCT on (user, day) — "
-    "both shuffle on the user key and AQE coalesces them into the "
-    "same exchange; the cohort join broadcasts the firsts side when "
+    "one user-key window for firsts and one DISTINCT on (user, day) "
+    "— two shuffles on the same key (different subplans, so no "
+    "exchange reuse; a pre-bucketed table would serve both "
+    "shuffle-free); the cohort join broadcasts the firsts side when "
     "users << activity. All-integer output, every cell value-checked.",
     tags=("analytics", "events"),
 )
