@@ -2383,3 +2383,67 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "text_keywords_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.term,
+             t.tf * CAST(floor(ln(n.n_docs * 1.0 / d.df) * 1000000) AS BIGINT)
+               AS score_e6,
+             row_number() OVER (PARTITION BY t.doc_id
+                ORDER BY t.tf * CAST(floor(ln(n.n_docs * 1.0 / d.df)
+                         * 1000000) AS BIGINT) DESC, t.term) AS rnk
+      FROM tf t JOIN df d ON t.term = d.term, n
+    )
+    SELECT doc_id, CAST(rnk AS INT) AS rank, term, score_e6
+    FROM scored WHERE rnk <= 3 AND doc_id % 37 = 0
+    ORDER BY doc_id, rank
+    """,
+    doc="Per-document keyword extraction by tf-idf — the document-level "
+    "twin of text_idf_topk's corpus view: term frequency per (doc, "
+    "term), document frequency per term (both map-combinable aggs), "
+    "idf discretized to floor(ln(N/df)*1e6) — ONE integer per "
+    "DISTINCT TERM, so the tf x idf score is an exact integer and "
+    "the top-3-per-doc window (score desc, term asc tiebreak) is "
+    "deterministic; the ln floor-grid is the same bridge "
+    "text_perplexity_filter verified. Scale shape: the term join is "
+    "a shuffle equi-join on the term key (vocab-sized side, not "
+    "broadcast); per-doc top-k compiles to WindowGroupLimit so only "
+    "k rows per doc survive each mapper. Returned for a bounded doc "
+    "subset, every (rank, term, score) value-checked.",
+    tags=("corpus", "text", "documents"),
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_e6 = F.floor(
+        F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")) * 1000000
+    ).cast("bigint")
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", (F.col("tf") * idf_e6).alias("score_e6")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") % 37 == 0))
+        .select("doc_id", "rank", "term", "score_e6")
+        .orderBy("doc_id", "rank")
+    )

@@ -78,6 +78,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_event_pattern",
     "agg_retention_cohorts",
     "agg_mad_outliers",
+    "text_keywords_tfidf",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
