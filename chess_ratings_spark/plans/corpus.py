@@ -2447,3 +2447,43 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "score_e6")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "agg_histogram_2d",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(floor(value / 10) AS BIGINT) AS value_band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             AS value_milli_sum
+    FROM events
+    GROUP BY hour_of_day, value_band
+    ORDER BY hour_of_day, value_band
+    """,
+    doc="2D histogram / heat-map aggregation (hour-of-day x value "
+    "band) — the dashboard-facing rollup shape: two derived integer "
+    "bin keys, one grouped agg, exact fixed-point value mass per "
+    "cell. hour() on TIMESTAMP_NTZ is pure wall-clock on both "
+    "engines (no session-timezone consult — the reason the loader "
+    "normalizes events.ts to NTZ). Cardinality is bounded by the bin "
+    "grid (24 x bands) regardless of corpus size, so the result is "
+    "driver-safe at any scale and the agg is fully map-side "
+    "combinable.",
+    tags=("aggregation", "analytics", "events"),
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            F.floor(F.col("value") / 10).cast("bigint").alias("value_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("value_milli_sum"),
+        )
+        .orderBy("hour_of_day", "value_band")
+    )

@@ -79,6 +79,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_retention_cohorts",
     "agg_mad_outliers",
     "text_keywords_tfidf",
+    "agg_histogram_2d",
     # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
