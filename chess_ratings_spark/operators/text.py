@@ -113,8 +113,13 @@ def sliding_concat(arr: Column, width: int) -> Column:
     """Width-w sliding windows over an array, space-joined — n shifted
     slices folded with zip_with, so the whole expansion is O(n·w) per
     row. (The obvious transform+slice form re-slices per position:
-    O(n²), measured ~5× slower on the documents fixture.)"""
-    n_out = F.size(arr) - (width - 1)
+    O(n²), measured ~5× slower on the documents fixture.)
+
+    ``n_out`` is clamped at 0 so arrays shorter than ``width`` (including
+    the 1-token and empty-text cases, where ``split`` yields ``[""]``)
+    produce an empty result instead of a negative-length ``slice`` that
+    throws INVALID_PARAMETER_VALUE.LENGTH at runtime."""
+    n_out = F.greatest(F.lit(0), F.size(arr) - (width - 1))
     parts = [F.slice(arr, i + 1, n_out) for i in range(width)]
     acc = parts[0]
     for p in parts[1:]:

@@ -387,10 +387,11 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_history",
     oracle="""
     WITH feed AS (
-      SELECT user_id, event_id, ts, round(value, 2) AS value
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS value_centi
       FROM events WHERE user_id % 41 = 0
     ), v AS (
-      SELECT user_id, value,
+      SELECT user_id, value_centi,
              row_number() OVER w AS version,
              strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
              strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
@@ -399,7 +400,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, CAST(version AS BIGINT) AS version, valid_from, valid_to,
-           is_current, value
+           is_current, value_centi
     FROM v ORDER BY user_id, version
     """,
     doc="Slowly-changing-dimension type-2 build from a change feed "
@@ -412,13 +413,19 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SCD2 for 10^9 keys is one shuffle on the key, no self-join, no "
     "driver state; appending a new day of changes re-windows only the "
     "affected keys' partitions. Returned for a bounded key subset "
-    "(user_id % 41 = 0) with full row values checked.",
+    "(user_id % 41 = 0) with full row values checked. The attribute "
+    "value is emitted as floor(value*100) centi-units (BIGINT) on both "
+    "sides — the repo's fixed-point convention that excludes "
+    "Spark-vs-DuckDB round() halfway-representation disagreement.",
     tags=("lakehouse", "window", "events"),
 )
 def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     feed = ev.filter(F.col("user_id") % 41 == 0).select(
-        "user_id", "event_id", "ts", F.round("value", 2).alias("value")
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("value_centi"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     fmt = "yyyy-MM-dd HH:mm:ss"
@@ -430,7 +437,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", fmt).alias("valid_from"),
             F.date_format(nxt, fmt).alias("valid_to"),
             nxt.isNull().alias("is_current"),
-            "value",
+            "value_centi",
         )
         .orderBy("user_id", "version")
     )
@@ -2031,7 +2038,7 @@ def corpus_prepare_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(c.n AS BIGINT) AS n_rows_manifest,
            CAST(c.n + o.n AS BIGINT) AS n_rows_dir_naive,
            CAST(o.n AS BIGINT) AS n_rows_orphan,
-           true AS orphan_excluded
+           o.n > 0 AS orphan_excluded
     FROM committed c, orphan o
     """,
     doc="Atomic publish via manifest — the commit protocol Delta/"
@@ -2071,12 +2078,19 @@ def sink_manifest_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (base / "table" / "_manifest.json").write_text(
             _json.dumps({"version": 1, "files": committed_files})
         )
-        # a crashed writer's orphan data file, never committed
+        # a crashed writer's orphan data file(s), never committed; the
+        # copy loop handles zero parts (no error events in this
+        # fixture/scale — the demo then shows orphan_excluded=false,
+        # which the oracle states as o.n > 0) and multi-part writes
         ev.filter(F.col("event_type") == "error").coalesce(1).write.mode(
             "overwrite"
         ).parquet(str(base / "orphan"))
-        orphan_part = next(Path(str(base / "orphan")).glob("*.parquet"))
-        shutil.copy(orphan_part, Path(committed_dir) / "part-orphan.parquet")
+        for i, orphan_part in enumerate(
+            sorted(Path(str(base / "orphan")).glob("*.parquet"))
+        ):
+            shutil.copy(
+                orphan_part, Path(committed_dir) / f"part-orphan-{i}.parquet"
+            )
 
         manifest = _json.loads((base / "table" / "_manifest.json").read_text())
         n_manifest = spark.read.parquet(*manifest["files"]).count()

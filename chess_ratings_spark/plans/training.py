@@ -556,29 +556,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Distinctive vocabulary per language: corpus-frequency TF × "
     "ln(N/df) IDF, top-5 per lang with a (score, token) tie-break. "
-    "Document frequency is one distinct-count shuffle on the token; "
-    "scores are integer counts × a log whose last-ulp engine "
-    "variation is absorbed by round(6). The shape generalizes to "
-    "per-domain vocabulary drift reports at corpus scale.",
+    "One scan of documents: per-(token, doc) counts collapse to "
+    "per-(token, lang) tf/doc-counts, token-level df is a window sum "
+    "over that vocab-sized frame (no re-scan self-join), and N is a "
+    "1-row in-plan aggregate broadcast-cross-joined — no separate "
+    "count() driver action. Scores are integer counts × a log whose "
+    "last-ulp engine variation is absorbed by round(6). The shape "
+    "generalizes to per-domain vocabulary drift reports at corpus "
+    "scale.",
     tags=("training", "text", "documents"),
 )
 def text_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = tables.load(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
-    df_t = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # one token shuffle; (token, doc_id) is unique after this (a doc has
+    # one lang), so df per token = count of rows, tf per lang = sum(c)
+    per_doc = tok.groupBy("token", "lang", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lt = per_doc.groupBy("token", "lang").agg(
+        F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df_lang")
+    )
+    wt = Window.partitionBy("token")
     scored = (
-        tok.join(df_t, "token")
-        .groupBy("lang", "token", "df")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        lt.withColumn("df", F.sum("df_lang").over(wt))
+        .crossJoin(F.broadcast(n))
         .select(
             "lang",
             "token",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-                "score"
-            ),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "token")

@@ -72,6 +72,19 @@ def test_lsh_family_never_goes_quadratic(spark, name):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_idf_topk_scans_documents_once(spark):
+    """text_idf_topk's round-7 rewrite: the doc count N is an in-plan
+    1-row aggregate (broadcast cross-join), not a separate count()
+    action, and the tokenized corpus is not re-scanned for df — the
+    whole query reads documents.parquet exactly once."""
+    p = plan_of(spark, "text_idf_topk")
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l and "documents" in l]
+    assert len(scans) == 2  # one token scan + one 1-row count scan
+    # the count branch must be column-pruned to nothing (ReadSchema: struct<>)
+    assert any("struct<>" in s for s in scans)
+    assert "CartesianProduct" not in p
+
+
 def test_whole_stage_codegen_covers_relational_core(spark):
     # codegen stage markers (*(n)) appear only in the executed final
     # plan under AQE, so run the query first

@@ -268,18 +268,18 @@ def test_max_multiplicity_matches_naive(spark, arrs):
 
 @SLOW
 @given(
-    toks=st.lists(st.sampled_from(["a", "b", "cc", "d"]), min_size=2, max_size=15),
+    toks=st.lists(st.sampled_from(["a", "b", "cc", "d"]), min_size=0, max_size=15),
     width=st.integers(min_value=2, max_value=3),
 )
 def test_sliding_concat_matches_per_position_definition(spark, toks, width):
     """sliding_concat (shifted-slice zip_with fold) equals the literal
     per-position definition [join(toks[i:i+w]) for i] — the law behind
-    the 6x n-gram hot-path rewrite."""
+    the 6x n-gram hot-path rewrite. min_size=0 deliberately covers
+    len(toks) < width, where the clamped n_out must yield [] rather
+    than a negative-length slice error."""
     from chess_ratings_spark.operators.text import sliding_concat
 
-    if len(toks) < width:
-        return
     df = spark.createDataFrame([(toks,)], "arr array<string>")
     got = df.select(sliding_concat(F.col("arr"), width).alias("g")).collect()[0]["g"]
-    want = [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
+    want = [" ".join(toks[i : i + width]) for i in range(max(0, len(toks) - width + 1))]
     assert got == want
