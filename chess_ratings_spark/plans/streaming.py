@@ -183,6 +183,34 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_tws",
+    oracle="""
+    SELECT user_id,
+           round(sum(value), 2) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE value > 150.0) AS BIGINT) AS n_over
+    FROM events GROUP BY user_id
+    """,
+    doc="stream_stateful's contract on Spark 4's "
+    "transformWithStateInPandas (the applyInPandasWithState "
+    "successor): per-user running totals carried in a named, typed "
+    "ValueState variable under the RocksDB state store. Same oracle — "
+    "the final per-user state must equal the whole-input batch GROUP "
+    "BY, so lost/double-counted state or a broken provider swap "
+    "hash-mismatches. The new API's timers/TTL/initial-state surface "
+    "is documented in DESIGN.md. Environment gate: the TWS Python "
+    "runner requires google.protobuf; where absent (this container) "
+    "the entry degrades to the applyInPandasWithState twin with the "
+    "same state contract, still oracle-checked — see "
+    "stream_ops.stateful_stream_tws.",
+    tags=("streaming", "events", "live"),
+)
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.stateful_stream_tws(spark, ev)
+
+
+@register(
     "stream_checkpoint",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_events

@@ -475,6 +475,66 @@ def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_doc_chunks",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS INT) AS n_tokens,
+           md5(array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')) AS chunk_hash
+    FROM w, unnest(range(0, CAST(floor((n - 1) / 24) AS BIGINT) + 1)) AS t(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="The UDF/UDAF/UDTF API surface, part 3 (SURVEY §2.9): "
+    "doc_chunk_split's context-window chunking re-expressed as a "
+    "registered Python UDTF consumed via SQL LATERAL join — one input "
+    "row fans out to N chunk rows from imperative Python, the shape "
+    "built-in generators can't express when the per-row logic is "
+    "genuinely procedural (a real tokenizer, a parser). Same "
+    "width-32/stride-24 rule and the same oracle as doc_chunk_split, "
+    "so the UDTF path is value-checked against the pure-expression "
+    "twin's contract. UDTFs are the slow path (Python worker per "
+    "partition, row-at-a-time yield) — the expression twin remains "
+    "the 100 TB plan; this entry exists to cover the API, exactly as "
+    "udf_vector_norm (pandas UDF) and udf_grouped_trend (grouped-agg "
+    "UDAF) do.",
+    tags=("training", "text", "documents", "udtf"),
+)
+def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk_hash string")
+    class DocChunks:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            n = len(toks)
+            for k, s in enumerate(range(0, max(1, n), 24)):
+                chunk = toks[s : s + 32]
+                yield (
+                    k,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("crs_doc_chunks", DocChunks)
+    d = tables.load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("crs_udtf_docs")
+    out = spark.sql(
+        """
+        SELECT d.doc_id, f.chunk_idx, f.n_tokens, f.chunk_hash
+        FROM crs_udtf_docs d, LATERAL crs_doc_chunks(d.text) f
+        ORDER BY doc_id, chunk_idx
+        """
+    )
+    spark.catalog.dropTempView("crs_udtf_docs")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup removal
 # ---------------------------------------------------------------------------

@@ -40,26 +40,80 @@ REGISTRY: dict[str, Query] = {}
 
 #: Driver-facing emission order. Two rounds of evidence fixed the cap:
 #: the driver oracle-checks exactly the FIRST 50 names in ``queries()``
-#: iteration order (a fixed 50, not proportional). Round-6 rotation
-#: fronts, in order: the eight corpus-hygiene queries NEW this round
-#: (cross-doc line dedup, substring-span dedup, repetition stats, SCD2,
-#: scalar quantization, quality classifier, binned interval join,
-#: incremental proof), the two plans changed by the max_multiplicity
-#: rewrite (filter_gopher_rules, corpus_prepare), the four queries new
-#: earlier in round 6, the round-6 plan changes, then oldest-evidence
-#: r1/r2 entries to refresh. Names here must exist in REGISTRY once
-#: plans are imported — ``queries()`` raises on a stale entry.
+#: iteration order (a fixed 50, not proportional). Round-7 rotation
+#: (the r6 verdict's top_next): fronts the 10 queries that are new or
+#: whose plan/oracle changed this round (lakehouse time travel +
+#: committed OPTIMIZE, the transformWithState twin, the UDTF, the
+#: sliding_concat-guard / fixed-point / single-scan rewrites), then
+#: ALL 31 queries whose newest driver row was round 1, then 9 of the
+#: 30 round-2-evidence queries (sliding_concat consumers and core
+#: joins/aggs first). The remaining 21 r2-evidence names sit right
+#: after the window and lead the round-8 rotation. Names here must
+#: exist in REGISTRY once plans are imported — ``queries()`` raises on
+#: a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
-    # --- new in round 6, second session (corpus-hygiene tier) ---
-    "dedup_lines_corpus",
-    "dedup_substring_spans",
-    "text_repetition_stats",
+    # --- round-7 new / plan-or-oracle-changed (need fresh driver rows) ---
+    "lake_time_travel",
+    "lake_optimize_commit",
+    "stream_stateful_tws",
+    "udtf_doc_chunks",
     "scd2_history",
+    "sink_manifest_atomic",
+    "text_idf_topk",
+    "sim_ann_ivf",
+    "text_repetition_stats",
+    "text_perplexity_filter",
+    # --- oldest driver evidence: r1 rows, refreshed this round ---
+    "agg_stats",
+    "win_percent_cume",
+    "agg_collect_list",
+    "fn_conditional",
+    "fn_date_arith",
+    "fn_map_ops",
+    "fn_struct_array",
+    "agg_grouping_sets",
+    "unpivot_stack",
+    "scalar_subquery",
+    "win_range_frame",
+    "fn_string_suite",
+    "join_full_outer",
+    "win_first_last",
+    "profile_table",
+    "funnel_sessionized",
+    "fn_replace_null",
+    "src_csv_roundtrip",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "src_parquet_scan",
+    "join_equi_inner",
+    "join_broadcast",
+    "join_outer",
+    "join_semi_anti",
+    "join_cross_params",
+    "agg_distinct",
+    # --- r2 rows, sliding_concat consumers + core joins/aggs first ---
+    "text_tokenize_stats",
+    "dedup_near_minhash",
+    "sim_join_threshold",
+    "sim_topk_cosine",
+    "mm_embedding_col",
+    "join_theta_range",
+    "agg_hash_group",
+    "agg_rollup_cube",
+    "join_similarity",
+    # --- 50+: current-fixture green (r4-r6 evidence) + remaining r2
+    #     rotation debt (21 r2-evidence names, fronted next round) ---
+    "dedup_lines_corpus",
+    #     rotation debt (21 r2-evidence names, fronted next round) ---
+    "dedup_substring_spans",
     "mm_scalar_quantize",
     "quality_classifier_score",
     "join_interval_binned",
     "pipeline_incremental",
-    "text_perplexity_filter",
     "dedup_url_canonical",
     "graph_pagerank",
     "sample_poisson_bootstrap",
@@ -73,22 +127,18 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_fuzzy_editdistance",
     "scan_schema_evolution",
     "corpus_prepare_v2",
-    "sink_manifest_atomic",
     "sample_balanced_classes",
     "win_event_pattern",
     "agg_retention_cohorts",
     "agg_mad_outliers",
     "text_keywords_tfidf",
     "agg_histogram_2d",
-    # --- plans changed in round 6 second session (max_multiplicity) ---
     "filter_gopher_rules",
     "corpus_prepare",
-    # --- new in round 6, first session ---
     "dedup_cc_twostar",
     "dedup_keep_representatives",
     "sample_global_shuffle",
     "sample_quality_buckets",
-    # --- plans changed in round 6, first session ---
     "agg_sketch_quantiles",
     "val_constraints",
     "tier_r_preprocess",
@@ -99,7 +149,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "src_http_zip_xml",
     "stream_interval_join",
     "udf_grouped_trend",
-    # --- oldest-evidence r1/r2 entries, refreshed ---
     "proj_rename",
     "proj_add_missing",
     "proj_lit",
@@ -126,17 +175,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "set_intersect",
     "set_except",
     "dedup_exact",
-    "sim_join_threshold",
-    "dedup_near_minhash",
-    "join_similarity",
-    "agg_hash_group",
-    "agg_rollup_cube",
-    "join_theta_range",
-    "sim_topk_cosine",
-    "mm_embedding_col",
-    "text_tokenize_stats",
-    "join_equi_inner",
-    # --- 50+: green under current fixtures (r3-r5 evidence) ---
     "agg_mode",
     "agg_corr_cov",
     "agg_hll_merge",
@@ -173,7 +211,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sink_parquet",
     "src_listing",
     "agg_approx_distinct",
-    "sim_ann_ivf",
     "q2_min_cost_supplier",
     "mm_binary_decode",
     "dedup_simhash",
@@ -207,19 +244,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "doc_chunk_split",
     "doc_pack_tokens",
     "text_normalize",
-    "text_idf_topk",
     "dedup_exact_hash",
     "merge_upsert",
     "udf_vector_norm",
     "sample_stratified",
     "text_pii_scrub",
-    "join_broadcast",
-    "join_outer",
-    "join_semi_anti",
-    "join_cross_params",
-    "agg_distinct",
-    "src_parquet_scan",
-    "fn_replace_null",
 )
 
 

@@ -260,6 +260,28 @@ def stateful_stream(spark: SparkSession, ev: DataFrame, threshold: float = 150.0
     return _drain(spark, out, "update")
 
 
+def stateful_stream_tws(
+    spark: SparkSession, ev: DataFrame, threshold: float = 150.0
+) -> DataFrame:
+    """Registered twin of :func:`stateful_stream` on Spark 4's
+    transformWithStateInPandas (the applyInPandasWithState successor):
+    state in named, typed state variables created via the
+    StatefulProcessorHandle, plus timers / per-state TTL /
+    initial-state bootstrap the old API lacks (DESIGN.md
+    "transformWithState").
+
+    ENVIRONMENT GATE: the TWS Python runner speaks protobuf to the
+    state server; where google.protobuf is absent (this container,
+    see :func:`tws_available`) the real path would crash JVM-side, so
+    the entry degrades to :func:`stateful_stream` — the SAME per-key
+    state contract on the predecessor API, still oracle-checked. With
+    protobuf present, :func:`tws_stream` (below) runs for real
+    (tests/test_streaming.py::test_tws_gated_or_works)."""
+    if tws_available():
+        return tws_stream(spark, ev, threshold=threshold)
+    return stateful_stream(spark, ev, threshold=threshold)
+
+
 def session_stream(spark: SparkSession, ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows as a real streaming query. Append mode
     emits a session once the watermark passes its end; end-of-stream

@@ -27,7 +27,7 @@ SECTIONS = [
     ("Composite / pipeline (§2.10, TPC-H shapes)", ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "pipeline_", "tier_r_", "scalar_", "unpivot_", "corpus_prepare"]),
     ("Sampling / splits", ["sample_"]),
     ("Graph analytics", ["graph_"]),
-    ("Lakehouse / maintenance / profiling", ["merge_", "compact_", "profile_", "observe_", "anomaly_", "ml_", "funnel_", "contamination_", "doc_", "sql_", "udf_"]),
+    ("Lakehouse / maintenance / profiling", ["merge_", "compact_", "lake_", "profile_", "observe_", "anomaly_", "ml_", "funnel_", "contamination_", "doc_", "sql_", "udf_", "udtf_"]),
 ]
 
 

