@@ -158,3 +158,89 @@ class TableLog:
         """Snapshot read (time travel when ``version`` is given):
         resolve ONE manifest, scan exactly its files."""
         return spark.read.parquet(*self.read_manifest(version)["files"])
+
+    # -- file statistics / data skipping ----------------------------------
+
+    def append_range_bucketed(
+        self, df: DataFrame, bucket_col: str, n_buckets: int, width: int, tag: str
+    ) -> int:
+        """Land ``df`` as one file per ``bucket_col`` range bucket
+        (bucket i = values in [i*width, (i+1)*width)), recording each
+        file's [min, max] of ``bucket_col`` in the manifest — the
+        per-file stats every lakehouse manifest carries. Stats come
+        from ONE grouped aggregation over the input (executor-side;
+        the driver sees n_buckets scalar triples), and each bucket's
+        rows are written in one single-file write."""
+        from pyspark.sql import functions as F
+
+        b = df.withColumn(
+            "__bucket", (F.col(bucket_col) / width).cast("int")
+        )
+        stats = {
+            int(r["__bucket"]): (int(r["mn"]), int(r["mx"]))
+            for r in b.groupBy("__bucket")
+            .agg(F.min(bucket_col).alias("mn"), F.max(bucket_col).alias("mx"))
+            .collect()
+        }
+        entries: list[dict] = []
+        files: list[str] = []
+        for i in sorted(stats):
+            part = b.filter(F.col("__bucket") == i).drop("__bucket")
+            (path,) = self._land(part, 1, tag=f"{tag}-b{i:04d}")
+            files.append(path)
+            mn, mx = stats[i]
+            entries.append({"path": path, "stats": {bucket_col: [mn, mx]}})
+        latest = self.latest_version()
+        prev_manifest = (
+            self.read_manifest(latest) if latest is not None else {"files": []}
+        )
+        version = self.commit(prev_manifest["files"] + files, op="append")
+        # stats ride in the same manifest file, keyed by path
+        m = self.read_manifest(version)
+        m["file_stats"] = prev_manifest.get("file_stats", []) + entries
+        self._manifest_path(version).write_text(json.dumps(m, indent=0))
+        return version
+
+    def snapshot_pruned(
+        self, spark: SparkSession, col: str, lo: int, hi: int,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Data skipping from manifest stats: scan ONLY files whose
+        recorded [min, max] of ``col`` overlaps [lo, hi] (the exact
+        predicate is still applied on top — stats pruning must be a
+        superset). Returns (frame, files_total, files_scanned)."""
+        from pyspark.sql import functions as F
+
+        m = self.read_manifest(version)
+        stats = {e["path"]: e["stats"][col] for e in m.get("file_stats", [])}
+        keep = [
+            p for p in m["files"]
+            if p not in stats or (stats[p][0] <= hi and stats[p][1] >= lo)
+        ]
+        df = spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+        return df, len(m["files"]), len(keep)
+
+    # -- retention --------------------------------------------------------
+
+    def vacuum(self, retain_versions: int = 1) -> dict:
+        """Physically delete data files not referenced by the newest
+        ``retain_versions`` manifests (their log entries stay, so
+        history is auditable even when no longer readable — Delta's
+        VACUUM semantics). Returns a census dict. Pure metadata diff +
+        unlink loop; no data moves."""
+        import os
+
+        versions = self.versions()
+        keep_vs = versions[-retain_versions:]
+        live: set[str] = set()
+        for v in keep_vs:
+            live.update(self.read_manifest(v)["files"])
+        all_files = {str(p) for p in self.data_dir.glob("*.parquet")}
+        dead = sorted(all_files - live)
+        for p in dead:
+            os.unlink(p)
+        return {
+            "n_live": len(live),
+            "n_removed": len(dead),
+            "retained_versions": keep_vs,
+        }

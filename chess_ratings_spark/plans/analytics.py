@@ -590,3 +590,109 @@ def udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables.load(spark, sf_dir, "embeddings")
     return e.select("vec_id", l2("embedding").alias("l2_norm")).orderBy("vec_id")
+
+
+@register(
+    "agg_countmin_heavyhitters",
+    oracle="""
+    WITH js AS (SELECT unnest(range(0, 4)) AS j),
+    pairs AS (
+      SELECT j,
+             ('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || ':'
+                 || CAST(e.user_id AS VARCHAR)), 1, 8))::UBIGINT % 1024
+               AS bucket
+      FROM events e, js
+    ), sketch AS (
+      SELECT j, bucket, count(*) AS c FROM pairs GROUP BY j, bucket
+    ), keys AS (
+      SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id
+    ), cand AS (
+      SELECT k.user_id, k.true_count, j,
+             ('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || ':'
+                 || CAST(k.user_id AS VARCHAR)), 1, 8))::UBIGINT % 1024
+               AS bucket
+      FROM keys k, js
+    ), est AS (
+      SELECT c2.user_id, any_value(c2.true_count) AS true_count,
+             min(s.c) AS est
+      FROM cand c2 JOIN sketch s USING (j, bucket)
+      GROUP BY c2.user_id
+    )
+    SELECT user_id, CAST(est AS BIGINT) AS est_count,
+           CAST(true_count AS BIGINT) AS true_count,
+           est >= true_count AS overestimate_ok,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY est DESC, user_id) AS rnk
+          FROM est)
+    WHERE rnk <= 10 ORDER BY rnk
+    """,
+    doc="Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005): "
+    "a d=4 x w=1024 counter matrix built as ONE grouped aggregation "
+    "(event x hash-row explode -> groupBy (row, bucket)), so the "
+    "sketch is mergeable across partitions/days by cell-wise integer "
+    "add — the always-on frequency monitor that costs O(d*w) memory "
+    "per shard regardless of key cardinality, where exact per-key "
+    "counts at 10^9 keys would not fit. Point estimate = min over the "
+    "d salted-md5 bucket counters; the CM guarantee est >= true is "
+    "asserted per reported key (overestimate_ok), and the top-10 by "
+    "estimate is checked against exact counts the oracle recomputes "
+    "with the identical hash math. The candidate probe here is the "
+    "exact key set (fixture-scale falsifiability); at 100 TB "
+    "candidates come from per-partition top-k pre-aggregation, and "
+    "the sketch answers point queries without rescanning history. "
+    "All-integer, layout-independent, bit-equal md5 on both engines.",
+    tags=("agg", "sketch", "events"),
+)
+def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    D, W = 4, 1024
+    ev = tables.load(spark, sf_dir, "events")
+    js = F.explode(F.array(*[F.lit(i) for i in range(D)])).alias("j")
+
+    def bucket(uid_col: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cm"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col(uid_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % W
+        )
+
+    pairs = ev.select("user_id", js).withColumn("bucket", bucket("user_id"))
+    sketch = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    cand = keys.select("user_id", "true_count", js).withColumn(
+        "bucket", bucket("user_id")
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.any_value("true_count").alias("true_count"),
+            F.min("c").alias("est"),
+        )
+    )
+    wr = Window.orderBy(F.col("est").desc(), "user_id")
+    return (
+        est.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "user_id",
+            F.col("est").cast("bigint").alias("est_count"),
+            F.col("true_count").cast("bigint").alias("true_count"),
+            (F.col("est") >= F.col("true_count")).alias("overestimate_ok"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )

@@ -414,3 +414,143 @@ def lake_optimize_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_stats_prune",
+    oracle="""
+    WITH m AS (SELECT max(event_id) AS mxid FROM events),
+    p AS (
+      SELECT ((mxid + 1) + 7) // 8 AS w,
+             (mxid + 1) // 4 AS lo,
+             ((mxid + 1) * 2) // 5 AS hi
+      FROM m
+    ),
+    bk AS (
+      SELECT event_id // p.w AS b, p.lo AS lo, p.hi AS hi,
+             min(event_id) AS mn, max(event_id) AS mx
+      FROM events, p GROUP BY 1, p.lo, p.hi
+    )
+    SELECT CAST(count(*) AS INT) AS files_total,
+           CAST(count(*) FILTER (WHERE mn <= hi AND mx >= lo) AS INT)
+             AS files_scanned,
+           (SELECT CAST(count(*) AS BIGINT) FROM events e, p
+            WHERE e.event_id BETWEEN p.lo AND p.hi) AS n_rows,
+           true AS pruned_equals_full
+    FROM bk
+    """,
+    doc="Manifest-stats data skipping — the file-pruning lever every "
+    "lakehouse manifest exists to enable: files are landed "
+    "range-bucketed on event_id with per-file [min,max] recorded in "
+    "the manifest (one grouped agg computes all stats executor-side); "
+    "a range read resolves the manifest and scans ONLY files whose "
+    "recorded interval overlaps the predicate, with the exact filter "
+    "still applied on top (stats pruning must stay a superset). The "
+    "oracle recomputes bucket intervals and overlap from the logical "
+    "input, so files_scanned (2 of 8 for the 25%-40% id range) is "
+    "replayed, and pruned_equals_full asserts the pruned read returns "
+    "exactly the full scan's rows. At 100 TB this is the difference "
+    "between touching 2% and 100% of a partition's files — the same "
+    "lever as scan_partition_pruning, moved into table metadata where "
+    "it composes with time travel. The per-bucket single-file landing "
+    "here is the demo shape; production writes once via "
+    "repartitionByRange and records per-partition stats in the same "
+    "write pass.",
+    tags=("lakehouse", "scan", "time-travel", "events"),
+)
+def lake_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    mxid = int(ev.agg(F.max("event_id")).collect()[0][0])  # bounded scalar
+    width = ((mxid + 1) + 7) // 8
+    lo, hi = (mxid + 1) // 4, ((mxid + 1) * 2) // 5
+    base = tempfile.mkdtemp(prefix="crs_statsprune_")
+    try:
+        log = TableLog(base)
+        log.append_range_bucketed(ev, "event_id", n_buckets=8, width=width, tag="ev")
+        pruned, files_total, files_scanned = log.snapshot_pruned(
+            spark, "event_id", lo, hi
+        )
+        n_pruned = pruned.count()
+        n_full = log.snapshot(spark).filter(
+            F.col("event_id").between(lo, hi)
+        ).count()
+        return tables.local_row(
+            spark,
+            ("files_total", files_total, "int"),
+            ("files_scanned", files_scanned, "int"),
+            ("n_rows", n_pruned, "bigint"),
+            ("pruned_equals_full", bool(n_pruned == n_full), "boolean"),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_vacuum_retention",
+    oracle="""
+    SELECT CAST(24 AS INT) AS n_files_removed,
+           CAST(greatest(1, ceil(count(*) / 50000.0)) AS INT) AS n_files_live,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(4 AS INT) AS n_log_versions,
+           true AS live_readable,
+           true AS history_unreadable
+    FROM events
+    """,
+    doc="VACUUM with retention — the lifecycle end Delta formalizes: "
+    "after three 8-file appends and a committed OPTIMIZE, vacuum "
+    "(retain 1 version) physically deletes the 24 superseded data "
+    "files while the compacted snapshot keeps serving reads "
+    "(live_readable: row count unchanged after vacuum). Manifests are "
+    "NEVER deleted, so the log stays auditable, but time travel to "
+    "the pre-OPTIMIZE version now fails at scan time "
+    "(history_unreadable, asserted by attempting the read) — the "
+    "documented retention trade every lakehouse operator makes "
+    "between storage and time-travel horizon. All counts are "
+    "deterministic functions of the logical row count, replayed by "
+    "the oracle. Vacuum itself is a metadata diff plus unlink loop — "
+    "no data moves, no driver rows.",
+    tags=("lakehouse", "maintenance", "time-travel", "events"),
+)
+def lake_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_vacuum_")
+    try:
+        log = TableLog(base)
+        for m in (0, 1, 2):
+            log.append(ev.filter(F.col("event_id") % 3 == m), n_files=8, tag=f"e{m}")
+        v_pre = log.latest_version()
+        log.optimize(spark, target_rows_per_file=50_000)
+        census = log.vacuum(retain_versions=1)
+        n_rows = log.snapshot(spark).count()
+        try:
+            log.snapshot(spark, version=v_pre).count()
+            history_unreadable = False
+        except Exception:
+            history_unreadable = True
+        return tables.local_row(
+            spark,
+            ("n_files_removed", int(census["n_removed"]), "int"),
+            ("n_files_live", int(census["n_live"]), "int"),
+            ("n_rows", int(n_rows), "bigint"),
+            ("n_log_versions", len(log.versions()), "int"),
+            ("live_readable", bool(n_rows > 0), "boolean"),
+            ("history_unreadable", history_unreadable, "boolean"),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -296,3 +296,33 @@ def stream_foreach_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return stream_ops.sliding_stream(spark, ev)
+
+
+@register(
+    "stream_sink_tablelog",
+    oracle="""
+    SELECT CAST(2 AS INT) AS n_versions,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_centi_sum,
+           true AS one_commit_per_batch
+    FROM events
+    """,
+    doc="Streaming ingestion into the versioned manifest log "
+    "(operators/tablelog.py) via foreachBatch: every micro-batch "
+    "lands immutable parquet files and publishes them as the next "
+    "manifest version with its batch id in the commit record — "
+    "replayed batches are detected by committed batch id and "
+    "skipped, which is how foreachBatch (at-least-once by itself) "
+    "becomes exactly-once on a transactional table. Two staged drops "
+    "drive two micro-batches -> two versions; the latest snapshot's "
+    "row count and fixed-point checksum must equal the whole-input "
+    "batch aggregate (the oracle), so a lost or double-committed "
+    "batch hash-mismatches. Readers mid-stream resolve version N or "
+    "N+1, never a torn listing — the Delta/Iceberg streaming-sink "
+    "contract on plain parquet.",
+    tags=("streaming", "lakehouse", "events", "live"),
+)
+def stream_sink_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.tablelog_sink_stream(spark, ev)

@@ -816,3 +816,133 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_copies") - 1).alias("n_exact_dups"),
         F.max("n_copies").cast("int").alias("max_copies"),
     )
+
+
+def _bpe_iter_sql(k: int) -> str:
+    """One unrolled BPE iteration k (CTEs p{k}/t{k}/w{k} over w{k-1})."""
+    return f"""
+    p{k} AS (
+      SELECT unnest(list_transform(range(1, len(syms)),
+                    i -> syms[i] || ' ' || syms[i+1])) AS pair, freq
+      FROM (SELECT string_split(regexp_replace(rep, '^<|>$', '', 'g'), '><')
+                     AS syms, freq
+            FROM w{k - 1})
+    ), t{k} AS (
+      SELECT string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b, cnt
+      FROM (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM p{k} GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)
+    ), w{k} AS (
+      SELECT replace(rep, '<' || a || '><' || b || '>',
+                     '<' || a || b || '>') AS rep, freq
+      FROM w{k - 1}, t{k}
+    ), s{k} AS (
+      SELECT {k} AS step, a AS merge_a, b AS merge_b, a || b AS merged,
+             cnt AS pair_count,
+             (SELECT CAST(sum(freq * len(string_split(
+                  regexp_replace(rep, '^<|>$', '', 'g'), '><'))) AS BIGINT)
+              FROM w{k}) AS corpus_symbols_after
+      FROM t{k}
+    )"""
+
+
+@register(
+    "text_bpe_merges",
+    oracle="""
+    WITH w0 AS (
+      SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS rep, freq FROM (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS word
+          FROM documents
+        ) WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word)
+    ),"""
+    + ",".join(_bpe_iter_sql(k) for k in (1, 2, 3))
+    + """
+    SELECT CAST(step AS INT) AS step, merge_a, merge_b, merged,
+           pair_count, corpus_symbols_after
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3)
+    ORDER BY step
+    """,
+    doc="BPE tokenizer training as DataFrame jobs (Sennrich et al. "
+    "2016): 3 greedy merge iterations over the corpus word-frequency "
+    "table. Each iteration is (a) adjacent-symbol pair counts — one "
+    "explode + grouped sum, weighted by word frequency, the shape "
+    "that scales because it runs over the VOCABULARY (distinct "
+    "words), not the corpus; (b) argmax pair with (count desc, pair "
+    "asc) tie-break — a 1-row TakeOrdered broadcast back; (c) the "
+    "greedy non-overlapping left-to-right merge, executed as a "
+    "LITERAL string replace over the bracketed symbol encoding "
+    "'<s><y><m>' — '<' anchors every match to a symbol start (no "
+    "mid-symbol false hits), and literal replace() is left-to-right "
+    "non-overlapping in BOTH engines, which IS the BPE merge rule — "
+    "no regex, no UDF, no driver loop over words. The per-step "
+    "chosen merge, its count, and the corpus symbol total after "
+    "applying it are all exact integers; the oracle unrolls the same "
+    "3 iterations as chained CTEs. Vocabulary state is "
+    "localCheckpoint'd between iterations (vocab-sized, "
+    "executor-resident) so lineage stays linear in K, exactly the "
+    "graph-loop hygiene used by PageRank/CC.",
+    tags=("training", "text", "documents"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.text import sliding_concat
+
+    d = tables.load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.regexp_replace("word", "(.)", "<$1>").alias("rep"), "freq")
+    )
+    cur = words.localCheckpoint(eager=True)  # vocab-sized, executor-side
+    steps = []
+    for step in (1, 2, 3):
+        syms = F.split(F.regexp_replace("rep", "^<|>$", ""), "><")
+        pairs = cur.select(F.explode(sliding_concat(syms, 2)).alias("pair"), "freq")
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pair")
+            .limit(1)
+            .select(
+                F.split("pair", " ")[0].alias("a"),
+                F.split("pair", " ")[1].alias("b"),
+                "pair_count",
+            )
+        )
+        nxt = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                F.expr(
+                    "replace(rep, '<' || a || '><' || b || '>',"
+                    " '<' || a || b || '>')"
+                ).alias("rep"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+        sym_total = nxt.select(
+            F.sum(
+                F.col("freq")
+                * F.size(F.split(F.regexp_replace("rep", "^<|>$", ""), "><"))
+            )
+            .cast("bigint")
+            .alias("corpus_symbols_after")
+        )
+        steps.append(
+            top.crossJoin(sym_total).select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("a").alias("merge_a"),
+                F.col("b").alias("merge_b"),
+                F.concat("a", "b").alias("merged"),
+                "pair_count",
+                "corpus_symbols_after",
+            )
+        )
+        cur = nxt
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")

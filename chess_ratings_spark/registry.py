@@ -44,11 +44,12 @@ REGISTRY: dict[str, Query] = {}
 #: (the r6 verdict's top_next): fronts the 10 queries that are new or
 #: whose plan/oracle changed this round (lakehouse time travel +
 #: committed OPTIMIZE, the transformWithState twin, the UDTF, the
-#: sliding_concat-guard / fixed-point / single-scan rewrites), then
-#: ALL 31 queries whose newest driver row was round 1, then 9 of the
-#: 30 round-2-evidence queries (sliding_concat consumers and core
-#: joins/aggs first). The remaining 21 r2-evidence names sit right
-#: after the window and lead the round-8 rotation. Names here must
+#: sliding_concat-guard / fixed-point / single-scan rewrites, plus the
+#: second-session additions: tablelog streaming sink, stats pruning,
+#: vacuum, Count-Min, BPE), then ALL 31 queries whose newest driver
+#: row was round 1, then 4 of the 30 round-2-evidence queries
+#: (sliding_concat consumers first). The remaining 26 r2-evidence
+#: names sit right after the window and lead the round-8 rotation. Names here must
 #: exist in REGISTRY once plans are imported — ``queries()`` raises on
 #: a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
@@ -63,6 +64,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sim_ann_ivf",
     "text_repetition_stats",
     "text_perplexity_filter",
+    "stream_sink_tablelog",
+    "lake_stats_prune",
+    "lake_vacuum_retention",
+    "agg_countmin_heavyhitters",
+    "text_bpe_merges",
     # --- oldest driver evidence: r1 rows, refreshed this round ---
     "agg_stats",
     "win_percent_cume",
@@ -100,15 +106,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_near_minhash",
     "sim_join_threshold",
     "sim_topk_cosine",
+    # --- 50+: current-fixture green (r4-r6 evidence) + remaining r2
+    #     rotation debt (26 r2-evidence names, fronted next round) ---
     "mm_embedding_col",
     "join_theta_range",
     "agg_hash_group",
     "agg_rollup_cube",
     "join_similarity",
-    # --- 50+: current-fixture green (r4-r6 evidence) + remaining r2
-    #     rotation debt (21 r2-evidence names, fronted next round) ---
     "dedup_lines_corpus",
-    #     rotation debt (21 r2-evidence names, fronted next round) ---
     "dedup_substring_spans",
     "mm_scalar_quantize",
     "quality_classifier_score",

@@ -133,6 +133,11 @@ def test_driver_order_contract():
         "sim_ann_ivf",  # recall floor 0.75 -> 0.85
         "text_repetition_stats",  # sliding_concat short-array clamp
         "text_perplexity_filter",  # sliding_concat short-array clamp
+        "stream_sink_tablelog",  # new: foreachBatch manifest commits
+        "lake_stats_prune",  # new: manifest-stats data skipping
+        "lake_vacuum_retention",  # new: retention vacuum
+        "agg_countmin_heavyhitters",  # new: CM sketch heavy hitters
+        "text_bpe_merges",  # new: BPE merge training
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r7]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"

@@ -69,3 +69,28 @@ def test_optimize_preserves_content_and_history(base, spark):
     old = log.snapshot(spark, version=2)
     assert {r.k for r in old.collect()} == before
     assert len(set(old.inputFiles())) == 12
+
+
+def test_stats_pruning_is_superset_and_exact(base, spark):
+    log = TableLog(base)
+    df = spark.range(80).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    log.append_range_bucketed(df, "k", n_buckets=8, width=10, tag="r")
+    pruned, total, scanned = log.snapshot_pruned(spark, "k", 25, 44)
+    assert total == 8
+    assert scanned == 3  # buckets [20,30), [30,40), [40,50)
+    got = sorted(r.k for r in pruned.collect())
+    assert got == list(range(25, 45))  # exact filter still applied on top
+
+
+def test_vacuum_keeps_live_drops_history(base, spark):
+    log = TableLog(base)
+    for t in range(2):
+        log.append(_tiny(spark, n=30, tag=t), n_files=3, tag=f"t{t}")
+    log.optimize(spark, target_rows_per_file=1_000)
+    census = log.vacuum(retain_versions=1)
+    assert census["n_removed"] == 6
+    assert census["n_live"] == 1
+    assert log.snapshot(spark).count() == 60  # live snapshot intact
+    assert log.versions() == [0, 1, 2]  # log stays auditable
+    with pytest.raises(Exception):
+        log.snapshot(spark, version=0).count()  # history physically gone
