@@ -554,3 +554,87 @@ def lake_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _zorder_sql(x: str, y: str, bits: int = 6) -> str:
+    """Morton/Z-value of two ``bits``-bit ints. Bit i is tested as
+    ``v % 2^(i+1) >= 2^i`` — mod/compare only, so the IDENTICAL
+    expression text parses in Spark SQL and DuckDB (integer division
+    spells ``div`` in one and ``//`` in the other; shifts differ too,
+    so neither is portable)."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(CASE WHEN {x} % {1 << (i + 1)} >= {1 << i}"
+            f" THEN {1 << (2 * i + 1)} ELSE 0 END)"
+        )
+        terms.append(
+            f"(CASE WHEN {y} % {1 << (i + 1)} >= {1 << i}"
+            f" THEN {1 << (2 * i)} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "lake_zorder_locality",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id % 64 AS x, event_id % 64 AS y FROM events
+    ), keyed AS (
+      SELECT x, y,
+             ({_zorder_sql('x', 'y')}) AS z,
+             x * 64 + y AS lin
+      FROM pts
+    ), box AS (SELECT * FROM keyed WHERE y BETWEEN 0 AND 3)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_in_box,
+           CAST(count(DISTINCT (z - z % 256) // 256) AS INT) AS zorder_files_touched,
+           CAST(count(DISTINCT (lin - lin % 256) // 256) AS INT) AS linear_files_touched,
+           count(DISTINCT z // 256) < count(DISTINCT lin // 256)
+             AS zorder_wins
+    FROM box
+    """,
+    doc="Z-order (Morton curve) clustering locality — the lever behind "
+    "Delta's OPTIMIZE ZORDER BY and the reason single-column range "
+    "bucketing (lake_stats_prune) stops helping once queries filter a "
+    "SECOND dimension: interleaving the bits of (x, y) makes file "
+    "ranges of the sort key cover compact 2-D tiles, so a box "
+    "predicate touches O(perimeter) files instead of every stripe. "
+    "Measured on events with x = user_id%64, y = event_id%64, 16 "
+    "files of 256 key values each: the y<=3 slab touches 4 of 16 "
+    "z-ordered files vs 16 of 16 linear-ordered ones (every x stripe "
+    "contains the slab). The z-value is pure div/mod integer "
+    "arithmetic — the IDENTICAL expression text runs in both engines, "
+    "so the oracle is exact; combined with per-file min/max stats "
+    "this is executable file pruning, not an analogy. At 100 TB the "
+    "write path is repartitionByRange(zvalue) + per-file stats in the "
+    "same pass.",
+    tags=("lakehouse", "scan", "events"),
+)
+def lake_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") % 64).alias("x"), (F.col("event_id") % 64).alias("y")
+    )
+    keyed = pts.select(
+        "x",
+        "y",
+        F.expr(_zorder_sql("x", "y")).alias("z"),
+        (F.col("x") * 64 + F.col("y")).alias("lin"),
+    )
+    box = keyed.filter(F.col("y").between(0, 3))
+    return box.agg(
+        F.count(F.lit(1)).alias("n_rows_in_box"),
+        F.countDistinct((F.col("z") / 256).cast("bigint")).cast("int").alias(
+            "zorder_files_touched"
+        ),
+        F.countDistinct((F.col("lin") / 256).cast("bigint")).cast("int").alias(
+            "linear_files_touched"
+        ),
+    ).select(
+        "n_rows_in_box",
+        "zorder_files_touched",
+        "linear_files_touched",
+        (F.col("zorder_files_touched") < F.col("linear_files_touched")).alias(
+            "zorder_wins"
+        ),
+    )

@@ -880,3 +880,100 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tri.select(F.col("n_triangles").cast("bigint")))
     )
     return out
+
+
+@register(
+    "sim_containment_join",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc_id,
+             array_to_string(string_split(text, ' ')[1:15], ' ') AS text
+      FROM documents WHERE doc_id % 50 = 0
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            FOR i IN range(1, len(t) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+      WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), keep AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) <= 128
+    ), sized AS (
+      SELECT e.doc_id, e.s,
+             count(*) OVER (PARTITION BY e.doc_id) AS n_sh
+      FROM ex e JOIN keep k ON e.s = k.s
+    )
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           CAST(count(*) AS BIGINT) AS inter,
+           CAST(a.n_sh AS BIGINT) AS n_contained
+    FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id != b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+    HAVING count(*) * 10 >= 9 * a.n_sh AND a.n_sh < b.n_sh
+    ORDER BY contained_id, container_id
+    """,
+    doc="Asymmetric CONTAINMENT similarity join — |A∩B| / |A| ≥ 0.9 "
+    "with |A| < |B| — the sub-document duplication detector Jaccard "
+    "structurally misses: a 15-token fragment verbatim inside an "
+    "80-token document scores containment 1.0 but Jaccard ~0.2, "
+    "below any sane dedup τ (quote farms, boilerplate inclusion, "
+    "prompt-in-completion leaks). Planted falsifiers: every 50th "
+    "document spawns a 15-token-prefix fragment doc (id +2e7) whose "
+    "shingles are a strict subset of its source's, so each must "
+    "surface with containment 1.0. Same inverted shingle index and "
+    "df≤128 hot-key cap as dedup_ngram_jaccard (one shingle-key "
+    "shuffle, candidate volume linear by the cap), same exact-SQL "
+    "replay; the threshold is the integer cross-multiply "
+    "inter*10 >= 9*|A| — no float division in the predicate.",
+    tags=("similarity", "dedup", "documents"),
+)
+def sim_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    frags = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 15), " ").alias("text"),
+    )
+    # base-corpus shingle sets come from the session-shared cache (the
+    # same frame every jaccard/minhash query uses); only the ~2% of
+    # planted fragments are shingled fresh. (Caching the capped index
+    # itself was measured SLOWER for the single-shot driver/bench path
+    # — materialization costs more than the double computation the
+    # alias self-join plans — so the index stays lazy.)
+    sh = shared_shingles(spark, sf_dir).unionByName(
+        similarity.shingle_sets(frags)
+    )
+    ex = similarity.capped_shingle_index(sh, df_cap=128)
+    a, b = ex.alias("a"), ex.alias("b")
+    # the final predicate requires n_a < n_b strictly, so push it into
+    # the join: halves the pair volume vs != and prunes equal-size
+    # pairs before the shuffle (identical result — the filter is on
+    # group keys)
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.n_sh") < F.col("b.n_sh")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        common.filter(
+            (F.col("inter") * 10 >= 9 * F.col("n_a"))
+            & (F.col("n_a") < F.col("n_b"))
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("n_a").cast("bigint").alias("n_contained"),
+        )
+        .orderBy("contained_id", "container_id")
+    )

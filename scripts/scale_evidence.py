@@ -246,6 +246,67 @@ def run_lines(spark, factor: int) -> dict:
     }
 
 
+def run_containment(spark, factor: int) -> dict:
+    """Candidate census for sim_containment_join: the capped inverted
+    index must keep pair-candidate volume linear under prefix-disjoint
+    inflation (copies share no shingles, so cross-copy candidates are
+    exactly zero and found containments scale 1:1 with copies)."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators import similarity
+
+    d = inflate_documents(
+        tables.load(spark, SF_DIR, "documents").select("doc_id", "text"), factor
+    )
+    frags = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 15), " ").alias("text"),
+    )
+    corpus = d.unionByName(frags)
+    t0 = time.perf_counter()
+    ex = similarity.capped_shingle_index(
+        similarity.shingle_sets(corpus), df_cap=128
+    ).cache()
+    n_postings = ex.count()
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("ca"),
+            F.col("b.doc_id").alias("cb"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .cache()
+    )
+    n_cand = cand.count()
+    n_contained = cand.filter(
+        (F.col("inter") * 10 >= 9 * F.col("n_a")) & (F.col("n_a") < F.col("n_b"))
+    ).count()
+    hottest = (
+        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df")).collect()[0][0]
+    )
+    t_all = time.perf_counter() - t0
+    ex.unpersist()
+    cand.unpersist()
+    return {
+        "op": "sim_containment_join",
+        "factor": factor,
+        "postings": n_postings,
+        "candidate_pairs": n_cand,
+        "contained_found": n_contained,
+        "max_shingle_df": int(hottest),
+        "secs": round(t_all, 2),
+    }
+
+
 def run_pagerank(spark, factor: int) -> dict:
     """Fixed-point PageRank on `factor` disjoint copies of the purchase
     graph (node ids offset per copy — component structure and ranks
@@ -339,7 +400,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_pagerank, run_perplexity):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_pagerank, run_perplexity):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()

@@ -138,6 +138,8 @@ def test_driver_order_contract():
         "lake_vacuum_retention",  # new: retention vacuum
         "agg_countmin_heavyhitters",  # new: CM sketch heavy hitters
         "text_bpe_merges",  # new: BPE merge training
+        "lake_zorder_locality",  # new: Morton-curve locality proof
+        "sim_containment_join",  # new: asymmetric containment dedup
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r7]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"

@@ -137,3 +137,57 @@ def test_exact_hash_dedup_finds_planted_copies(spark):
 def test_observe_metrics_matches(spark):
     row = REGISTRY["observe_metrics"].fn(spark, SF_SMOKE).collect()[0]
     assert row["observed_matches"], dict(row.asDict())
+
+
+def test_bpe_merge_is_greedy_nonoverlapping(spark):
+    """The literal-replace merge over the bracketed encoding implements
+    BPE's greedy left-to-right non-overlapping rule: 'aaaa' with merge
+    (a,a) -> ['aa','aa'], 'aaa' -> ['aa','a']."""
+    df = spark.createDataFrame([("<a><a><a><a>",), ("<a><a><a>",)], "rep string")
+    merged = df.select(
+        F.expr("replace(rep, '<a><a>', '<aa>')").alias("m")
+    ).collect()
+    assert [r.m for r in merged] == ["<aa><aa>", "<aa><a>"]
+
+
+def test_bpe_merges_monotone_and_consistent(spark):
+    rows = REGISTRY["text_bpe_merges"].fn(spark, SF_SMOKE).collect()
+    assert [r.step for r in rows] == [1, 2, 3]
+    # each merge removes exactly pair_count symbols from the corpus
+    # (every merged occurrence collapses two symbols into one)
+    counts = [r.pair_count for r in rows]
+    totals = [r.corpus_symbols_after for r in rows]
+    assert counts[0] >= counts[1] >= counts[2] > 0
+    assert totals[0] - totals[1] == counts[1]
+    assert totals[1] - totals[2] == counts[2]
+    for r in rows:
+        assert r.merged == r.merge_a + r.merge_b
+
+
+def test_containment_finds_planted_fragments(spark):
+    rows = REGISTRY["sim_containment_join"].fn(spark, SF_SMOKE).collect()
+    planted = {
+        r.contained_id: r for r in rows if r.contained_id >= 20_000_000
+    }
+    d = tables.load(spark, SF_SMOKE, "documents")
+    # sources with <=15 tokens yield a fragment equal to the whole doc,
+    # which the strict |A| < |B| correctly excludes (not "contained in
+    # a larger doc" — it IS the doc)
+    expected = {
+        r.doc_id + 20_000_000
+        for r in d.filter(
+            (F.col("doc_id") % 50 == 0) & (F.size(F.split("text", " ")) > 15)
+        ).collect()
+    }
+    assert expected <= set(planted)
+    for pid, r in planted.items():
+        if r.container_id == pid - 20_000_000:
+            assert r.inter == r.n_contained  # containment exactly 1.0
+
+
+def test_countmin_never_underestimates(spark):
+    rows = REGISTRY["agg_countmin_heavyhitters"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.overestimate_ok
+        assert r.est_count >= r.true_count
