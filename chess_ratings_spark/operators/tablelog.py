@@ -162,7 +162,7 @@ class TableLog:
     # -- file statistics / data skipping ----------------------------------
 
     def append_range_bucketed(
-        self, df: DataFrame, bucket_col: str, n_buckets: int, width: int, tag: str
+        self, df: DataFrame, bucket_col: str, width: int, tag: str
     ) -> int:
         """Land ``df`` as one file per ``bucket_col`` range bucket
         (bucket i = values in [i*width, (i+1)*width)), recording each

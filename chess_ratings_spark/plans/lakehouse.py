@@ -474,7 +474,7 @@ def lake_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="crs_statsprune_")
     try:
         log = TableLog(base)
-        log.append_range_bucketed(ev, "event_id", n_buckets=8, width=width, tag="ev")
+        log.append_range_bucketed(ev, "event_id", width=width, tag="ev")
         pruned, files_total, files_scanned = log.snapshot_pruned(
             spark, "event_id", lo, hi
         )
@@ -638,3 +638,203 @@ def lake_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zorder_wins"
         ),
     )
+
+
+@register(
+    "lake_delete_mor",
+    oracle="""
+    WITH t AS (
+      SELECT count(*) AS n_total,
+             count(*) FILTER (WHERE event_type <> 'error') AS n_live,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                  FILTER (WHERE event_type <> 'error') AS BIGINT) AS vc_live
+      FROM events
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_rows_v0,
+           CAST(n_live AS BIGINT) AS n_rows_mor,
+           CAST(n_total - n_live AS BIGINT) AS n_deleted,
+           vc_live AS vc_mor,
+           CAST(8 AS INT) AS files_before_delete,
+           CAST(8 AS INT) AS files_after_delete,
+           true AS delete_was_metadata_only,
+           true AS compaction_materializes
+    FROM t
+    """,
+    doc="Merge-on-read DELETE via deletion-vector sidecar — the Delta "
+    "deletion-vectors / Iceberg delete-files mechanism on the "
+    "manifest log: version 1 commits the SAME 8 data files as version "
+    "0 plus a sidecar naming the deleted keys (event_type='error' "
+    "rows), so the DELETE is a pure metadata commit "
+    "(delete_was_metadata_only: file list unchanged, nothing "
+    "rewritten — the O(seconds) delete a 100 TB table needs, vs "
+    "copy-on-write's full file rewrite). Readers of v1 merge on read: "
+    "scan the files, anti-join the sidecar keys (row count + "
+    "fixed-point checksum oracle-checked against the logical "
+    "filter). Version 2 OPTIMIZE then materializes the deletes — "
+    "rewritten files carry only live rows, the sidecar is dropped, "
+    "and the materialized read must equal the merge-on-read answer "
+    "(compaction_materializes). Time travel to v0 still sees the "
+    "pre-delete rows. The sidecar is written executor-side as "
+    "parquet; the driver holds file names only.",
+    tags=("lakehouse", "merge", "time-travel", "events"),
+)
+def lake_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_mor_")
+    try:
+        log = TableLog(base)
+        log.append(ev, n_files=8, tag="full")
+        n_v0 = log.snapshot(spark).count()
+        files_v0 = list(log.read_manifest(0)["files"])
+
+        # -- v1: DELETE WHERE event_type='error' as a sidecar commit --
+        dv_dir = str(Path(base) / "deletes" / "v1")
+        ev.filter(F.col("event_type") == "error").select("event_id").coalesce(
+            1
+        ).write.mode("overwrite").parquet(dv_dir)
+        v1 = log.commit(files_v0, op="delete-mor")
+        m = log.read_manifest(v1)
+        m["delete_vectors"] = [dv_dir]
+        log._manifest_path(v1).write_text(_json.dumps(m, indent=0))
+        files_v1 = list(log.read_manifest(v1)["files"])
+        metadata_only = sorted(files_v1) == sorted(files_v0)
+
+        def mor_read(version: int):
+            mm = log.read_manifest(version)
+            df = spark.read.parquet(*mm["files"])
+            for dv in mm.get("delete_vectors", []):
+                dead = spark.read.parquet(dv)
+                df = df.join(F.broadcast(dead), "event_id", "left_anti")
+            return df
+
+        mor = mor_read(v1).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+        ).collect()[0]
+
+        # -- v2: OPTIMIZE materializes the deletes, sidecar dropped --
+        live = mor_read(v1)
+        n_out = max(1, (int(mor["n"]) + 49_999) // 50_000)
+        new_files = log._land(live, n_out, tag="materialized")
+        v2 = log.commit(new_files, op="optimize-materialize-deletes")
+        mat = log.snapshot(spark, v2).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+        ).collect()[0]
+        n_tt_v0 = log.snapshot(spark, 0).count()
+
+        return tables.local_row(
+            spark,
+            ("n_rows_v0", int(n_v0), "bigint"),
+            ("n_rows_mor", int(mor["n"]), "bigint"),
+            ("n_deleted", int(n_v0 - mor["n"]), "bigint"),
+            ("vc_mor", int(mor["vc"]), "bigint"),
+            ("files_before_delete", len(files_v0), "int"),
+            ("files_after_delete", len(files_v1), "int"),
+            ("delete_was_metadata_only", bool(metadata_only), "boolean"),
+            (
+                "compaction_materializes",
+                bool(
+                    mat["n"] == mor["n"]
+                    and mat["vc"] == mor["vc"]
+                    and n_tt_v0 == n_v0
+                ),
+                "boolean",
+            ),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_partition_evolution",
+    oracle="""
+    WITH d AS (
+      SELECT day(ts) - 1 AS day, CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    g1 AS (SELECT day // 7 AS b, min(day) AS mn, max(day) AS mx
+           FROM d WHERE day <= 14 GROUP BY 1),
+    g2 AS (SELECT day AS b, min(day) AS mn, max(day) AS mx
+           FROM d WHERE day > 14 GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM g1) + (SELECT count(*) FROM g2)
+                AS INT) AS files_total,
+           CAST((SELECT count(*) FROM g1 WHERE mn <= 17 AND mx >= 9)
+              + (SELECT count(*) FROM g2 WHERE mn <= 17 AND mx >= 9)
+                AS INT) AS files_scanned,
+           (SELECT CAST(count(*) AS BIGINT) FROM d
+            WHERE day BETWEEN 9 AND 17) AS n_rows,
+           (SELECT CAST(sum(vc) AS BIGINT) FROM d
+            WHERE day BETWEEN 9 AND 17) AS vc_sum,
+           true AS pruned_equals_full,
+           true AS old_files_untouched
+    """,
+    doc="Partition-spec evolution (the Iceberg guarantee: change how "
+    "NEW data is partitioned without rewriting history): generation 1 "
+    "(days 0-14 of events) lands one file per WEEK, generation 2 "
+    "(days 15-29) lands one file per DAY — both appended to the same "
+    "manifest log, each file carrying its own [min,max] day stats. A "
+    "day-range read (day 9-17) prunes across BOTH specs from the same "
+    "stats mechanism: 2 of 3 week files + 3 of 15 day files = 5 of 18 "
+    "scanned, with the exact predicate on top and the full-scan "
+    "equality asserted. Generation-1 files are byte-identical in the "
+    "final manifest (old_files_untouched) — the point of evolution is "
+    "that a finer spec for new data costs zero rewrite of the old. "
+    "The oracle recomputes file counts and overlap from the logical "
+    "day distribution. NTZ day() is wall-clock identical on both "
+    "engines.",
+    tags=("lakehouse", "scan", "time-travel", "events"),
+)
+def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        (F.dayofmonth("ts") - 1).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_partevo_")
+    try:
+        log = TableLog(base)
+        log.append_range_bucketed(
+            ev.filter(F.col("day") <= 14), "day", width=7, tag="weekly"
+        )
+        gen1_files = set(log.read_manifest()["files"])
+        log.append_range_bucketed(
+            ev.filter(F.col("day") > 14), "day", width=1, tag="daily"
+        )
+        final_files = set(log.read_manifest()["files"])
+        pruned, files_total, files_scanned = log.snapshot_pruned(
+            spark, "day", 9, 17
+        )
+        agg = pruned.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+        ).collect()[0]
+        n_full = (
+            log.snapshot(spark).filter(F.col("day").between(9, 17)).count()
+        )
+        return tables.local_row(
+            spark,
+            ("files_total", files_total, "int"),
+            ("files_scanned", files_scanned, "int"),
+            ("n_rows", int(agg["n"]), "bigint"),
+            ("vc_sum", int(agg["vc"]), "bigint"),
+            ("pruned_equals_full", bool(agg["n"] == n_full), "boolean"),
+            (
+                "old_files_untouched",
+                bool(gen1_files <= final_files),
+                "boolean",
+            ),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

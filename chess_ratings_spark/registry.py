@@ -46,11 +46,11 @@ REGISTRY: dict[str, Query] = {}
 #: committed OPTIMIZE, the transformWithState twin, the UDTF, the
 #: sliding_concat-guard / fixed-point / single-scan rewrites, plus the
 #: second-session additions: tablelog streaming sink, stats pruning,
-#: vacuum, Count-Min, BPE, Z-order locality, containment join), then
-#: ALL 31 queries whose newest driver row was round 1, then 2 of the
-#: 30 round-2-evidence queries (sliding_concat consumers first). The
-#: remaining 28 r2-evidence names sit right after the window and lead
-#: the round-8 rotation. Names here must
+#: vacuum, Count-Min, BPE, Z-order locality, containment join,
+#: merge-on-read deletes, partition evolution), then ALL 31 queries
+#: whose newest driver row was round 1 — 19 + 31 = exactly the window.
+#: All 30 r2-evidence names sit right after it and lead the round-8
+#: rotation. Names here must
 #: exist in REGISTRY once plans are imported — ``queries()`` raises on
 #: a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
@@ -72,6 +72,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_bpe_merges",
     "lake_zorder_locality",
     "sim_containment_join",
+    "lake_delete_mor",
+    "lake_partition_evolution",
     # --- oldest driver evidence: r1 rows, refreshed this round ---
     "agg_stats",
     "win_percent_cume",
@@ -104,11 +106,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_semi_anti",
     "join_cross_params",
     "agg_distinct",
-    # --- r2 rows, sliding_concat consumers + core joins/aggs first ---
+    # --- 50+: current-fixture green (r4-r6 evidence) + remaining r2
+    #     rotation debt (30 r2-evidence names, fronted next round) ---
     "text_tokenize_stats",
     "dedup_near_minhash",
-    # --- 50+: current-fixture green (r4-r6 evidence) + remaining r2
-    #     rotation debt (28 r2-evidence names, fronted next round) ---
     "sim_join_threshold",
     "sim_topk_cosine",
     "mm_embedding_col",

@@ -74,7 +74,7 @@ def test_optimize_preserves_content_and_history(base, spark):
 def test_stats_pruning_is_superset_and_exact(base, spark):
     log = TableLog(base)
     df = spark.range(80).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
-    log.append_range_bucketed(df, "k", n_buckets=8, width=10, tag="r")
+    log.append_range_bucketed(df, "k", width=10, tag="r")
     pruned, total, scanned = log.snapshot_pruned(spark, "k", 25, 44)
     assert total == 8
     assert scanned == 3  # buckets [20,30), [30,40), [40,50)
