@@ -289,3 +289,59 @@ def pagerank_fixedpoint(
         nodes.unpersist()
         edges_deg.unpersist()
     return ranks
+
+
+def label_propagation(edges: DataFrame, iters: int = 3, shuffle_parts: int = 16) -> DataFrame:
+    """(node, lbl) after `iters` SYNCHRONOUS label-propagation rounds
+    (Raghavan et al. 2007) over the undirected closure of `edges`:
+    labels start as node ids; each round every node adopts the most
+    frequent label among its neighbors PLUS ITSELF (weight 1) with a
+    (count desc, label asc) tie-break — fully deterministic, unlike
+    the async/random-order LPA variants, so the result is engine- and
+    layout-independent and a SQL oracle can unroll the identical
+    rounds. The self-vote is the standard damping for synchronous
+    LPA's period-2 oscillation on bipartite structure (a bare star
+    swaps hub/leaf labels forever; with the self-vote it converges in
+    one round — tests/test_corpus.py). All-integer.
+
+    Scale shape per round: one equi-join of the static undirected edge
+    list against the current labels, one grouped count keyed on
+    (node, label), one per-node top-1 window — everything shuffles on
+    the node key only. Same loop hygiene as pagerank_fixedpoint:
+    static relations checkpointed once, per-round eager checkpoint
+    (fixed small iteration count), loop-scoped shuffle partitions."""
+    from pyspark.sql import Window
+
+    with _loop_shuffle_partitions(edges, shuffle_parts):
+        ud = (
+            edges.select("src", "dst")
+            .union(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        labels = ud.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("lbl")
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+        for _ in range(iters):
+            nbr = ud.join(
+                labels.withColumnRenamed("node", "__n"),
+                F.col("dst") == F.col("__n"),
+            ).select(F.col("src").alias("node"), "lbl")
+            votes = nbr.unionByName(labels.select("node", "lbl"))  # self-vote
+            prev = labels
+            labels = (
+                votes.groupBy("node", "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", "lbl")
+                .localCheckpoint(eager=True)
+            )
+            if prev is not None and prev.is_cached:
+                prev.unpersist()
+        return labels

@@ -2501,3 +2501,133 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day", "value_band")
     )
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % 11 = 0
+    ), ud AS (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ), lp0 AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM ud
+    ),
+    nb1 AS (
+      SELECT u.src AS node, l.lbl, count(*) AS c
+      FROM ud u JOIN lp0 l ON u.dst = l.node
+      GROUP BY u.src, l.lbl
+      UNION ALL SELECT node, lbl, 1 FROM lp0
+    ), ag1 AS (
+      SELECT node, lbl, CAST(sum(c) AS BIGINT) AS c
+      FROM nb1 GROUP BY node, lbl
+    ), lp1 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM ag1)
+      WHERE rn = 1
+    ),
+    nb2 AS (
+      SELECT u.src AS node, l.lbl, count(*) AS c
+      FROM ud u JOIN lp1 l ON u.dst = l.node
+      GROUP BY u.src, l.lbl
+      UNION ALL SELECT node, lbl, 1 FROM lp1
+    ), ag2 AS (
+      SELECT node, lbl, CAST(sum(c) AS BIGINT) AS c
+      FROM nb2 GROUP BY node, lbl
+    ), lp2 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM ag2)
+      WHERE rn = 1
+    ),
+    nb3 AS (
+      SELECT u.src AS node, l.lbl, count(*) AS c
+      FROM ud u JOIN lp2 l ON u.dst = l.node
+      GROUP BY u.src, l.lbl
+      UNION ALL SELECT node, lbl, 1 FROM lp2
+    ), ag3 AS (
+      SELECT node, lbl, CAST(sum(c) AS BIGINT) AS c
+      FROM nb3 GROUP BY node, lbl
+    ), lp3 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM ag3)
+      WHERE rn = 1
+    )
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (WHERE node % 2 = 0) AS BIGINT)
+             AS n_customers,
+           CAST(count(*) FILTER (WHERE node % 2 = 1) AS BIGINT)
+             AS n_suppliers,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, lbl) AS INT)
+             AS rnk
+    FROM lp3 GROUP BY lbl ORDER BY rnk LIMIT 20
+    """,
+    doc="Community detection by synchronous label propagation "
+    "(Raghavan et al. 2007) over the undirected customer-supplier "
+    "purchase graph — 3 rounds, labels init to node ids, each node "
+    "adopting the most frequent label among its neighbors plus its "
+    "own (the self-vote that damps sync-LPA's period-2 oscillation on "
+    "bipartite structure) with a "
+    "(count desc, label asc) tie-break. The deterministic synchronous "
+    "variant is chosen deliberately: async/random-order LPA is "
+    "run-order dependent and unauditable at scale, while this one is "
+    "bit-identical on any engine or partition layout, so the oracle "
+    "unrolls the SAME 3 rounds as chained CTEs (the pagerank "
+    "discipline applied to a second graph algorithm class). Per round "
+    "everything shuffles on the node key: one edge-vs-labels "
+    "equi-join, one (node,label) grouped count, one per-node top-1 "
+    "window (WindowGroupLimit). Top-20 communities with member/side "
+    "censuses returned.",
+    tags=("graph", "orders", "lineitem"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.graph import label_propagation
+
+    # every-11th-order subgraph: the full purchase graph is dense
+    # enough that 3 sync rounds collapse it to 2 labels (a correct but
+    # thin check); the sparser graph keeps ~27 communities alive, so
+    # the oracle constrains real structure
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 11 == 0
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, iters=3)
+    return (
+        labels.groupBy(F.col("lbl").cast("bigint").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_customers"),
+            F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_suppliers"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_members").desc(), F.col("community")))
+            .cast("int"),
+        )
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )

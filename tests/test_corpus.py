@@ -213,3 +213,23 @@ def test_pagerank_fixedpoint_invariants(spark):
     assert ranks == sorted(ranks, reverse=True)
     again = [r["rank_e6"] for r in REGISTRY["graph_pagerank"].fn(spark, SF_SMOKE).collect()]
     assert again == ranks
+
+
+def test_label_propagation_separates_components(spark):
+    """Two disjoint star components must converge to one label each
+    (the hub's id — it is every leaf's only neighbor, and the hub sees
+    a leaf-label majority of distinct labels broken by min), and the
+    components' labels must differ."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, i) for i in range(2, 6)] + [(10, i) for i in range(11, 15)],
+        "src bigint, dst bigint",
+    )
+    out = {r.node: r.lbl for r in label_propagation(edges, iters=4).collect()}
+    comp_a = {out[n] for n in (1, 2, 3, 4, 5)}
+    comp_b = {out[n] for n in (10, 11, 12, 13, 14)}
+    assert len(comp_a) == 1 and len(comp_b) == 1
+    assert comp_a != comp_b

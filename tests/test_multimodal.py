@@ -142,6 +142,7 @@ def test_driver_order_contract():
         "sim_containment_join",  # new: asymmetric containment dedup
         "lake_delete_mor",  # new: deletion-vector merge-on-read
         "lake_partition_evolution",  # new: per-generation partition specs
+        "graph_label_propagation",  # new: sync LPA communities
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r7]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"
