@@ -326,3 +326,47 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sink_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return stream_ops.tablelog_sink_stream(spark, ev)
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+    WITH b AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT event_id AS view_id, user_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ), m AS (
+      SELECT p.purchase_id, v.view_id, p.p_ts
+      FROM p JOIN v ON p.user_id = v.user_id
+       AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts <= p.p_ts
+    ), unmatched AS (
+      SELECT purchase_id, p_ts FROM p
+      WHERE purchase_id NOT IN (SELECT purchase_id FROM m)
+    )
+    SELECT purchase_id, view_id, p_ts < w - INTERVAL 1 HOUR AS below_watermark
+    FROM m, b
+    WHERE p_ts < w - INTERVAL 1 HOUR OR p_ts > w + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT purchase_id, CAST(NULL AS BIGINT) AS view_id, true AS below_watermark
+    FROM unmatched, b
+    WHERE p_ts < w - INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream LEFT OUTER interval join: purchases with no "
+    "view in the 1h lookback emit (purchase_id, NULL) — but only "
+    "once the watermark proves no matching view can still arrive "
+    "(state eviction IS the null emission; append mode cannot "
+    "retract). The oracle replays the exact semantics of the run: "
+    "matched pairs everywhere, null rows exactly for unmatched "
+    "purchases below the final watermark, with a ±1h band around the "
+    "eviction boundary excluded on both sides so the engine's "
+    "ms-level boundary adjustments cannot flake the hash. The "
+    "distinctive contract vs the inner join: withheld nulls above "
+    "the watermark prove the engine is NOT emitting optimistically.",
+    tags=("streaming", "events", "live"),
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.outer_interval_join_stream(spark, ev)

@@ -47,10 +47,11 @@ REGISTRY: dict[str, Query] = {}
 #: sliding_concat-guard / fixed-point / single-scan rewrites, plus the
 #: second-session additions: tablelog streaming sink, stats pruning,
 #: vacuum, Count-Min, BPE, Z-order locality, containment join,
-#: merge-on-read deletes, partition evolution, label propagation),
-#: then 30 of the 31 queries whose newest driver row was round 1 —
-#: 20 + 30 = exactly the window. agg_distinct (r1) plus all 30
-#: r2-evidence names sit right after it and lead the round-8 rotation. Names here must
+#: merge-on-read deletes, partition evolution, label propagation,
+#: stream-stream outer join), then 29 of the 31 queries whose newest
+#: driver row was round 1 — 21 + 29 = exactly the window.
+#: join_cross_params + agg_distinct (r1) plus all 30 r2-evidence
+#: names sit right after it and lead the round-8 rotation. Names here must
 #: exist in REGISTRY once plans are imported — ``queries()`` raises on
 #: a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
@@ -75,6 +76,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "lake_delete_mor",
     "lake_partition_evolution",
     "graph_label_propagation",
+    "stream_interval_join_outer",
     # --- oldest driver evidence: r1 rows, refreshed this round ---
     "agg_stats",
     "win_percent_cume",
@@ -105,10 +107,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_broadcast",
     "join_outer",
     "join_semi_anti",
+    # --- 50+: join_cross_params + agg_distinct (r1, displaced by the
+    #     round's 20th/21st new queries), then current-fixture green
+    #     (r4-r6) + remaining r2 rotation debt (30 names) — all
+    #     fronted next round ---
     "join_cross_params",
-    # --- 50+: agg_distinct (r1, displaced by the round's 20th new
-    #     query), then current-fixture green (r4-r6) + remaining r2
-    #     rotation debt (30 r2-evidence names) — all fronted next round ---
     "agg_distinct",
     "text_tokenize_stats",
     "dedup_near_minhash",

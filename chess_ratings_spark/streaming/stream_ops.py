@@ -650,3 +650,71 @@ def tablelog_sink_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
             ("one_commit_per_batch", "boolean"),
         ],
     )
+
+
+def outer_interval_join_stream(
+    spark: SparkSession, ev: DataFrame, lookback: str = "1 hour",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the Structured
+    Streaming capability the inner variant (interval_join_stream)
+    doesn't exercise: a purchase with NO view in its lookback window
+    must still emit (purchase_id, NULL), and the engine may only do so
+    once the watermark proves no matching view can still arrive
+    (state eviction = null emission; v_ts <= p_ts closes a purchase's
+    window at p_ts, so eviction happens when the watermark passes
+    p_ts). Unmatched purchases above the final watermark are
+    legitimately withheld — append mode cannot retract.
+
+    Hash-exactness discipline: WHERE the engine draws the eviction
+    boundary involves ms-level internal adjustments, so the checked
+    output keeps only rows whose p_ts sits >= 1 hour AWAY from the
+    final watermark W = max(ts) - delay on either side: below W-1h
+    every unmatched purchase must have nulled, above W+1h none may
+    have; matched pairs appear in both regions. The boundary band is
+    excluded on BOTH engine and oracle sides, making the remaining
+    set exactly replayable."""
+    staged = _stage(ev, reuse=True)
+
+    def side(name: str, ts_alias: str, id_alias: str) -> DataFrame:
+        src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(staged))
+        return (
+            src.filter(F.col("event_type") == name)
+            .withWatermark("ts", delay)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(f"{id_alias}_user"),
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    p = side("purchase", "p_ts", "purchase_id")
+    v = side("view", "v_ts", "view_id")
+    joined = p.join(
+        v,
+        (F.col("purchase_id_user") == F.col("view_id_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "view_id", "p_ts")
+    out = _drain(spark, joined, "append")
+    hi = ev.agg(F.max("ts").alias("hi")).collect()[0]["hi"]  # bounded scalar
+    import datetime as _dt
+
+    w = hi - _dt.timedelta(hours=2)
+    lo_band, hi_band = w - _dt.timedelta(hours=1), w + _dt.timedelta(hours=1)
+    # p_ts is LTZ (watermarks require it); the band literals derive
+    # from the NTZ source column. Compare in NTZ wall-clock space —
+    # cast LTZ->NTZ renders the session-tz wall clock, which equals
+    # the original NTZ value in ANY session tz, while an instant
+    # comparison against a naive literal shifts by the tz offset
+    # (caught by the hostile-tz driver sim).
+    p_ntz = F.col("p_ts").cast("timestamp_ntz")
+    return (
+        out.filter((p_ntz < _ntz_lit(lo_band)) | (p_ntz > _ntz_lit(hi_band)))
+        .select(
+            "purchase_id",
+            "view_id",
+            (p_ntz < _ntz_lit(lo_band)).alias("below_watermark"),
+        )
+    )

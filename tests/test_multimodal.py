@@ -143,6 +143,7 @@ def test_driver_order_contract():
         "lake_delete_mor",  # new: deletion-vector merge-on-read
         "lake_partition_evolution",  # new: per-generation partition specs
         "graph_label_propagation",  # new: sync LPA communities
+        "stream_interval_join_outer",  # new: outer stream-stream join
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r7]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"
