@@ -334,3 +334,48 @@ def resize_images(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFra
     return media.filter(F.col("media_type") == "image").mapInPandas(
         run, schema=RESIZED_SCHEMA
     )
+
+
+AUDIO_FRAME = 256  # samples per analysis frame
+
+AUDIO_FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_samples int, energy bigint"
+)
+
+
+def audio_frame_energy(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """Frame-level audio feature extraction: decode each WAV payload
+    (REAL RIFF parse, operators.multimodal.decode_wav), window the PCM
+    stream into `frame`-sample analysis frames, and emit one row per
+    frame with its EXACT integer energy (sum of sample², int64 — no
+    sqrt/float, so frame energies are bit-stable and the per-clip
+    energy conservation law Σ frame_energy == whole-clip energy is an
+    equality, not a tolerance). One input row fans out to
+    ceil(n_samples/frame) output rows — the mapInPandas shape for any
+    frame-level featurizer (MFCC windows, VAD, diarization chunks);
+    swapping the energy line for a real DSP kernel changes nothing
+    about the plan. Bytes stay executor-side in Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples, _rate, _ch = decode_wav(bytes(r.payload))
+                s64 = samples.astype(np.int64)
+                for i in range(0, len(s64), frame):
+                    chunk = s64[i : i + frame]
+                    rows.append(
+                        (
+                            r.doc_id,
+                            i // frame,
+                            len(chunk),
+                            int((chunk * chunk).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_samples", "energy"]
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        run, schema=AUDIO_FRAMES_SCHEMA
+    )

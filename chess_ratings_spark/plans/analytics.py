@@ -696,3 +696,77 @@ def agg_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), r AS (
+      SELECT CASE WHEN user_id % 5 = 0 THEN NULL
+                  ELSE vc / (user_id % 5) END AS safe_div,
+             CASE WHEN event_id % 2 = 1 THEN NULL
+                  ELSE 9223372036854775807 END AS safe_add,
+             TRY_CAST(CASE WHEN event_id % 3 = 0
+                           THEN CAST(event_id AS VARCHAR)
+                           ELSE event_type END AS BIGINT) AS safe_cast
+      FROM t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE safe_div IS NULL) AS BIGINT)
+             AS n_div_null,
+           CAST(count(*) FILTER (WHERE safe_add IS NULL) AS BIGINT)
+             AS n_overflow_null,
+           CAST(count(*) FILTER (WHERE safe_cast IS NULL) AS BIGINT)
+             AS n_cast_null,
+           CAST(sum(safe_cast) AS BIGINT) AS cast_sum,
+           CAST(sum(CAST(floor(safe_div * 100) AS BIGINT)) AS BIGINT)
+             AS div_centi_sum
+    FROM r
+    """,
+    doc="ANSI-mode error-safe arithmetic surface: try_divide (NULL on "
+    "/0 instead of a job-killing SparkArithmeticException), try_add "
+    "(NULL on BIGINT overflow instead of wraparound or abort), "
+    "try_cast (NULL on malformed input) — the functions that make a "
+    "100 TB job survive the one poisoned row in partition 9 317 "
+    "without losing ANSI's correctness guarantees everywhere else. "
+    "The oracle replays the SEMANTICS (CASE-guarded division, "
+    "overflow predicate, TRY_CAST) rather than the function names, "
+    "so the null census and the fixed-point sum over the surviving "
+    "divisions pin the behavior exactly. All-NULL-safe aggregates.",
+    tags=("fn", "events"),
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    r = t.select(
+        F.try_divide("vc", F.col("user_id") % 5).alias("safe_div"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("bigint"),
+            F.col("event_id") % 2,
+        ).alias("safe_add"),
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("event_id").cast("string")
+        )
+        .otherwise(F.col("event_type"))
+        .try_cast("bigint")
+        .alias("safe_cast"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("safe_div").isNull(), 1)).alias("n_div_null"),
+        F.count(F.when(F.col("safe_add").isNull(), 1)).alias(
+            "n_overflow_null"
+        ),
+        F.count(F.when(F.col("safe_cast").isNull(), 1)).alias("n_cast_null"),
+        F.sum("safe_cast").cast("bigint").alias("cast_sum"),
+        F.sum(F.floor(F.col("safe_div") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("div_centi_sum"),
+    )

@@ -464,3 +464,186 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rows_kept", int(kept), "bigint"),
         ("observed_matches", bool(ok), "boolean"),
     )
+
+
+@register(
+    "scan_csv_permissive",
+    oracle="""
+    SELECT CAST(count(*) + 20 AS BIGINT) AS n_total,
+           CAST(20 AS BIGINT) AS n_corrupt,
+           CAST(7 AS BIGINT) AS n_salvaged_partial,
+           CAST(count(*) AS BIGINT) AS n_good_dropmalformed,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS vc_good_sum,
+           CAST(sum(event_id) AS BIGINT) AS id_good_sum
+    FROM events
+    """,
+    doc="Malformed-input policy at the scan — the data-engineering "
+    "reality a 100 TB crawl ingest lives with: a CSV dataset is "
+    "poisoned with 13 arity-short lines and 7 lines whose id field "
+    "is unparseable, then read twice. PERMISSIVE mode keeps every "
+    "row, surfaces the raw line in columnNameOfCorruptRecord, and "
+    "SALVAGES the fields that do parse (the 7 bad-id rows keep their "
+    "user/type/value — counted as n_salvaged_partial), so one "
+    "poisoned shard quarantines rows instead of killing the job; "
+    "DROPMALFORMED re-read returns exactly the clean rows. The "
+    "oracle replays every census from the logical input plus the "
+    "fixed poison counts, and the fixed-point checksum over "
+    "non-corrupt rows proves corruption never leaks into good data. "
+    "The corrupt-record column is the quarantine table a production "
+    "pipeline writes for replay/triage. Gotcha made load-bearing: "
+    "with spark.sql.csv.parser.columnPruning (default on), a "
+    "malformed field that is never SELECTED is never parsed and "
+    "flags nothing — a census that only reads the corrupt column "
+    "reports a clean file (observed). Every data column is therefore "
+    "referenced in the aggregates, and the DROPMALFORMED count "
+    "aggregates a data column rather than count(*) over zero "
+    "selected columns.",
+    tags=("scan", "source", "events"),
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = Path(tempfile.mkdtemp(prefix="crs_csv_perm_"))
+    try:
+        csv_dir = str(base / "csv")
+        ev.repartition(4).write.mode("overwrite").option("header", False).csv(
+            csv_dir
+        )
+        bad = [f"oops{k}" for k in range(13)] + [
+            f"id_{k},5,view,10" for k in range(7)
+        ]
+        (Path(csv_dir) / "part-poison.csv").write_text("\n".join(bad) + "\n")
+
+        schema = (
+            "event_id bigint, user_id bigint, event_type string, vc bigint,"
+            " _corrupt string"
+        )
+        permissive = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(csv_dir)
+        )
+        stats = permissive.agg(
+            # reference EVERY data column: unreferenced columns are
+            # never parsed under CSV column pruning, so their
+            # malformation would go undetected
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias(
+                "n_corrupt"
+            ),
+            F.count(
+                F.when(
+                    F.col("_corrupt").isNotNull()
+                    & F.col("user_id").isNotNull(),
+                    1,
+                )
+            ).alias("n_salvaged_partial"),
+            F.sum(
+                F.when(F.col("_corrupt").isNull(), F.col("vc"))
+            ).alias("vc_good_sum"),
+            F.sum(
+                F.when(F.col("_corrupt").isNull(), F.col("event_id"))
+            ).alias("id_good_sum"),
+            F.count("event_type").alias("__force_type_parse"),
+        ).collect()[0]
+        n_drop = (
+            spark.read.schema(
+                "event_id bigint, user_id bigint, event_type string, vc bigint"
+            )
+            .option("mode", "DROPMALFORMED")
+            .csv(csv_dir)
+            # count(*) selects no columns -> nothing parses -> nothing
+            # drops; aggregate over the full width instead
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("event_id").alias("__f1"),
+                F.sum("user_id").alias("__f2"),
+                F.count("event_type").alias("__f3"),
+                F.sum("vc").alias("__f4"),
+            )
+            .collect()[0]["n"]
+        )
+        return tables.local_row(
+            spark,
+            ("n_total", int(stats["n_total"]), "bigint"),
+            ("n_corrupt", int(stats["n_corrupt"]), "bigint"),
+            ("n_salvaged_partial", int(stats["n_salvaged_partial"]), "bigint"),
+            ("n_good_dropmalformed", int(n_drop), "bigint"),
+            ("vc_good_sum", int(stats["vc_good_sum"]), "bigint"),
+            ("id_good_sum", int(stats["id_good_sum"]), "bigint"),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "mm_audio_energy",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, length(text) % 256 + 64 AS ns
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(CAST(ceil(ns / 256.0) AS BIGINT)) AS BIGINT)
+             AS n_frames_total,
+           CAST(count(*) FILTER (WHERE ns % 256 <> 0) AS BIGINT)
+             AS n_short_final,
+           true AS samples_conserved,
+           true AS energy_positive
+    FROM a
+    """,
+    doc="Frame-level audio featurization: every WAV payload is decoded "
+    "(real RIFF parse) and windowed into 256-sample frames, one "
+    "output row per frame with its EXACT int64 energy (sum of "
+    "sample^2 — no sqrt, no floats, so the per-clip conservation law "
+    "holds as an equality). The oracle replays the full frame census "
+    "from the synthesis formulas (clip count, total frames, "
+    "short-final-frame count); content checks are in-plan: per-clip "
+    "frame-sample totals must equal the metadata sample count "
+    "(samples_conserved — a dropped or duplicated frame breaks it) "
+    "and energies must be nonneg with every clip positive "
+    "(energy_positive). The mapInPandas one-row-to-many-frames fan "
+    "shape is the plumbing for any real DSP featurizer (MFCC "
+    "windows, VAD) — swap the energy line, keep the plan; pytest "
+    "value-checks the energies against an independent numpy decode.",
+    tags=("multimodal", "documents"),
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators import multimodal
+
+    d = tables.load(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(d)
+    frames = multimodal.audio_frame_energy(media)
+    per_clip = frames.groupBy("doc_id").agg(
+        F.sum("n_samples").alias("samples_sum"),
+        F.sum("energy").alias("clip_energy"),
+        F.min("energy").alias("min_energy"),
+    )
+    meta = media.filter(F.col("media_type") == "audio").select(
+        "doc_id", F.col("width").alias("meta_samples")
+    )
+    joined = per_clip.join(meta, "doc_id")
+    return frames.agg(
+        F.countDistinct("doc_id").alias("n_clips"),
+        F.count(F.lit(1)).alias("n_frames_total"),
+        F.count(F.when(F.col("n_samples") % 256 != 0, 1)).alias(
+            "n_short_final"
+        ),
+    ).crossJoin(
+        joined.agg(
+            F.every(F.col("samples_sum") == F.col("meta_samples")).alias(
+                "samples_conserved"
+            ),
+            F.every(
+                (F.col("min_energy") >= 0) & (F.col("clip_energy") > 0)
+            ).alias("energy_positive"),
+        )
+    )

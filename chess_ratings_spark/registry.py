@@ -48,10 +48,11 @@ REGISTRY: dict[str, Query] = {}
 #: second-session additions: tablelog streaming sink, stats pruning,
 #: vacuum, Count-Min, BPE, Z-order locality, containment join,
 #: merge-on-read deletes, partition evolution, label propagation,
-#: stream-stream outer join), then 29 of the 31 queries whose newest
-#: driver row was round 1 — 21 + 29 = exactly the window.
-#: join_cross_params + agg_distinct (r1) plus all 30 r2-evidence
-#: names sit right after it and lead the round-8 rotation. Names here must
+#: stream-stream outer join, try-arithmetic, PERMISSIVE CSV, audio
+#: frames), then 26 of the 31 queries whose newest driver row was
+#: round 1 — 24 + 26 = exactly the window. Five r1 names plus all 30
+#: r2-evidence names sit right after it and lead the round-8
+#: rotation. Names here must
 #: exist in REGISTRY once plans are imported — ``queries()`` raises on
 #: a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
@@ -77,6 +78,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "lake_partition_evolution",
     "graph_label_propagation",
     "stream_interval_join_outer",
+    "fn_try_arith",
+    "scan_csv_permissive",
+    "mm_audio_energy",
     # --- oldest driver evidence: r1 rows, refreshed this round ---
     "agg_stats",
     "win_percent_cume",
@@ -104,13 +108,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_fingerprint",
     "src_parquet_scan",
     "join_equi_inner",
+    # --- 50+: five r1 names displaced by the round's 20th-24th new
+    #     queries, then current-fixture green (r4-r6) + remaining r2
+    #     rotation debt (30 names) — all fronted next round ---
     "join_broadcast",
     "join_outer",
     "join_semi_anti",
-    # --- 50+: join_cross_params + agg_distinct (r1, displaced by the
-    #     round's 20th/21st new queries), then current-fixture green
-    #     (r4-r6) + remaining r2 rotation debt (30 names) — all
-    #     fronted next round ---
     "join_cross_params",
     "agg_distinct",
     "text_tokenize_stats",

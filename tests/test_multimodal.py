@@ -144,6 +144,9 @@ def test_driver_order_contract():
         "lake_partition_evolution",  # new: per-generation partition specs
         "graph_label_propagation",  # new: sync LPA communities
         "stream_interval_join_outer",  # new: outer stream-stream join
+        "fn_try_arith",  # new: ANSI try_* error-safe arithmetic
+        "scan_csv_permissive",  # new: malformed-CSV policy census
+        "mm_audio_energy",  # new: frame-level audio features
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r7]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"
@@ -160,3 +163,21 @@ def test_image_resize_roundtrip(spark):
     assert row["n_images"] > 0
     # 16x16 RGB PPM: header "P6\n16 16\n255\n" (13 bytes) + 768 body
     assert row["total_bytes"] == row["n_images"] * (13 + 16 * 16 * 3)
+
+
+def test_audio_frame_energy_matches_numpy(spark):
+    """Frame energies from the Spark pipeline equal an independent
+    numpy decode+window of the same payloads, bit-for-bit."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    media = mm.attach_fake_media(d)
+    got = {
+        (r.doc_id, r.frame_idx): (r.n_samples, r.energy)
+        for r in mm.audio_frame_energy(media).collect()
+    }
+    assert got
+    for r in media.filter(F.col("media_type") == "audio").collect():
+        samples, rate, ch = mm.decode_wav(bytes(r.payload))
+        s64 = samples.astype(np.int64)
+        for k, i in enumerate(range(0, len(s64), mm.AUDIO_FRAME)):
+            chunk = s64[i : i + mm.AUDIO_FRAME]
+            assert got[(r.doc_id, k)] == (len(chunk), int((chunk * chunk).sum()))
