@@ -82,9 +82,13 @@ def asof_join(
     shape a native as-of operator would need. Ties (right_ts == left_ts)
     match, mirroring DuckDB ``ASOF JOIN`` (>=) semantics: the right side
     sorts before the left at equal timestamps via the side tag.
+
+    ``direction="forward"`` flips the traversal (descending ts, right
+    still before left at equal ts), yielding the EARLIEST right row
+    with ``right_ts >= left_ts`` — DuckDB ``ASOF`` with ``<=``.
     """
-    if direction != "backward":
-        raise ValueError("only backward as-of supported")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction: {direction}")
     lcols = left.columns
     tagged_l = left.select(
         F.col(key).alias("__k"),
@@ -100,9 +104,10 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(v).alias(f"__v_{v}") for v in value_cols],
     )
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(ts_order, F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = tagged_l.unionByName(tagged_r).select(

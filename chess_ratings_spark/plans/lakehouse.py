@@ -838,3 +838,73 @@ def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "pipeline_cdc_apply",
+    oracle="""
+    WITH feed AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), latest AS (
+      SELECT user_id, event_type, vc,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM feed
+    ), final AS (
+      SELECT user_id, event_type, vc FROM latest WHERE rn = 1
+    )
+    SELECT CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT)
+             AS n_live_keys,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_tombstoned_keys,
+           CAST(sum(vc) FILTER (WHERE event_type <> 'error') AS BIGINT)
+             AS live_value_centi,
+           CAST(sum(user_id) FILTER (WHERE event_type <> 'error') AS BIGINT)
+             AS live_key_checksum
+    FROM final
+    """,
+    doc="CDC APPLY CHANGES: a change feed (events as upserts, "
+    "event_type='error' as DELETE tombstones) collapses to final "
+    "table state — per key, ONLY the latest change by the total "
+    "sequence order (ts, event_id) survives, and a trailing tombstone "
+    "removes the key entirely. This is the semantics Delta's APPLY "
+    "CHANGES INTO / Debezium consumers implement, and the ordering "
+    "discipline is the whole point: out-of-order application "
+    "resurrects deleted keys or regresses values, so the sequence "
+    "column must be a total order per key (the unique event_id "
+    "tiebreak here). One row_number window per key partition — one "
+    "shuffle, no self-join, same scale shape as scd2_history (SCD2 "
+    "keeps every version; CDC apply keeps the last). Live/tombstone "
+    "censuses + fixed-point value and key checksums pin the exact "
+    "surviving state.",
+    tags=("lakehouse", "merge", "events"),
+)
+def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    final = (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "vc")
+    )
+    live = F.col("event_type") != "error"
+    return final.agg(
+        F.count(F.when(live, 1)).alias("n_live_keys"),
+        F.count(F.when(~live, 1)).alias("n_tombstoned_keys"),
+        F.sum(F.when(live, F.col("vc"))).cast("bigint").alias(
+            "live_value_centi"
+        ),
+        F.sum(F.when(live, F.col("user_id"))).cast("bigint").alias(
+            "live_key_checksum"
+        ),
+    )

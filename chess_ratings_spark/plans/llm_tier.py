@@ -977,3 +977,42 @@ def sim_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_id", "container_id")
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.value, r.view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ) r ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    doc="Forward as-of join: each purchase gets the user's EARLIEST "
+    "view value at or after its timestamp — the \"next reading\" "
+    "lookup (next sensor sample, next price tick after an order) that "
+    "completes the as-of family. Same union-tag + window "
+    "last(ignorenulls) plan as join_asof with the traversal flipped "
+    "(descending ts, right before left at equal ts so ties match "
+    "DuckDB ASOF <= semantics); still ONE shuffle on the key, no "
+    "range self-join.",
+    tags=("join", "events"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.joins import asof_join
+
+    ev = tables.load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["view_value"], direction="forward",
+    )
+    return out.select("event_id", "user_id", "value", "view_value")

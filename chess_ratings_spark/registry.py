@@ -49,10 +49,10 @@ REGISTRY: dict[str, Query] = {}
 #: vacuum, Count-Min, BPE, Z-order locality, containment join,
 #: merge-on-read deletes, partition evolution, label propagation,
 #: stream-stream outer join, try-arithmetic, PERMISSIVE CSV, audio
-#: frames), then 26 of the 31 queries whose newest driver row was
-#: round 1 — 24 + 26 = exactly the window. Five r1 names plus all 30
-#: r2-evidence names sit right after it and lead the round-8
-#: rotation. Names here must
+#: frames, forward as-of, CDC apply), then 24 of the 31 queries whose
+#: newest driver row was round 1 — 26 + 24 = exactly the window.
+#: Seven r1 names plus all 30 r2-evidence names sit right after it
+#: and lead the round-8 rotation. Names here must
 #: exist in REGISTRY once plans are imported — ``queries()`` raises on
 #: a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
@@ -81,6 +81,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fn_try_arith",
     "scan_csv_permissive",
     "mm_audio_energy",
+    "join_asof_forward",
+    "pipeline_cdc_apply",
     # --- oldest driver evidence: r1 rows, refreshed this round ---
     "agg_stats",
     "win_percent_cume",
@@ -106,11 +108,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_quality_score",
     "text_token_count",
     "text_fingerprint",
-    "src_parquet_scan",
-    "join_equi_inner",
-    # --- 50+: five r1 names displaced by the round's 20th-24th new
+    # --- 50+: seven r1 names displaced by the round's 20th-26th new
     #     queries, then current-fixture green (r4-r6) + remaining r2
     #     rotation debt (30 names) — all fronted next round ---
+    "src_parquet_scan",
+    "join_equi_inner",
     "join_broadcast",
     "join_outer",
     "join_semi_anti",

@@ -147,6 +147,8 @@ def test_driver_order_contract():
         "fn_try_arith",  # new: ANSI try_* error-safe arithmetic
         "scan_csv_permissive",  # new: malformed-CSV policy census
         "mm_audio_energy",  # new: frame-level audio features
+        "join_asof_forward",  # new: forward as-of direction
+        "pipeline_cdc_apply",  # new: CDC APPLY CHANGES collapse
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r7]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"

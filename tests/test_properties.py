@@ -283,3 +283,53 @@ def test_sliding_concat_matches_per_position_definition(spark, toks, width):
     got = df.select(sliding_concat(F.col("arr"), width).alias("g")).collect()[0]["g"]
     want = [" ".join(toks[i : i + width]) for i in range(max(0, len(toks) - width + 1))]
     assert got == want
+
+
+ops = st.lists(
+    st.sampled_from(["append_a", "append_b", "optimize"]),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seq=ops)
+def test_tablelog_snapshot_isolation_under_op_sequences(spark, seq):
+    """Snapshot-isolation law: for ANY sequence of appends/OPTIMIZEs,
+    (a) every version's snapshot content is exactly the multiset of
+    rows appended up to that version (OPTIMIZE changes files, never
+    content), and (b) re-reading an old version after later ops
+    returns what it returned when it was latest."""
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    base = tempfile.mkdtemp(prefix="crs_tablelog_prop_")
+    try:
+        log = TableLog(base)
+        tag_rows = {
+            "append_a": [(i, "a") for i in range(5)],
+            "append_b": [(100 + i, "b") for i in range(3)],
+        }
+        expected: list[tuple] = []
+        per_version: dict[int, list[tuple]] = {}
+        nth = 0
+        for op in seq:
+            if op == "optimize":
+                if log.latest_version() is None:
+                    continue  # nothing to compact yet
+                v = log.optimize(spark, target_rows_per_file=1000)
+            else:
+                nth += 1
+                rows_ = [(k + 1000 * nth, t) for k, t in tag_rows[op]]
+                df = spark.createDataFrame(rows_, "k long, tag string")
+                v = log.append(df, n_files=2, tag=f"{op}{nth}")
+                expected = expected + rows_
+            per_version[v] = list(expected)
+        for v, want in per_version.items():
+            got = sorted((r.k, r.tag) for r in log.snapshot(spark, v).collect())
+            assert got == sorted(want), f"version {v}"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
