@@ -307,6 +307,64 @@ def run_containment(spark, factor: int) -> dict:
     }
 
 
+def run_countmin(spark, factor: int) -> dict:
+    """Sketch-size census for agg_countmin_heavyhitters: inflating
+    events factor-x (duplicated rows, same keys -> per-key counts scale
+    exactly x f) must leave the sketch at <= d*w = 4096 cells, keep the
+    est >= true guarantee on every reported key, and scale the top-1
+    estimate exactly linearly."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.registry import REGISTRY
+
+    ev = tables.load(spark, SF_DIR, "events").select("user_id")
+    copies = spark.range(factor).select(F.col("id").alias("c"))
+    inflated = ev.crossJoin(copies).select("user_id")
+    D, W = 4, 1024
+    js = F.explode(F.array(*[F.lit(i) for i in range(D)])).alias("j")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cm"), F.col("j").cast("string"), F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ), 1, 8,
+            ), 16, 10,
+        ).cast("bigint") % W
+    )
+    t0 = time.perf_counter()
+    pairs = inflated.select("user_id", js).withColumn("bucket", bucket)
+    sketch = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c")).cache()
+    n_cells = sketch.count()
+    keys = inflated.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    cand = keys.select("user_id", "true_count", js).withColumn("bucket", bucket)
+    est = (
+        cand.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.any_value("true_count").alias("tc"), F.min("c").alias("est"))
+    )
+    stats = est.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count(F.when(F.col("est") < F.col("tc"), 1)).alias("n_underest"),
+        F.max("est").alias("top_est"),
+    ).collect()[0]
+    t_all = time.perf_counter() - t0
+    sketch.unpersist()
+    return {
+        "op": "agg_countmin_heavyhitters",
+        "factor": factor,
+        "n_rows": 100_000 * factor,
+        "sketch_cells": int(n_cells),
+        "n_keys": int(stats["n_keys"]),
+        "underestimates": int(stats["n_underest"]),
+        "top_estimate": int(stats["top_est"]),
+        "secs": round(t_all, 2),
+    }
+
+
 def run_pagerank(spark, factor: int) -> dict:
     """Fixed-point PageRank on `factor` disjoint copies of the purchase
     graph (node ids offset per copy — component structure and ranks
@@ -400,7 +458,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_pagerank, run_perplexity):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_countmin, run_pagerank, run_perplexity):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()
