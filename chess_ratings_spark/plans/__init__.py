@@ -15,6 +15,7 @@ from chess_ratings_spark.plans import (  # noqa: F401
     llm_tier,
     relational,
     scale,
+    spark4,
     streaming,
     tier_r,
     tpch,

@@ -49,10 +49,11 @@ REGISTRY: dict[str, Query] = {}
 #: vacuum, Count-Min, BPE, Z-order locality, containment join,
 #: merge-on-read deletes, partition evolution, label propagation,
 #: stream-stream outer join, try-arithmetic, PERMISSIVE CSV, audio
-#: frames, forward as-of, CDC apply), then 24 of the 31 queries whose
-#: newest driver row was round 1 — 26 + 24 = exactly the window.
-#: Seven r1 names plus all 30 r2-evidence names sit right after it
-#: and lead the round-8 rotation. Names here must
+#: frames, forward as-of, CDC apply, recursive CTE, VARIANT, pipe
+#: syntax, collation), then 20 of the 31 queries whose newest driver
+#: row was round 1 — 30 + 20 = exactly the window. Eleven r1 names
+#: plus all 30 r2-evidence names sit right after it and lead the
+#: round-8 rotation. Names here must
 #: exist in REGISTRY once plans are imported — ``queries()`` raises on
 #: a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
@@ -83,6 +84,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "mm_audio_energy",
     "join_asof_forward",
     "pipeline_cdc_apply",
+    "sql_recursive_cte",
+    "fn_variant_json",
+    "sql_pipe_syntax",
+    "fn_collation",
     # --- oldest driver evidence: r1 rows, refreshed this round ---
     "agg_stats",
     "win_percent_cume",
@@ -104,13 +109,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "src_csv_roundtrip",
     "src_json_roundtrip",
     "src_orc_roundtrip",
+    # --- 50+: eleven r1 names displaced by the round's 20th-30th new
+    #     queries, then current-fixture green (r4-r6) + remaining r2
+    #     rotation debt (30 names) — all fronted next round ---
     "text_langid",
     "text_quality_score",
     "text_token_count",
     "text_fingerprint",
-    # --- 50+: seven r1 names displaced by the round's 20th-26th new
-    #     queries, then current-fixture green (r4-r6) + remaining r2
-    #     rotation debt (30 names) — all fronted next round ---
     "src_parquet_scan",
     "join_equi_inner",
     "join_broadcast",

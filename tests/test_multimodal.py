@@ -149,6 +149,10 @@ def test_driver_order_contract():
         "mm_audio_energy",  # new: frame-level audio features
         "join_asof_forward",  # new: forward as-of direction
         "pipeline_cdc_apply",  # new: CDC APPLY CHANGES collapse
+        "sql_recursive_cte",  # new: Spark 4 recursive CTE
+        "fn_variant_json",  # new: Spark 4 VARIANT type
+        "sql_pipe_syntax",  # new: Spark 4 pipe syntax
+        "fn_collation",  # new: Spark 4 collations
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r7]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"
