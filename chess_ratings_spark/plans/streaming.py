@@ -370,3 +370,27 @@ def stream_sink_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return stream_ops.outer_interval_join_stream(spark, ev)
+
+
+@register(
+    "stream_progress_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS input_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS state_rows,
+           true AS progress_seen
+    FROM events
+    """,
+    doc="Streaming observability: the engine's OWN telemetry "
+    "(StreamingQuery.recentProgress) is the checked result — summed "
+    "numInputRows across micro-batches must equal the exact input "
+    "row count and the state operator's numRowsTotal must equal the "
+    "distinct key count, which the oracle recomputes from the data. "
+    "A double-reading source, a row-dropping batch, or leaked/lost "
+    "state mismatches the way it would page an operator in "
+    "production — monitoring numbers that can drift from the data "
+    "are worse than none.",
+    tags=("streaming", "events", "live"),
+)
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.progress_metrics_stream(spark, ev)

@@ -718,3 +718,47 @@ def outer_interval_join_stream(
             (p_ntz < _ntz_lit(lo_band)).alias("below_watermark"),
         )
     )
+
+
+def progress_metrics_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Streaming observability surface: run a stateful per-user count
+    to completion, then read the engine's own progress telemetry
+    (StreamingQuery.recentProgress) — the numbers an operator alarms
+    on in production. The telemetry must agree with the data: summed
+    numInputRows across micro-batches equals the exact input row
+    count, and the state operator's final numRowsTotal equals the
+    distinct key count — so a source that double-reads, a batch that
+    drops rows, or state that leaks/loses keys shows up as a
+    telemetry-vs-oracle mismatch, exactly how it would page a human.
+    Driver state: the bounded progress JSON list (O(batches))."""
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev, reuse=True))
+    agg = src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    name = "prog_" + uuid.uuid4().hex[:12]
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = list(q.recentProgress)
+    _snapshot_sink(spark, name)  # drop the temp view; content unused
+    input_rows = sum(int(p["numInputRows"]) for p in progresses)
+    state_rows = max(
+        (
+            int(op["numRowsTotal"])
+            for p in progresses
+            for op in (p.get("stateOperators") or [])
+        ),
+        default=0,
+    )
+    from chess_ratings_spark import tables as _tables
+
+    return _tables.local_row(
+        spark,
+        ("input_rows", int(input_rows), "bigint"),
+        ("state_rows", int(state_rows), "bigint"),
+        ("progress_seen", bool(len(progresses) > 0), "boolean"),
+    )
