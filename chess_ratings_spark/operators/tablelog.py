@@ -109,11 +109,6 @@ class TableLog:
 
     # -- table verbs ------------------------------------------------------
 
-    def _new_files(self, before: set[str], tmp_dir: Path) -> list[str]:
-        return [
-            str(p) for p in sorted(self.data_dir.glob("*.parquet")) if str(p) not in before
-        ]
-
     def _land(self, df: DataFrame, n_files: int, tag: str) -> list[str]:
         """Write ``df`` as exactly ``n_files`` parquet files into the
         data dir (write to a scratch dir, then hard-link into place
