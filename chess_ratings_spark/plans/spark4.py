@@ -193,10 +193,19 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
+    # capitalize-first spelled explicitly (NOT initcap): initcap
+    # uppercases every word, the oracle's substr form only the first
+    # character — identical on today's single-word event types, but a
+    # latent divergence under fixture regeneration
     label = (
         F.when(F.col("event_id") % 3 == 0, F.upper("event_type"))
         .when(F.col("event_id") % 3 == 1, F.col("event_type"))
-        .otherwise(F.initcap("event_type"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("event_type", 1, 1)),
+                F.expr("substring(event_type, 2)"),
+            )
+        )
     )
     mixed = ev.select(
         label.alias("label"),
