@@ -908,3 +908,125 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "live_key_checksum"
         ),
     )
+
+
+@register(
+    "lakehouse_lifecycle",
+    oracle="""
+    WITH t AS (
+      SELECT count(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+             count(*) AS n_all,
+             count(*) FILTER (WHERE event_type <> 'error') AS n_live,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                  FILTER (WHERE event_type <> 'error') AS BIGINT) AS vc_live
+      FROM events
+    )
+    SELECT CAST(n_a AS BIGINT) AS v0_rows,
+           CAST(n_all AS BIGINT) AS v1_rows,
+           CAST(n_live AS BIGINT) AS mor_rows,
+           CAST(n_all - n_live AS BIGINT) AS n_deleted,
+           CAST(8 AS INT) AS files_before_optimize,
+           CAST(greatest(1, ceil(n_live / 50000.0)) AS INT)
+             AS files_after_optimize,
+           CAST(8 AS INT) AS vacuum_removed,
+           CAST(4 AS INT) AS log_versions,
+           vc_live AS live_value_centi,
+           true AS time_travel_worked_before_vacuum,
+           true AS history_pruned_after_vacuum
+    FROM t
+    """,
+    doc="Lakehouse lifecycle capstone — every TableLog verb composed "
+    "into one audited pipeline, each transition checked where it "
+    "happens: (v0) append half the events, (v1) append the rest — "
+    "time travel to v0 must still return exactly the first half "
+    "AFTER v1 lands; (v2) DELETE the error rows as a metadata-only "
+    "deletion-vector commit — the merge-on-read count and fixed-point "
+    "checksum must equal the logical filter; (v3) OPTIMIZE "
+    "materializes the deletes into right-sized files and drops the "
+    "sidecar; finally VACUUM (retain 1) physically removes the 8 "
+    "superseded data files, after which the live snapshot still "
+    "serves the same rows but v0 time travel fails at scan "
+    "(history_pruned_after_vacuum, asserted by attempting it). Every "
+    "number the pipeline reports is recomputed by the oracle from "
+    "the logical input — the lifecycle leaves no unverified step. "
+    "This is corpus_prepare_v2's composition discipline applied to "
+    "the table-format tier.",
+    tags=("lakehouse", "time-travel", "merge", "maintenance", "events"),
+)
+def lakehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_lifecycle_")
+    try:
+        log = TableLog(base)
+        # v0 + v1: two appends
+        log.append(ev.filter(F.col("user_id") % 2 == 0), n_files=4, tag="a")
+        log.append(ev.filter(F.col("user_id") % 2 == 1), n_files=4, tag="b")
+        v0_rows = log.snapshot(spark, 0).count()  # time travel under v1
+        v1_rows = log.snapshot(spark, 1).count()
+        files_v1 = list(log.read_manifest(1)["files"])
+
+        # v2: merge-on-read DELETE via deletion-vector sidecar
+        dv_dir = str(Path(base) / "dv")
+        ev.filter(F.col("event_type") == "error").select("event_id").coalesce(
+            1
+        ).write.mode("overwrite").parquet(dv_dir)
+        v2 = log.commit(files_v1, op="delete-mor")
+        m = log.read_manifest(v2)
+        m["delete_vectors"] = [dv_dir]
+        log._manifest_path(v2).write_text(_json.dumps(m, indent=0))
+        dead = spark.read.parquet(dv_dir)
+        mor = (
+            spark.read.parquet(*files_v1)
+            .join(F.broadcast(dead), "event_id", "left_anti")
+        )
+        mor_stats = mor.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+        ).collect()[0]
+
+        # v3: OPTIMIZE materializes the deletes, sidecar dropped
+        n_out = max(1, (int(mor_stats["n"]) + 49_999) // 50_000)
+        log.commit(log._land(mor, n_out, tag="mat"), op="optimize-mat")
+        census = log.vacuum(retain_versions=1)
+        live = log.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+        ).collect()[0]
+        try:
+            log.snapshot(spark, 0).count()
+            history_pruned = False
+        except Exception:
+            history_pruned = True
+
+        return tables.local_row(
+            spark,
+            ("v0_rows", int(v0_rows), "bigint"),
+            ("v1_rows", int(v1_rows), "bigint"),
+            ("mor_rows", int(mor_stats["n"]), "bigint"),
+            ("n_deleted", int(v1_rows - mor_stats["n"]), "bigint"),
+            ("files_before_optimize", len(files_v1), "int"),
+            ("files_after_optimize", int(census["n_live"]), "int"),
+            ("vacuum_removed", int(census["n_removed"]), "int"),
+            ("log_versions", len(log.versions()), "int"),
+            ("live_value_centi", int(live["vc"]), "bigint"),
+            (
+                "time_travel_worked_before_vacuum",
+                bool(
+                    v0_rows < v1_rows
+                    and live["n"] == mor_stats["n"]
+                    and live["vc"] == mor_stats["vc"]
+                ),
+                "boolean",
+            ),
+            ("history_pruned_after_vacuum", history_pruned, "boolean"),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

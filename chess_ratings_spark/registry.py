@@ -50,10 +50,10 @@ REGISTRY: dict[str, Query] = {}
 #: merge-on-read deletes, partition evolution, label propagation,
 #: stream-stream outer join, try-arithmetic, PERMISSIVE CSV, audio
 #: frames, forward as-of, CDC apply, recursive CTE, VARIANT, pipe
-#: syntax, collation, streaming telemetry), then 19 of the 31 queries
-#: whose newest driver row was round 1 — 31 + 19 = exactly the window.
-#: Twelve r1 names plus all 30 r2-evidence names sit right after it
-#: and lead the round-8 rotation. Names here must
+#: syntax, collation, streaming telemetry, lifecycle capstone), then
+#: 18 of the 31 queries whose newest driver row was round 1 —
+#: 32 + 18 = exactly the window. Thirteen r1 names plus all 30
+#: r2-evidence names sit right after it and lead the round-8 rotation. Names here must
 #: exist in REGISTRY once plans are imported — ``queries()`` raises on
 #: a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
@@ -89,6 +89,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sql_pipe_syntax",
     "fn_collation",
     "stream_progress_metrics",
+    "lakehouse_lifecycle",
     # --- oldest driver evidence: r1 rows, refreshed this round ---
     "agg_stats",
     "win_percent_cume",
@@ -108,10 +109,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "funnel_sessionized",
     "fn_replace_null",
     "src_csv_roundtrip",
-    "src_json_roundtrip",
-    # --- 50+: twelve r1 names displaced by the round's 20th-31st new
+    # --- 50+: thirteen r1 names displaced by the round's 20th-32nd new
     #     queries, then current-fixture green (r4-r6) + remaining r2
     #     rotation debt (30 names) — all fronted next round ---
+    "src_json_roundtrip",
     "src_orc_roundtrip",
     "text_langid",
     "text_quality_score",

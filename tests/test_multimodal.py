@@ -154,6 +154,7 @@ def test_driver_order_contract():
         "sql_pipe_syntax",  # new: Spark 4 pipe syntax
         "fn_collation",  # new: Spark 4 collations
         "stream_progress_metrics",  # new: telemetry-vs-data census
+        "lakehouse_lifecycle",  # new: full table-format lifecycle capstone
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r7]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"
