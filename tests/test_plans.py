@@ -152,3 +152,43 @@ def test_corpus_tier_never_goes_quadratic(spark, name):
     # join_fuzzy_editdistance crosses two 1-row aggregates for output
     scalar_bnlj = {"text_perplexity_filter": 1, "join_fuzzy_editdistance": 1}
     assert p.count("BroadcastNestedLoopJoin") == scalar_bnlj.get(name, 0)
+
+
+@pytest.mark.parametrize("name", ["sim_containment_join"])
+def test_containment_join_never_goes_quadratic(spark, name):
+    """Round-7 extension of the no-O(n²) rule to the containment path."""
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_countmin_probe_broadcasts_the_sketch(spark):
+    """The CM sketch (≤ d·w rows) must broadcast to the candidate
+    probe — a shuffled sketch join would serialize the whole point of
+    a constant-size summary."""
+    p = plan_of(spark, "agg_countmin_heavyhitters")
+    assert "BroadcastHashJoin" in p
+
+
+def test_cdc_apply_is_one_key_shuffle(spark):
+    """CDC collapse = one row_number window over the key partition:
+    no self-join, no extra exchanges beyond the window's."""
+    p = plan_of(spark, "pipeline_cdc_apply")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Exchange") <= 2  # window shuffle (+ final single-partition agg)
+
+
+def test_bpe_pair_argmax_is_takeordered(spark):
+    """Each BPE iteration's top-pair pick must be a TakeOrdered (k=1
+    per-partition + driver merge), never a global sort."""
+    p = plan_of(spark, "text_bpe_merges")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_asof_forward_single_key_shuffle(spark):
+    """Forward as-of keeps the backward plan's shape: union-tag +
+    window — no range self-join appears."""
+    p = plan_of(spark, "join_asof_forward")
+    assert "SortMergeJoin" not in p
+    assert "Window" in p
