@@ -379,3 +379,34 @@ def audio_frame_energy(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
     return media.filter(F.col("media_type") == "audio").mapInPandas(
         run, schema=AUDIO_FRAMES_SCHEMA
     )
+
+
+VIDEO_DIFF_SCHEMA = "doc_id bigint, t_idx int, diff_energy bigint"
+
+
+def video_frame_diffs(media: DataFrame) -> DataFrame:
+    """Frame-transition features for video payloads: decode the PPM
+    stream (real header parses per frame) and emit one row per
+    consecutive-frame transition with its EXACT integer difference
+    energy (sum of |pixel_t - pixel_{t-1}| over all channels, int64 —
+    the scene-cut / motion signal, no floats). One input row fans out
+    to n_frames - 1 rows; same mapInPandas contract as
+    audio_frame_energy — swap the diff line for a real motion model,
+    keep the plan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames = decode_ppm_stream(bytes(r.payload))
+                for t in range(1, len(frames)):
+                    a = frames[t - 1].astype(np.int64)
+                    b = frames[t].astype(np.int64)
+                    rows.append((r.doc_id, t - 1, int(np.abs(b - a).sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "t_idx", "diff_energy"]
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        run, schema=VIDEO_DIFF_SCHEMA
+    )

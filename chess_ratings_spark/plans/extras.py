@@ -647,3 +647,57 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("energy_positive"),
         )
     )
+
+
+@register(
+    "mm_video_scene_stats",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, doc_id % 5 + 2 AS nf
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_videos,
+           CAST(sum(nf - 1) AS BIGINT) AS n_transitions,
+           true AS transitions_conserved,
+           true AS energy_positive
+    FROM v
+    """,
+    doc="Frame-transition featurization for video: every PPM-stream "
+    "payload decodes (real per-frame header parses) into consecutive "
+    "frame pairs, one row per transition carrying its EXACT int64 "
+    "absolute-difference energy — the motion/scene-cut signal. The "
+    "oracle replays the transition census from the synthesis formulas "
+    "(n_frames = doc_id%5+2); content checks are in-plan: per-video "
+    "transition counts must equal metadata n_frames - 1 "
+    "(transitions_conserved — a dropped or duplicated frame breaks "
+    "it), and every transition energy must be positive (md5-seeded "
+    "frames are never identical). mapInPandas one-row-to-many fan, "
+    "the video twin of mm_audio_energy; energies value-checked "
+    "against an independent numpy decode in pytest.",
+    tags=("multimodal", "documents"),
+)
+def mm_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators import multimodal
+
+    d = tables.load(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(d)
+    diffs = multimodal.video_frame_diffs(media)
+    per_video = diffs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.min("diff_energy").alias("min_energy"),
+    )
+    meta = media.filter(F.col("media_type") == "video").select(
+        "doc_id", F.col("n_frames").alias("meta_frames")
+    )
+    joined = per_video.join(meta, "doc_id")
+    return diffs.agg(
+        F.countDistinct("doc_id").alias("n_videos"),
+        F.count(F.lit(1)).alias("n_transitions"),
+    ).crossJoin(
+        joined.agg(
+            F.every(F.col("n_trans") == F.col("meta_frames") - 1).alias(
+                "transitions_conserved"
+            ),
+            F.every(F.col("min_energy") > 0).alias("energy_positive"),
+        )
+    )

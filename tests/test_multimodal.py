@@ -155,6 +155,7 @@ def test_driver_order_contract():
         "fn_collation",  # new: Spark 4 collations
         "stream_progress_metrics",  # new: telemetry-vs-data census
         "lakehouse_lifecycle",  # new: full table-format lifecycle capstone
+        "mm_video_scene_stats",  # new: frame-transition video features
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r7]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"
@@ -189,3 +190,24 @@ def test_audio_frame_energy_matches_numpy(spark):
         for k, i in enumerate(range(0, len(s64), mm.AUDIO_FRAME)):
             chunk = s64[i : i + mm.AUDIO_FRAME]
             assert got[(r.doc_id, k)] == (len(chunk), int((chunk * chunk).sum()))
+
+
+def test_video_frame_diffs_match_numpy(spark):
+    """Transition energies from the Spark pipeline equal an independent
+    numpy decode+diff of the same payloads, bit-for-bit."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    media = mm.attach_fake_media(d)
+    got = {
+        (r.doc_id, r.t_idx): r.diff_energy
+        for r in mm.video_frame_diffs(media).collect()
+    }
+    assert got
+    for r in media.filter(F.col("media_type") == "video").collect():
+        frames = mm.decode_ppm_stream(bytes(r.payload))
+        for t in range(1, len(frames)):
+            want = int(
+                np.abs(
+                    frames[t].astype(np.int64) - frames[t - 1].astype(np.int64)
+                ).sum()
+            )
+            assert got[(r.doc_id, t - 1)] == want
