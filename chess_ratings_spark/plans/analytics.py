@@ -770,3 +770,39 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("div_centi_sum"),
     )
+
+
+@register(
+    "agg_distribution_shape",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(skewness(l_extendedprice) * (count(*) - 2)
+                 / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_pop,
+           round(kurtosis_pop(l_extendedprice), 6) AS kurt_excess
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Distribution-shape aggregates (3rd/4th standardized moments) "
+    "— the drift monitors that catch a data-quality change mean/"
+    "stddev miss (a price column going bimodal or heavy-tailed keeps "
+    "its mean). Engine definitions differ and the bridge is stated "
+    "explicitly: Spark's skewness/kurtosis are POPULATION g1 and "
+    "excess g2; DuckDB's skewness carries the sample bias correction "
+    "sqrt(n(n-1))/(n-2), which the oracle inverts term-for-term, and "
+    "kurtosis_pop matches directly. Both are one-pass combinable "
+    "moment accumulations (partial+final HashAggregate — mergeable "
+    "across partitions like every co-moment), rounded to 6 on both "
+    "sides as multi-row float reductions.",
+    tags=("agg", "lineitem"),
+)
+def agg_distribution_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.skewness("l_extendedprice"), 6).alias("skew_pop"),
+            F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt_excess"),
+        )
+        .orderBy("l_returnflag")
+    )

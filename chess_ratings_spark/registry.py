@@ -51,10 +51,10 @@ REGISTRY: dict[str, Query] = {}
 #: stream-stream outer join, try-arithmetic, PERMISSIVE CSV, audio
 #: frames, forward as-of, CDC apply, recursive CTE, VARIANT, pipe
 #: syntax, collation, streaming telemetry, lifecycle capstone, video
-#: transitions), then 17 of the 31 queries whose newest driver row was
-#: round 1 — 33 + 17 = exactly the window. Fourteen r1 names plus all
-#: 30 r2-evidence names sit right after it and lead the round-8
-#: rotation. Names here must
+#: transitions, distribution shape), then 16 of the 31 queries whose
+#: newest driver row was round 1 — 34 + 16 = exactly the window.
+#: Fifteen r1 names plus all 30 r2-evidence names sit right after it
+#: and lead the round-8 rotation. Names here must
 #: exist in REGISTRY once plans are imported — ``queries()`` raises on
 #: a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
@@ -92,6 +92,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_progress_metrics",
     "lakehouse_lifecycle",
     "mm_video_scene_stats",
+    "agg_distribution_shape",
     # --- oldest driver evidence: r1 rows, refreshed this round ---
     "agg_stats",
     "win_percent_cume",
@@ -109,10 +110,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_first_last",
     "profile_table",
     "funnel_sessionized",
-    "fn_replace_null",
-    # --- 50+: fourteen r1 names displaced by the round's 20th-33rd new
+    # --- 50+: fifteen r1 names displaced by the round's 20th-34th new
     #     queries, then current-fixture green (r4-r6) + remaining r2
     #     rotation debt (30 names) — all fronted next round ---
+    "fn_replace_null",
     "src_csv_roundtrip",
     "src_json_roundtrip",
     "src_orc_roundtrip",

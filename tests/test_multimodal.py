@@ -156,6 +156,7 @@ def test_driver_order_contract():
         "stream_progress_metrics",  # new: telemetry-vs-data census
         "lakehouse_lifecycle",  # new: full table-format lifecycle capstone
         "mm_video_scene_stats",  # new: frame-transition video features
+        "agg_distribution_shape",  # new: skewness/kurtosis moments
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r7]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"
