@@ -9,13 +9,21 @@ two mechanisms that give snapshot isolation):
   manifest per version holding the FULL list of live data files for
   that snapshot (Iceberg-style snapshot manifest; simpler than Delta's
   add/remove deltas and O(versions) only in the log dir, never in a
-  read).
+  read), plus any sidecar metadata (per-file stats, delete vectors).
+  A manifest file is written exactly once, to its final name, with its
+  complete payload — readers never observe a partially-attached
+  manifest (the torn-read / missing-delete-vector window a
+  write-then-patch scheme would open).
 - **CAS publish**: a commit is ``open(log_path, "x")`` — POSIX
   exclusive create. Two writers racing to version N: exactly one
   syscall succeeds, the loser gets ``FileExistsError``, re-reads the
-  latest snapshot, and retries on top (optimistic concurrency). On a
-  real object store this maps to the same primitive every lakehouse
-  uses (S3 conditional PUT / GCS generation-match).
+  latest snapshot, REBUILDS its file list on top of it (the ``build``
+  callback below — a true rebase, so the winner's committed files are
+  preserved), and retries at N+1. On a real object store this maps to
+  the same primitive every lakehouse uses (S3 conditional PUT / GCS
+  generation-match), and the rebase mirrors Delta's logical conflict
+  resolution: disjoint file sets commute, so append-vs-append and
+  append-vs-OPTIMIZE both succeed without losing either side.
 - **Snapshot read / time travel**: readers resolve ONE manifest and
   scan exactly its files — uncommitted/orphan data files in the
   directory are invisible, and ``AS OF version`` is just resolving an
@@ -23,6 +31,11 @@ two mechanisms that give snapshot isolation):
   files and commits the new list as the next version; superseded files
   stay on disk so older snapshots remain readable (vacuum would prune
   them past a retention horizon).
+- **Change data feed**: every commit records whether it changed data
+  (``data_change``: appends/deletes true, OPTIMIZE false — Delta's
+  ``dataChange`` flag / Iceberg's replace-snapshot exclusion), so
+  :meth:`changes_between` can replay exactly the rows added and
+  deleted between two versions while skipping compaction churn.
 
 At 100 TB none of this touches the driver with data: manifests carry
 file names and stats (bytes here; per-column min/max in a production
@@ -38,14 +51,32 @@ from __future__ import annotations
 
 import json
 import math
+from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Commit ops that add/remove ROWS (vs rewriting the same rows into
+#: different files). OPTIMIZE-style ops are excluded from the change
+#: feed: they change the file layout, never the logical table.
+_DATA_CHANGE_PREFIXES = ("append", "delete", "stream-batch", "overwrite")
+
+
+def _is_data_change(op: str) -> bool:
+    return any(op.startswith(p) for p in _DATA_CHANGE_PREFIXES)
 
 
 class CommitConflict(Exception):
     """Another writer published this version first; retry on the new
     latest snapshot."""
+
+
+#: ``build`` callback: given the freshly-read latest manifest (None on
+#: an empty log), return either the full file list for the new version
+#: or ``(files, extra)`` where ``extra`` is additional manifest payload
+#: (``file_stats``, ``delete_vectors``, ...). Re-evaluated on EVERY
+#: commit attempt so a conflict loser rebases onto the winner's state.
+BuildFn = Callable[[dict | None], "list[str] | tuple[list[str], dict]"]
 
 
 class TableLog:
@@ -78,30 +109,68 @@ class TableLog:
                 raise FileNotFoundError(f"no commits in {self.log_dir}")
         return json.loads(self._manifest_path(version).read_text())
 
-    def try_commit(self, version: int, files: list[str], op: str) -> None:
+    def try_commit(
+        self, version: int, files: list[str], op: str, extra: dict | None = None
+    ) -> None:
         """Publish ``version`` or raise :class:`CommitConflict`. The
-        exclusive-create open IS the atomic compare-and-swap: the
-        manifest appears fully written or not at all (written to the
-        final name in one small write; a torn write of a tiny JSON is
-        not a failure mode worth a temp+rename dance locally, and on an
-        object store the conditional PUT is already all-or-nothing)."""
-        payload = json.dumps(
-            {"version": version, "op": op, "files": sorted(files)}, indent=0
-        )
+        exclusive-create open IS the atomic compare-and-swap, and the
+        COMPLETE manifest payload (files + any ``extra`` sidecar
+        metadata) is serialized before the create — each manifest file
+        is written exactly once, so a reader that can resolve the
+        version sees all of it (no write-then-patch window). On an
+        object store the conditional PUT is already all-or-nothing."""
+        body = {"version": version, "op": op, "data_change": _is_data_change(op),
+                "files": sorted(files)}
+        if extra:
+            body.update(extra)
+        payload = json.dumps(body, indent=0)
         try:
             with open(self._manifest_path(version), "x") as fh:
                 fh.write(payload)
         except FileExistsError:
             raise CommitConflict(f"version {version} already committed") from None
 
-    def commit(self, files: list[str], op: str, max_retries: int = 10) -> int:
-        """Optimistic-concurrency commit loop: read latest, attempt
-        next version, on conflict re-read and retry."""
+    def commit(
+        self,
+        files: list[str] | None = None,
+        op: str = "append",
+        extra: dict | None = None,
+        max_retries: int = 10,
+        build: BuildFn | None = None,
+    ) -> int:
+        """Optimistic-concurrency commit loop: read latest, attempt the
+        next version, on conflict re-read and retry.
+
+        Two modes:
+
+        - ``build=callback`` (concurrency-safe): the callback receives
+          the freshly-read latest manifest on EVERY attempt and returns
+          the new version's file list (optionally ``(files, extra)``) —
+          a conflict loser therefore rebases onto the winner's committed
+          state instead of republishing a stale list. All internal verbs
+          (:meth:`append`, :meth:`optimize`, ...) use this mode.
+        - ``files=[...]`` (single-writer): publishes the given list
+          verbatim at the next free version. A conflict retry here can
+          only mean another writer committed in between, and replaying a
+          pre-computed list would silently drop that writer's files — so
+          static-list commits do NOT retry: the conflict propagates and
+          the caller must re-derive its list from the new snapshot.
+        """
+        if build is None:
+            if files is None:
+                raise ValueError("commit needs files=[...] or build=callback")
+            latest = self.latest_version()
+            nxt = 0 if latest is None else latest + 1
+            self.try_commit(nxt, files, op, extra)
+            return nxt
         for _ in range(max_retries + 1):
             latest = self.latest_version()
             nxt = 0 if latest is None else latest + 1
+            prev = self.read_manifest(latest) if latest is not None else None
+            built = build(prev)
+            bfiles, bextra = built if isinstance(built, tuple) else (built, extra)
             try:
-                self.try_commit(nxt, files, op)
+                self.try_commit(nxt, bfiles, op, bextra)
                 return nxt
             except CommitConflict:
                 continue
@@ -130,29 +199,103 @@ class TableLog:
             shutil.rmtree(scratch, ignore_errors=True)
 
     def append(self, df: DataFrame, n_files: int, tag: str) -> int:
-        """Land new data files, then commit previous snapshot + new
-        files as the next version."""
+        """Land new data files, then commit (latest snapshot at commit
+        time) + new files as the next version. The rebase callback
+        makes two concurrent appends commute: the loser re-reads the
+        winner's manifest and stacks its files on top."""
         new = self._land(df, n_files, tag)
-        latest = self.latest_version()
-        prev = self.read_manifest(latest)["files"] if latest is not None else []
-        return self.commit(prev + new, op="append")
+
+        def rebase(prev: dict | None) -> list[str]:
+            return (prev["files"] if prev is not None else []) + new
+
+        return self.commit(op="append", build=rebase)
 
     def optimize(self, spark: SparkSession, target_rows_per_file: int = 50_000) -> int:
         """Committed OPTIMIZE: read the live snapshot, rewrite it into
         ceil(n/target) right-sized files, commit the compacted list as
-        the next version. Old files stay for time travel."""
-        live = self.read_manifest()["files"]
-        df = spark.read.parquet(*live)
+        the next version. Old files stay for time travel.
+
+        Conflict rebase (Delta's OPTIMIZE-vs-append resolution): the
+        compacted files REPLACE exactly the files this optimize read;
+        any files a concurrent append committed in between are disjoint
+        from that read set and are carried forward untouched."""
+        read_manifest = self.read_manifest()
+        read_set = set(read_manifest["files"])
+        df = spark.read.parquet(*read_manifest["files"])
         n_rows = df.count()
         n_out = max(1, math.ceil(n_rows / target_rows_per_file))
-        latest = self.latest_version()
-        new = self._land(df, n_out, tag=f"optimize-v{latest + 1}")
-        return self.commit(new, op="optimize")
+        new = self._land(df, n_out, tag=f"optimize-v{read_manifest['version'] + 1}")
+
+        def rebase(prev: dict | None) -> list[str]:
+            survivors = [
+                f for f in (prev["files"] if prev is not None else [])
+                if f not in read_set
+            ]
+            return new + survivors
+
+        return self.commit(op="optimize", build=rebase)
 
     def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read (time travel when ``version`` is given):
         resolve ONE manifest, scan exactly its files."""
         return spark.read.parquet(*self.read_manifest(version)["files"])
+
+    # -- change data feed -------------------------------------------------
+
+    def changes_between(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Incremental read (Delta CDF / Iceberg incremental scan): the
+        rows ADDED and DELETED by each commit in ``(v_from, v_to]``,
+        tagged ``_change_type`` ('insert' | 'delete') and
+        ``_commit_version``. Commits whose ``data_change`` flag is
+        false (OPTIMIZE / compaction) contribute NOTHING — they rewrote
+        the same rows into different files, which is exactly the churn
+        an incremental consumer must not re-process.
+
+        - inserts at v = scan of the files v added over v-1 (file-level
+          diff of the full-list manifests; appends never rewrite, so a
+          new file IS new rows);
+        - deletes at v = the v-1 snapshot semi-joined to the delete
+          vectors v added (the full deleted rows, as Delta CDF emits
+          them, not just keys).
+
+        Everything is a pruned parquet scan unioned lazily; the driver
+        touches file names only.
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        feeds: list[DataFrame] = []
+        prev = self.read_manifest(v_from)
+        for v in range(v_from + 1, v_to + 1):
+            m = self.read_manifest(v)
+            if m.get("data_change", True):
+                added = sorted(set(m["files"]) - set(prev["files"]))
+                if added:
+                    feeds.append(
+                        spark.read.parquet(*added)
+                        .withColumn("_change_type", F.lit("insert"))
+                        .withColumn("_commit_version", F.lit(v).cast("int"))
+                    )
+                dv_added = [
+                    d for d in m.get("delete_vectors", [])
+                    if d not in set(prev.get("delete_vectors", []))
+                ]
+                for dv in dv_added:
+                    keys = spark.read.parquet(dv)
+                    deleted = (
+                        spark.read.parquet(*prev["files"])
+                        .join(F.broadcast(keys), keys.columns, "left_semi")
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_version", F.lit(v).cast("int"))
+                    )
+                    feeds.append(deleted)
+            prev = m
+        if not feeds:
+            raise ValueError(f"no data-change commits in ({v_from}, {v_to}]")
+        return reduce(lambda a, b: a.unionByName(b), feeds)
 
     # -- file statistics / data skipping ----------------------------------
 
@@ -160,24 +303,28 @@ class TableLog:
         self, df: DataFrame, bucket_col: str, width: int, tag: str
     ) -> int:
         """Land ``df`` as one file per ``bucket_col`` range bucket
-        (bucket i = values in [i*width, (i+1)*width)), recording each
-        file's [min, max] of ``bucket_col`` in the manifest — the
-        per-file stats every lakehouse manifest carries. Stats come
-        from ONE grouped aggregation over the input (executor-side;
-        the driver sees n_buckets scalar triples), and ALL buckets
-        land in ONE partitioned write: repartition on the bucket key
-        routes each bucket to exactly one task, so every
-        ``partitionBy`` dir holds exactly one part file (the previous
-        per-bucket filter+write loop ran n_buckets sequential jobs —
-        measured 5.3 s -> ~1.5 s on the 18-bucket partition-evolution
-        query)."""
+        (bucket i = values in [i*width, (i+1)*width), floor semantics —
+        negative values land in negative buckets, matching the ``//``
+        floor division the oracles replay), recording each file's
+        [min, max] of ``bucket_col`` in the manifest — the per-file
+        stats every lakehouse manifest carries. Stats come from ONE
+        grouped aggregation over the input (executor-side; the driver
+        sees n_buckets scalar triples), and ALL buckets land in ONE
+        partitioned write: repartition on the bucket key routes each
+        bucket to exactly one task, so every ``partitionBy`` dir holds
+        exactly one part file (the previous per-bucket filter+write
+        loop ran n_buckets sequential jobs — measured 5.3 s -> ~1.5 s
+        on the 18-bucket partition-evolution query). Stats ride in the
+        same single-write manifest (``extra`` payload of the commit),
+        never patched in afterwards. An empty input commits an empty
+        delta (next version = previous snapshot unchanged)."""
         import shutil
         import tempfile
 
         from pyspark.sql import functions as F
 
         b = df.withColumn(
-            "__bucket", (F.col(bucket_col) / width).cast("int")
+            "__bucket", F.floor(F.col(bucket_col) / width).cast("int")
         )
         stats = {
             int(r["__bucket"]): (int(r["mn"]), int(r["mx"]))
@@ -185,36 +332,34 @@ class TableLog:
             .agg(F.min(bucket_col).alias("mn"), F.max(bucket_col).alias("mx"))
             .collect()
         }
-        scratch = Path(tempfile.mkdtemp(prefix="crs_tablelog_"))
         entries: list[dict] = []
         files: list[str] = []
-        try:
-            (
-                b.repartition(len(stats), "__bucket")
-                .write.partitionBy("__bucket")
-                .mode("overwrite")
-                .parquet(str(scratch / "w"))
-            )
-            for i in sorted(stats):
-                parts = sorted((scratch / "w" / f"__bucket={i}").glob("*.parquet"))
-                assert len(parts) == 1, f"bucket {i}: {len(parts)} files"
-                dst = self.data_dir / f"{tag}-b{i:04d}.parquet"
-                shutil.copy(parts[0], dst)
-                files.append(str(dst))
-                mn, mx = stats[i]
-                entries.append({"path": str(dst), "stats": {bucket_col: [mn, mx]}})
-        finally:
-            shutil.rmtree(scratch, ignore_errors=True)
-        latest = self.latest_version()
-        prev_manifest = (
-            self.read_manifest(latest) if latest is not None else {"files": []}
-        )
-        version = self.commit(prev_manifest["files"] + files, op="append")
-        # stats ride in the same manifest file, keyed by path
-        m = self.read_manifest(version)
-        m["file_stats"] = prev_manifest.get("file_stats", []) + entries
-        self._manifest_path(version).write_text(json.dumps(m, indent=0))
-        return version
+        if stats:
+            scratch = Path(tempfile.mkdtemp(prefix="crs_tablelog_"))
+            try:
+                (
+                    b.repartition(len(stats), "__bucket")
+                    .write.partitionBy("__bucket")
+                    .mode("overwrite")
+                    .parquet(str(scratch / "w"))
+                )
+                for i in sorted(stats):
+                    parts = sorted((scratch / "w" / f"__bucket={i}").glob("*.parquet"))
+                    assert len(parts) == 1, f"bucket {i}: {len(parts)} files"
+                    dst = self.data_dir / f"{tag}-b{i:04d}.parquet"
+                    shutil.copy(parts[0], dst)
+                    files.append(str(dst))
+                    mn, mx = stats[i]
+                    entries.append({"path": str(dst), "stats": {bucket_col: [mn, mx]}})
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+
+        def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            pfiles = prev["files"] if prev is not None else []
+            pstats = prev.get("file_stats", []) if prev is not None else []
+            return pfiles + files, {"file_stats": pstats + entries}
+
+        return self.commit(op="append", build=rebase)
 
     def snapshot_pruned(
         self, spark: SparkSession, col: str, lo: int, hi: int,

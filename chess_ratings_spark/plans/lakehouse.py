@@ -679,7 +679,6 @@ def lake_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("lakehouse", "merge", "time-travel", "events"),
 )
 def lake_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json as _json
     import shutil
     import tempfile
     from pathlib import Path
@@ -702,10 +701,9 @@ def lake_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "error").select("event_id").coalesce(
             1
         ).write.mode("overwrite").parquet(dv_dir)
-        v1 = log.commit(files_v0, op="delete-mor")
-        m = log.read_manifest(v1)
-        m["delete_vectors"] = [dv_dir]
-        log._manifest_path(v1).write_text(_json.dumps(m, indent=0))
+        v1 = log.commit(
+            files_v0, op="delete-mor", extra={"delete_vectors": [dv_dir]}
+        )
         files_v1 = list(log.read_manifest(v1)["files"])
         metadata_only = sorted(files_v1) == sorted(files_v0)
 
@@ -954,7 +952,6 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("lakehouse", "time-travel", "merge", "maintenance", "events"),
 )
 def lakehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json as _json
     import shutil
     import tempfile
     from pathlib import Path
@@ -980,10 +977,7 @@ def lakehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "error").select("event_id").coalesce(
             1
         ).write.mode("overwrite").parquet(dv_dir)
-        v2 = log.commit(files_v1, op="delete-mor")
-        m = log.read_manifest(v2)
-        m["delete_vectors"] = [dv_dir]
-        log._manifest_path(v2).write_text(_json.dumps(m, indent=0))
+        log.commit(files_v1, op="delete-mor", extra={"delete_vectors": [dv_dir]})
         dead = spark.read.parquet(dv_dir)
         mor = (
             spark.read.parquet(*files_v1)

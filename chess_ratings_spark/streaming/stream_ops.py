@@ -604,9 +604,10 @@ def tablelog_sink_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
             n_files=2,
             tag=f"b{batch_id}",
         )
-        latest = log.latest_version()
-        prev = log.read_manifest(latest)["files"] if latest is not None else []
-        log.commit(prev + new, op=f"stream-batch-{batch_id}")
+        log.commit(
+            op=f"stream-batch-{batch_id}",
+            build=lambda prev: (prev["files"] if prev is not None else []) + new,
+        )
         committed_batches.add(batch_id)
 
     src = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)

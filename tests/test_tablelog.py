@@ -94,3 +94,148 @@ def test_vacuum_keeps_live_drops_history(base, spark):
     assert log.versions() == [0, 1, 2]  # log stays auditable
     with pytest.raises(Exception):
         log.snapshot(spark, version=0).count()  # history physically gone
+
+def test_concurrent_appends_rebase_no_lost_update(base, spark):
+    """Two writers race to the same version: the loser must REBASE onto
+    the winner's committed manifest (build callback re-evaluated per
+    attempt), not republish its stale pre-race file list — the
+    lost-update bug where the winner's files silently vanish."""
+    log = TableLog(base)
+    log.append(_tiny(spark, n=10, tag=0), n_files=1, tag="base")
+    b_files = log._land(_tiny(spark, n=10, tag=2), n_files=1, tag="winner")
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racy_try_commit(version, files, op, extra=None):
+        if not state["raced"]:
+            state["raced"] = True
+            # writer B sneaks its commit in between A's snapshot read
+            # and A's publish — B wins this version
+            orig(version, log.read_manifest()["files"] + b_files, "append")
+        return orig(version, files, op, extra)
+
+    log.try_commit = racy_try_commit
+    v = log.append(_tiny(spark, n=10, tag=3), n_files=1, tag="loser")
+    assert v == 2  # base=0, winner=1, rebased loser=2
+    final = set(log.read_manifest(v)["files"])
+    assert set(b_files) <= final, "winner's files dropped (lost update)"
+    assert len(final) == 3
+    assert log.snapshot(spark).count() == 30
+
+
+def test_optimize_rebase_carries_concurrent_append(base, spark):
+    """OPTIMIZE racing an append (Delta's conflict-resolution case):
+    the compacted files replace exactly the files OPTIMIZE read; the
+    concurrently appended file is disjoint and must survive."""
+    log = TableLog(base)
+    for t in range(2):
+        log.append(_tiny(spark, n=20, tag=t), n_files=2, tag=f"t{t}")
+    late = log._land(_tiny(spark, n=5, tag=9), n_files=1, tag="late")
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racy_try_commit(version, files, op, extra=None):
+        if not state["raced"]:
+            state["raced"] = True
+            orig(version, log.read_manifest()["files"] + late, "append")
+        return orig(version, files, op, extra)
+
+    log.try_commit = racy_try_commit
+    v = log.optimize(spark, target_rows_per_file=1_000)
+    assert v == 3  # two appends, racer's append, rebased optimize
+    final = log.read_manifest(v)["files"]
+    assert set(late) <= set(final), "concurrent append discarded by OPTIMIZE"
+    assert log.snapshot(spark).count() == 45  # 40 compacted + 5 late
+    assert log.read_manifest(v)["data_change"] is False
+
+
+def test_static_commit_conflict_propagates(base, spark):
+    """A static-list commit (no build callback) must NOT silently retry
+    past a conflict: replaying a pre-computed list at N+1 would drop
+    the concurrent writer's files. The conflict surfaces instead."""
+    log = TableLog(base)
+    f1 = log._land(_tiny(spark, n=10, tag=1), n_files=1, tag="a")
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racy_try_commit(version, files, op, extra=None):
+        if not state["raced"]:
+            state["raced"] = True
+            orig(version, f1, "append")
+        return orig(version, files, op, extra)
+
+    log.try_commit = racy_try_commit
+    with pytest.raises(CommitConflict):
+        log.commit(f1, op="append")
+
+
+def test_manifest_written_once_with_full_payload(base, spark):
+    """Stats and delete vectors ride in the SAME exclusive-create write
+    as the file list — no post-commit patch window where a reader sees
+    the manifest without its sidecar metadata."""
+    import json
+
+    log = TableLog(base)
+    df = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    v = log.append_range_bucketed(df, "k", width=10, tag="r")
+    raw = json.loads(log._manifest_path(v).read_text())
+    assert len(raw["file_stats"]) == 4  # present at publish time
+    v2 = log.commit(
+        raw["files"], op="delete-mor", extra={"delete_vectors": ["dv0"]}
+    )
+    raw2 = json.loads(log._manifest_path(v2).read_text())
+    assert raw2["delete_vectors"] == ["dv0"]
+    assert raw2["data_change"] is True
+
+
+def test_append_range_bucketed_empty_and_negative(base, spark):
+    log = TableLog(base)
+    neg = spark.range(30).select((F.col("id") - 15).alias("k"))
+    v = log.append_range_bucketed(neg, "k", width=10, tag="neg")
+    stats = {e["path"]: e["stats"]["k"] for e in log.read_manifest(v)["file_stats"]}
+    # floor semantics: -15..-11 -> bucket -2, -10..-1 -> bucket -1
+    assert sorted(tuple(s) for s in stats.values()) == [
+        (-15, -11), (-10, -1), (0, 9), (10, 14),
+    ]
+    # empty input commits an empty delta instead of crashing
+    v2 = log.append_range_bucketed(neg.filter(F.col("k") > 99), "k", 10, "e")
+    assert v2 == v + 1
+    assert log.read_manifest(v2)["files"] == log.read_manifest(v)["files"]
+    assert log.snapshot(spark, v2).count() == 30
+
+
+def test_changes_between_skips_optimize_churn(base, spark):
+    """Change feed: inserts = files added by data-change commits,
+    deletes = v-1 snapshot semi-joined to new delete vectors; OPTIMIZE
+    rewrites contribute nothing."""
+    log = TableLog(base)
+    log.append(_tiny(spark, n=10, tag=0), n_files=1, tag="a")  # v0
+    log.append(_tiny(spark, n=10, tag=1), n_files=1, tag="b")  # v1
+    dv_dir = str(Path(base) / "dv1")
+    (
+        log.snapshot(spark)
+        .filter(F.col("k") % 2 == 0)
+        .select("k")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dv_dir)
+    )
+    log.commit(  # v2: MOR delete of even keys
+        log.read_manifest()["files"], op="delete-mor",
+        extra={"delete_vectors": [dv_dir]},
+    )
+    log.optimize(spark, target_rows_per_file=1_000)  # v3: no data change
+    log.append(_tiny(spark, n=10, tag=2), n_files=1, tag="c")  # v4
+    ch = log.changes_between(spark, 0, 4)
+    counts = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {(1, "insert"): 10, (2, "delete"): 10, (4, "insert"): 10}
+    deleted = {r.k for r in ch.filter(F.col("_change_type") == "delete").collect()}
+    assert all(k % 2 == 0 for k in deleted) and len(deleted) == 10

@@ -153,13 +153,16 @@ def test_bpe_merge_is_greedy_nonoverlapping(spark):
 def test_bpe_merges_monotone_and_consistent(spark):
     rows = REGISTRY["text_bpe_merges"].fn(spark, SF_SMOKE).collect()
     assert [r.step for r in rows] == [1, 2, 3]
-    # each merge removes exactly pair_count symbols from the corpus
-    # (every merged occurrence collapses two symbols into one)
+    # each merge removes one symbol per occurrence it merges; the pair
+    # count counts OVERLAPPING adjacencies ('aaa' counts (a,a) twice)
+    # while the literal replace merges left-to-right non-overlapping,
+    # so the removed count is <= pair_count (equal when the winning
+    # pair never overlaps itself, > 0 always since pair_count > 0)
     counts = [r.pair_count for r in rows]
     totals = [r.corpus_symbols_after for r in rows]
     assert counts[0] >= counts[1] >= counts[2] > 0
-    assert totals[0] - totals[1] == counts[1]
-    assert totals[1] - totals[2] == counts[2]
+    assert 0 < totals[0] - totals[1] <= counts[1]
+    assert 0 < totals[1] - totals[2] <= counts[2]
     for r in rows:
         assert r.merged == r.merge_a + r.merge_b
 
