@@ -1024,3 +1024,119 @@ def lakehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_changes_between",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    feed AS (
+      SELECT 1 AS commit_version, 'insert' AS change_type, *
+      FROM ev WHERE user_id % 3 = 1
+      UNION ALL
+      SELECT 2, 'delete', * FROM ev
+      WHERE event_type = 'error' AND user_id % 3 <> 2
+      UNION ALL
+      SELECT 4, 'insert', * FROM ev WHERE user_id % 3 = 2
+    )
+    SELECT commit_version, change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vc) AS BIGINT) AS vc_sum,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM feed GROUP BY commit_version, change_type
+    ORDER BY commit_version, change_type
+    """,
+    doc="Change data feed / incremental scan on the manifest log "
+    "(operators/tablelog.py changes_between) — the Delta CDF / "
+    "Iceberg incremental-read verb that makes pipeline_incremental's "
+    "bookmark pattern real end-to-end: a consumer that has processed "
+    "up to version N reads exactly the rows later commits added or "
+    "deleted, never a full snapshot. History built here: v0 appends "
+    "a third of events (user_id%3=0), v1 appends another third, v2 "
+    "is a merge-on-read DELETE of the error rows via a delete-vector "
+    "sidecar, v3 is OPTIMIZE (data_change=false), v4 appends the "
+    "last third. changes_between(0, 4) must emit v1's files as "
+    "inserts (file-level manifest diff — appends never rewrite), "
+    "v2's full deleted ROWS (v1 snapshot semi-joined to the new "
+    "delete vector, as Delta CDF emits deletes), NOTHING for the "
+    "OPTIMIZE rewrite (the churn an incremental consumer must not "
+    "re-process — its absence from the result is the point the "
+    "oracle pins), and v4's files as inserts. The oracle replays "
+    "each commit's logical predicate; counts, fixed-point checksums "
+    "and distinct-user counts must agree per (version, change_type). "
+    "At 100 TB every feed element is a pruned parquet scan of just "
+    "the added files / one prior snapshot, unioned lazily — the "
+    "driver handles file names only.",
+    tags=("lakehouse", "cdc", "time-travel", "events"),
+)
+def lake_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_cdf_")
+    try:
+        log = TableLog(base)
+        log.append(ev.filter(F.col("user_id") % 3 == 0), n_files=4, tag="m0")
+        log.append(ev.filter(F.col("user_id") % 3 == 1), n_files=4, tag="m1")
+        # v2: MOR delete of the error rows present at v1 (sidecar keys)
+        dv_dir = str(Path(base) / "dv" / "v2")
+        (
+            ev.filter(
+                (F.col("event_type") == "error") & (F.col("user_id") % 3 != 2)
+            )
+            .select("event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dv_dir)
+        )
+        log.commit(
+            log.read_manifest()["files"],
+            op="delete-mor",
+            extra={"delete_vectors": [dv_dir]},
+        )
+        log.optimize(spark, target_rows_per_file=100_000)  # v3: no data change
+        log.append(ev.filter(F.col("user_id") % 3 == 2), n_files=4, tag="m2")
+
+        feed = log.changes_between(spark, 0, 4)
+        out = (
+            feed.select(
+                F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+                "user_id",
+                "vc",
+            )
+            .groupBy("commit_version", "change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("vc").cast("bigint").alias("vc_sum"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .orderBy("commit_version", "change_type")
+        )
+        # the feed is lazy over files inside `base` — materialize before
+        # the tempdir is removed (bounded: <=6 (version, type) rows)
+        rows = out.collect()
+        return tables.local_table(
+            spark,
+            [tuple(r) for r in rows],
+            [
+                ("commit_version", "int"),
+                ("change_type", "string"),
+                ("n", "bigint"),
+                ("vc_sum", "bigint"),
+                ("n_users", "bigint"),
+            ],
+        ).orderBy("commit_version", "change_type")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -40,25 +40,71 @@ REGISTRY: dict[str, Query] = {}
 
 #: Driver-facing emission order. Two rounds of evidence fixed the cap:
 #: the driver oracle-checks exactly the FIRST 50 names in ``queries()``
-#: iteration order (a fixed 50, not proportional). Round-7 rotation
-#: (the r6 verdict's top_next): fronts the 10 queries that are new or
-#: whose plan/oracle changed this round (lakehouse time travel +
-#: committed OPTIMIZE, the transformWithState twin, the UDTF, the
-#: sliding_concat-guard / fixed-point / single-scan rewrites, plus the
-#: second-session additions: tablelog streaming sink, stats pruning,
-#: vacuum, Count-Min, BPE, Z-order locality, containment join,
-#: merge-on-read deletes, partition evolution, label propagation,
-#: stream-stream outer join, try-arithmetic, PERMISSIVE CSV, audio
-#: frames, forward as-of, CDC apply, recursive CTE, VARIANT, pipe
-#: syntax, collation, streaming telemetry, lifecycle capstone, video
-#: transitions, distribution shape), then 16 of the 31 queries whose
-#: newest driver row was round 1 — 34 + 16 = exactly the window.
-#: Fifteen r1 names plus all 30 r2-evidence names sit right after it
-#: and lead the round-8 rotation. Names here must
-#: exist in REGISTRY once plans are imported — ``queries()`` raises on
-#: a stale entry.
+#: iteration order (a fixed 50, not proportional). Round-8 rotation
+#: (the r7 verdict's top_next): 5 slots for this round's new/changed
+#: queries (the CDF read, the integer-gridded distribution shape, and
+#: the three queries most affected by the TableLog commit-protocol
+#: rework), then ALL 45 names whose newest driver oracle row still
+#: dated to round 1 or 2 (core joins/aggs/set-ops/windows, the §2.3
+#: scalar functions, format round-trips, the text-analysis quartet) —
+#: 5 + 45 = exactly the window, clearing the rotation debt in one
+#: round: after this round no name's driver evidence predates r5.
+#: Names here must exist in REGISTRY once plans are imported —
+#: ``queries()`` raises on a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
-    # --- round-7 new / plan-or-oracle-changed (need fresh driver rows) ---
+    # --- round-8 new / plan-or-oracle-changed (need fresh driver rows) ---
+    "lake_changes_between",
+    "agg_distribution_shape",
+    "lake_partition_evolution",
+    "lake_delete_mor",
+    "stream_sink_tablelog",
+    # --- the 45 r1/r2-evidence names: rotation debt cleared this round ---
+    "agg_distinct",
+    "agg_hash_group",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup_cube",
+    "agg_unique_check",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "fn_array_ops",
+    "fn_cast_datetime_year",
+    "fn_date_range",
+    "fn_format_string",
+    "fn_math_std",
+    "fn_month_code",
+    "fn_recode_map",
+    "fn_regex_match",
+    "fn_replace_null",
+    "join_broadcast",
+    "join_cross_params",
+    "join_equi_inner",
+    "join_outer",
+    "join_semi_anti",
+    "join_similarity",
+    "join_theta_range",
+    "limit_topk_global",
+    "mm_embedding_col",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sim_join_threshold",
+    "sim_topk_cosine",
+    "sort_order",
+    "src_csv_roundtrip",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "src_parquet_scan",
+    "src_url_gen",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "text_tokenize_stats",
+    "win_ntile_rank",
+    "win_rank_topk",
+    "win_running",
+    # --- 50+: previously-fronted names, evidence r4-r7, all current-green ---
     "lake_time_travel",
     "lake_optimize_commit",
     "stream_stateful_tws",
@@ -69,15 +115,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sim_ann_ivf",
     "text_repetition_stats",
     "text_perplexity_filter",
-    "stream_sink_tablelog",
     "lake_stats_prune",
     "lake_vacuum_retention",
     "agg_countmin_heavyhitters",
     "text_bpe_merges",
     "lake_zorder_locality",
     "sim_containment_join",
-    "lake_delete_mor",
-    "lake_partition_evolution",
     "graph_label_propagation",
     "stream_interval_join_outer",
     "fn_try_arith",
@@ -92,8 +135,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_progress_metrics",
     "lakehouse_lifecycle",
     "mm_video_scene_stats",
-    "agg_distribution_shape",
-    # --- oldest driver evidence: r1 rows, refreshed this round ---
     "agg_stats",
     "win_percent_cume",
     "agg_collect_list",
@@ -110,33 +151,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_first_last",
     "profile_table",
     "funnel_sessionized",
-    # --- 50+: fifteen r1 names displaced by the round's 20th-34th new
-    #     queries, then current-fixture green (r4-r6) + remaining r2
-    #     rotation debt (30 names) — all fronted next round ---
-    "fn_replace_null",
-    "src_csv_roundtrip",
-    "src_json_roundtrip",
-    "src_orc_roundtrip",
-    "text_langid",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "src_parquet_scan",
-    "join_equi_inner",
-    "join_broadcast",
-    "join_outer",
-    "join_semi_anti",
-    "join_cross_params",
-    "agg_distinct",
-    "text_tokenize_stats",
-    "dedup_near_minhash",
-    "sim_join_threshold",
-    "sim_topk_cosine",
-    "mm_embedding_col",
-    "join_theta_range",
-    "agg_hash_group",
-    "agg_rollup_cube",
-    "join_similarity",
     "dedup_lines_corpus",
     "dedup_substring_spans",
     "mm_scalar_quantize",
@@ -183,27 +197,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "proj_lit",
     "select_project",
     "filter_pred",
-    "fn_recode_map",
-    "fn_month_code",
-    "fn_format_string",
-    "fn_regex_match",
-    "fn_date_range",
-    "fn_cast_datetime_year",
-    "fn_array_ops",
-    "fn_math_std",
-    "src_url_gen",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_unique_check",
-    "win_rank_topk",
-    "win_running",
-    "win_ntile_rank",
-    "sort_order",
-    "limit_topk_global",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "dedup_exact",
     "agg_mode",
     "agg_corr_cov",
     "agg_hll_merge",

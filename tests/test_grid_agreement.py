@@ -138,3 +138,53 @@ def test_maxsim_cosine_grid(sf_dir):
     assert vals
     worst = min(margin_ok(v, 1e9) for (v,) in vals)
     assert worst > 0, f"cosine*1e9 boundary margin exhausted: {worst}"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS + ["/root/testdata/sf0.1"])
+def test_distribution_shape_e6_grid(sf_dir):
+    """agg_distribution_shape floors g1/g2 (computed from EXACT integer
+    power sums via IEEE-deterministic ops only) to an e6 grid. The only
+    cross-engine wiggle is the int128/decimal -> double cast of the
+    sums (<=1 ulp each, amplified ~100x by the central-moment
+    cancellation => ~1e-9 grid cells). Assert every group in every
+    fixture keeps >=1e-3 cells of boundary margin — six orders of
+    safety, and a regenerated fixture that parks a moment on a
+    boundary fails here instead of flipping a driver hash."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    rows = con.execute(
+        """
+        WITH t AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * 100) AS HUGEINT) AS vc
+          FROM lineitem
+        ), g AS (
+          SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS nd,
+                 CAST(sum(vc) AS DOUBLE) AS d1,
+                 CAST(sum(vc * vc) AS DOUBLE) AS d2,
+                 CAST(sum(vc * vc * vc) AS DOUBLE) AS d3,
+                 CAST(sum((vc * vc) * (vc * vc)) AS DOUBLE) AS d4
+          FROM t GROUP BY l_returnflag
+        ), r AS (
+          SELECT l_returnflag, d1/nd AS mu, d2/nd AS r2,
+                 d3/nd AS r3, d4/nd AS r4 FROM g
+        ), m AS (
+          SELECT l_returnflag, r2 - mu*mu AS m2,
+                 r3 - 3*mu*r2 + 2*mu*mu*mu AS m3,
+                 r4 - 4*mu*r3 + 6*mu*mu*r2 - 3*mu*mu*mu*mu AS m4
+          FROM r
+        )
+        SELECT l_returnflag, m3 / (m2 * sqrt(m2)) AS g1,
+               m4 / (m2 * m2) - 3 AS g2
+        FROM m
+        """
+    ).fetchall()
+    assert rows
+    for flag, g1, g2 in rows:
+        for label, val in (("skew", g1), ("kurt", g2)):
+            v = val * 1e6
+            dist = min(v - math.floor(v), math.ceil(v) - v)
+            assert dist > 1e-3, (sf_dir, flag, label, v)

@@ -374,3 +374,32 @@ def test_kmeans_cells_shape_and_convergence(spark):
     assert trained.shape == (8, X.shape[1])
     assert np.allclose(np.linalg.norm(trained, axis=1), 1.0)
     assert (X @ trained.T).max(1).mean() >= (X @ init.T).max(1).mean()
+
+
+def test_distribution_shape_matches_builtin_moments(spark):
+    """The exact-power-sum g1/g2 (agg_distribution_shape) must agree
+    with Spark's builtin skewness/kurtosis on the same centi-grid
+    values to well under one e6 grid cell — guards the central-moment
+    expansion against algebra slips."""
+    import chess_ratings_spark.plans  # noqa: F401
+    from chess_ratings_spark.registry import REGISTRY
+
+    got = {
+        r.l_returnflag: r
+        for r in REGISTRY["agg_distribution_shape"].fn(spark, SF_SMOKE).collect()
+    }
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    ref = {
+        r.l_returnflag: r
+        for r in li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100).alias("vc"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.skewness("vc").alias("g1"), F.kurtosis("vc").alias("g2"))
+        .collect()
+    }
+    assert set(got) == set(ref) and len(got) == 3
+    for flag, row in got.items():
+        assert abs(row.skew_g1_e6 - ref[flag].g1 * 1e6) < 1.0, flag
+        assert abs(row.kurt_g2_e6 - ref[flag].g2 * 1e6) < 1.0, flag
