@@ -451,6 +451,121 @@ def run_perplexity(spark, factor: int) -> dict:
     }
 
 
+def run_tablelog(spark, factor: int) -> dict:
+    """Lakehouse metadata growth census — the known table-format scale
+    failure mode is the MANIFEST, not the data: at 100 TB a snapshot
+    manifest lists O(files) entries and every commit/prune reads it.
+    Simulate `factor` bucketed landings of the events fixture into one
+    TableLog and measure what actually grows: manifest bytes and file
+    count must be linear in landings (each entry is one path + one
+    [min,max] stat), the LAST commit's wall time must stay flat
+    (O(manifest) metadata, no data rewrite), and stats-prune
+    selectivity for a fixed range predicate must stay constant (every
+    landing covers the full event_id domain, so a 1-bucket-wide
+    predicate scans exactly one file per landing: scanned/total ==
+    1/n_buckets regardless of factor)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    width = (int(hi) - int(lo)) // 16 + 1
+    base = tempfile.mkdtemp(prefix="crs_scale_log_")
+    try:
+        log = TableLog(base)
+        t_last = 0.0
+        for c in range(factor):
+            shifted = ev.select(
+                (F.col("event_id")).alias("event_id"), "user_id", "value"
+            )
+            t0 = time.perf_counter()
+            log.append_range_bucketed(shifted, "event_id", width, tag=f"c{c}")
+            t_last = round(time.perf_counter() - t0, 2)
+        m_path = log._manifest_path(log.latest_version())
+        n_files = len(log.read_manifest()["files"])
+        _, total, scanned = log.snapshot_pruned(
+            spark, "event_id", int(lo), int(lo) + width - 1
+        )
+        return {
+            "op": "tablelog_manifest",
+            "factor": factor,
+            "landings": factor,
+            "n_files": n_files,
+            "manifest_bytes": m_path.stat().st_size,
+            "last_commit_secs": t_last,
+            "prune_files_total": total,
+            "prune_files_scanned": scanned,
+            "prune_selectivity": round(scanned / total, 4),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def run_skew_salt(spark, factor: int) -> dict:
+    """Hottest-shuffle-partition census for join_skew_salted
+    (plans/scale.py): events' 5-value event_type key hashed into 32
+    reducers leaves >=27 idle and puts every hot key's full row count
+    on one reducer — the stragglers that kill a 1000-executor shuffle.
+    Salting the fact side with event_id%8 and exploding the dim x8
+    spreads each hot key over 8 reducers. Measured here: max and
+    median rows per shuffle partition for the UNsalted vs SALTED key
+    at `factor` x sf0.1 — the salted max must be ~8x smaller and the
+    ratio must hold as the corpus grows (skew relief is a property of
+    the key layout, not the data volume)."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.plans.scale import N_SALTS
+
+    ev = tables.load(spark, SF_DIR, "events").select("event_id", "event_type")
+    if factor > 1:
+        ev = ev.withColumn(
+            "rep", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        ).drop("rep")
+    t0 = time.perf_counter()
+
+    def partition_census(df, *keys):
+        return {
+            int(r["p"]): int(r["n"])
+            for r in df.repartition(32, *[F.col(k) for k in keys])
+            .withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    plain = partition_census(ev, "event_type")
+    salted = partition_census(
+        ev.withColumn("salt", (F.col("event_id") % N_SALTS).cast("int")),
+        "event_type",
+        "salt",
+    )
+    secs = round(time.perf_counter() - t0, 2)
+
+    def stats(c):
+        vals = sorted(c.values())
+        return {
+            "busy_partitions": len(vals),
+            "max_rows": vals[-1],
+            "median_rows": vals[len(vals) // 2],
+        }
+
+    sp, ss = stats(plain), stats(salted)
+    return {
+        "op": "join_skew_salted",
+        "factor": factor,
+        "plain": sp,
+        "salted": ss,
+        "hot_relief": round(sp["max_rows"] / ss["max_rows"], 2),
+        "secs": secs,
+    }
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
     from chess_ratings_spark.session import get_spark
@@ -458,7 +573,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_countmin, run_pagerank, run_perplexity):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_skew_salt):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()

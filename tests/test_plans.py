@@ -192,3 +192,66 @@ def test_asof_forward_single_key_shuffle(spark):
     p = plan_of(spark, "join_asof_forward")
     assert "SortMergeJoin" not in p
     assert "Window" in p
+
+
+def test_skew_salt_fans_out_hot_key(spark):
+    """join_skew_salted's mitigation as a plan assertion: the dim side
+    explodes x8 (Generate explode of the salt array), the join keys
+    include the salt (event_type AND salt in the hash partitioning),
+    and the forced shuffle-hash path is used — no broadcast silently
+    defeating the demo, no cartesian."""
+    p = plan_of(spark, "join_skew_salted")
+    assert "Generate explode" in p
+    assert "ShuffledHashJoin" in p and "[event_type" in p and "salt" in p
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_changes_between_unions_pruned_scans(spark):
+    """The TableLog change feed's plan: a union of parquet scans over
+    exactly the added files, plus a BROADCAST left-semi join against
+    the (bounded) delete-vector sidecar for deletes — no cartesian, no
+    sort-merge shuffle on the delete path, and the insert feed scans
+    only the files the commit added (one file here), never the full
+    snapshot."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    base = tempfile.mkdtemp(prefix="crs_plan_cdf_")
+    try:
+        log = TableLog(base)
+        t = spark.range(100).select(F.col("id").alias("k"))
+        log.append(t, n_files=4, tag="a")  # v0
+        log.append(t.select((F.col("k") + 100).alias("k")), 1, "b")  # v1
+        dv = f"{base}/dv"
+        t.filter(F.col("k") < 10).write.mode("overwrite").parquet(dv)
+        log.commit(
+            log.read_manifest()["files"], op="delete-mor",
+            extra={"delete_vectors": [dv]},
+        )  # v2
+        feed = log.changes_between(spark, 0, 2)
+        p = feed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin [k" in p and "LeftSemi" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+        insert_scans = [
+            ln for ln in p.splitlines()
+            if "FileScan parquet" in ln and "/data/b-" in ln
+        ]
+        assert insert_scans, "insert feed must scan the added file"
+        assert all("a-0" not in ln for ln in insert_scans)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_distribution_shape_single_pass_exact_sums(spark):
+    """agg_distribution_shape: one partial+final HashAggregate pass
+    over exact decimal power sums — no second scan of lineitem, no
+    float sum anywhere before the final scalar expression."""
+    p = plan_of(spark, "agg_distribution_shape")
+    assert p.count("FileScan parquet") == 1
+    assert p.count("HashAggregate") >= 2
