@@ -215,23 +215,41 @@ class TableLog:
         ceil(n/target) right-sized files, commit the compacted list as
         the next version. Old files stay for time travel.
 
+        Merge-on-read deletes are MATERIALIZED by the rewrite (the
+        compacted files hold only live rows — Delta's behavior when
+        compacting files carrying deletion vectors), so the snapshot's
+        delete vectors are consumed, not carried forward: a v2
+        MOR-delete followed by OPTIMIZE must not resurrect the deleted
+        rows.
+
         Conflict rebase (Delta's OPTIMIZE-vs-append resolution): the
         compacted files REPLACE exactly the files this optimize read;
         any files a concurrent append committed in between are disjoint
-        from that read set and are carried forward untouched."""
+        from that read set and are carried forward untouched, as is any
+        delete vector a concurrent commit attached after our read."""
+        from pyspark.sql import functions as F
+
         read_manifest = self.read_manifest()
         read_set = set(read_manifest["files"])
+        consumed_dvs = set(read_manifest.get("delete_vectors", []))
         df = spark.read.parquet(*read_manifest["files"])
+        for dv in consumed_dvs:
+            keys = spark.read.parquet(dv)
+            df = df.join(F.broadcast(keys), keys.columns, "left_anti")
         n_rows = df.count()
         n_out = max(1, math.ceil(n_rows / target_rows_per_file))
         new = self._land(df, n_out, tag=f"optimize-v{read_manifest['version'] + 1}")
 
-        def rebase(prev: dict | None) -> list[str]:
+        def rebase(prev: dict | None) -> tuple[list[str], dict | None]:
             survivors = [
                 f for f in (prev["files"] if prev is not None else [])
                 if f not in read_set
             ]
-            return new + survivors
+            dvs = [
+                d for d in (prev.get("delete_vectors", []) if prev else [])
+                if d not in consumed_dvs
+            ]
+            return new + survivors, ({"delete_vectors": dvs} if dvs else None)
 
         return self.commit(op="optimize", build=rebase)
 

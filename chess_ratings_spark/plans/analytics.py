@@ -870,3 +870,86 @@ def agg_distribution_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_hll_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+           CAST((SELECT count(*) FROM
+                 (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT)
+             AS exact_union,
+           CAST((SELECT count(*) FROM
+                 (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT)
+             AS exact_inter,
+           true AS union_within_bound,
+           true AS inter_within_bound
+    """,
+    doc="Sketch set algebra on HLL: distinct clickers (A) and "
+    "purchasers (B) sketched in ONE aggregation pass "
+    "(hll_sketch_agg over CASE-filtered keys — no second scan), "
+    "|A\\u222aB| from the lossless sketch union (hll_union), and "
+    "|A\\u2229B| by inclusion-exclusion est_a + est_b - est_union — the "
+    "only intersection HLL admits, with additive error ~3\\u03b5|A\\u222aB| "
+    "instead of relative error (the documented DataSketches "
+    "caveat). This is the audience-overlap query every 100 TB event "
+    "store answers from pre-aggregated per-segment sketches: "
+    "partials merge map-side, the final union moves kilobytes, and "
+    "no row-level intersection join ever runs. Estimates are "
+    "engine-specific so the emitted columns are the EXACT counts "
+    "(recomputed in-plan next to the sketches) plus bound "
+    "certificates: union estimate within 5% relative, intersection "
+    "within 10% of the union size (the additive-error yardstick). "
+    "The oracle recomputes the exact set algebra and pins both "
+    "bounds true.",
+    tags=("agg", "sketch", "events"),
+)
+def agg_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    in_a = F.when(F.col("event_type") == "click", F.col("user_id"))
+    in_b = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    in_ab = F.when(
+        F.col("event_type").isin("click", "purchase"), F.col("user_id")
+    )
+    g = ev.agg(
+        F.hll_sketch_agg(in_a).alias("ska"),
+        F.hll_sketch_agg(in_b).alias("skb"),
+        F.countDistinct(in_a).alias("exact_a"),
+        F.countDistinct(in_b).alias("exact_b"),
+        F.countDistinct(in_ab).alias("exact_union"),
+    )
+    est = g.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).alias(
+            "exact_inter"
+        ),
+        F.hll_sketch_estimate("ska").alias("est_a"),
+        F.hll_sketch_estimate("skb").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("ska", "skb")).alias("est_union"),
+    )
+    return est.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        (
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            / F.col("exact_union")
+            <= 0.05
+        ).alias("union_within_bound"),
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                - F.col("exact_inter")
+            )
+            / F.col("exact_union")
+            <= 0.10
+        ).alias("inter_within_bound"),
+    )

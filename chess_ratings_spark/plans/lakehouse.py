@@ -1140,3 +1140,124 @@ def lake_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("commit_version", "change_type")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_merge_cdf",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    live AS (
+      SELECT * FROM ev
+      WHERE NOT (event_type = 'error' AND user_id % 3 <> 2)
+    )
+    SELECT CAST((SELECT count(*) FROM live) AS BIGINT) AS n_source_live,
+           CAST((SELECT count(*) FROM live) AS BIGINT) AS n_replica,
+           CAST((SELECT sum(vc) FROM live) AS BIGINT) AS vc_source,
+           CAST((SELECT sum(vc) FROM live) AS BIGINT) AS vc_replica,
+           CAST((SELECT count(*) FROM ev WHERE user_id % 3 <> 0)
+                AS BIGINT) AS applied_inserts,
+           CAST((SELECT count(*) FROM ev
+                 WHERE event_type = 'error' AND user_id % 3 <> 2)
+                AS BIGINT) AS applied_deletes,
+           true AS replica_matches_source
+    """,
+    doc="Downstream replica sync driven by the change data feed — the "
+    "consumer half of lake_changes_between, and the pattern that "
+    "makes CDC real end-to-end: a replica that applied version 0 "
+    "(bookmark) consumes changes_between(0, latest) ONCE and must "
+    "land exactly at the source's live merge-on-read state, having "
+    "moved only the changed rows (never a full snapshot copy — the "
+    "whole point of incremental consumption at 100 TB). Source "
+    "history: v0/v1 append thirds of events, v2 merge-on-read "
+    "DELETEs the error rows via a delete-vector sidecar, v3 "
+    "OPTIMIZE (must contribute zero feed rows), v4 appends the last "
+    "third. Apply = union the insert feed, anti-join the delete "
+    "feed's keys. The oracle recomputes the final state and both "
+    "feed volumes from the logical predicates; "
+    "replica_matches_source pins count AND fixed-point checksum "
+    "equality, so a feed that leaks OPTIMIZE churn, misses a "
+    "delete, or double-applies an insert hash-mismatches.",
+    tags=("lakehouse", "cdc", "merge", "events"),
+)
+def lake_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_cdfsync_")
+    try:
+        log = TableLog(base)
+        log.append(ev.filter(F.col("user_id") % 3 == 0), n_files=4, tag="m0")
+        log.append(ev.filter(F.col("user_id") % 3 == 1), n_files=4, tag="m1")
+        dv_dir = str(Path(base) / "dv" / "v2")
+        (
+            ev.filter(
+                (F.col("event_type") == "error") & (F.col("user_id") % 3 != 2)
+            )
+            .select("event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dv_dir)
+        )
+        log.commit(
+            log.read_manifest()["files"],
+            op="delete-mor",
+            extra={"delete_vectors": [dv_dir]},
+        )
+        log.optimize(spark, target_rows_per_file=100_000)
+        log.append(ev.filter(F.col("user_id") % 3 == 2), n_files=4, tag="m2")
+        v_latest = log.latest_version()
+
+        # replica bookmarked at v0, then ONE incremental apply
+        replica = log.snapshot(spark, 0)
+        feed = log.changes_between(spark, 0, v_latest)
+        ins = feed.filter(F.col("_change_type") == "insert").drop(
+            "_change_type", "_commit_version"
+        )
+        dels = feed.filter(F.col("_change_type") == "delete").select("event_id")
+        applied = replica.unionByName(ins).join(
+            F.broadcast(dels), "event_id", "left_anti"
+        )
+
+        # source truth = live merge-on-read state at v_latest
+        m = log.read_manifest(v_latest)
+        src = spark.read.parquet(*m["files"])
+        for dv in m.get("delete_vectors", []):
+            src = src.join(
+                F.broadcast(spark.read.parquet(dv)), "event_id", "left_anti"
+            )
+
+        r = applied.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+        ).collect()[0]
+        s = src.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+        ).collect()[0]
+        n_ins = ins.count()
+        n_del = dels.count()
+        return tables.local_row(
+            spark,
+            ("n_source_live", int(s["n"]), "bigint"),
+            ("n_replica", int(r["n"]), "bigint"),
+            ("vc_source", int(s["vc"]), "bigint"),
+            ("vc_replica", int(r["vc"]), "bigint"),
+            ("applied_inserts", int(n_ins), "bigint"),
+            ("applied_deletes", int(n_del), "bigint"),
+            (
+                "replica_matches_source",
+                bool(r["n"] == s["n"] and r["vc"] == s["vc"]),
+                "boolean",
+            ),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

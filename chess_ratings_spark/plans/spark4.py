@@ -222,3 +222,57 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_ci")
     )
+
+
+@register(
+    "scan_metadata_columns",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           true AS all_files_contiguous,
+           true AS row_index_total_check,
+           true AS file_names_parquet,
+           true AS file_sizes_positive
+    FROM lineitem
+    """,
+    doc="Hidden file-metadata columns (_metadata.file_path / "
+    "file_name / file_size / row_index — SPARK-37273): the lineage "
+    "and debugging surface a 100 TB scan needs (which physical file "
+    "produced this row; where inside it) without any join against a "
+    "listing. The query groups by _metadata.file_path and certifies "
+    "the contract in-plan: within every file row_index runs "
+    "contiguously 0..count-1 (min = 0, max = count-1, distinct = "
+    "count), per-file counts sum back to the table count, every "
+    "file_name ends in .parquet, every file_size is positive. The "
+    "oracle pins the row count and all certificates true — it "
+    "cannot see Spark's metadata struct, but the certificates are "
+    "engine-verifiable facts about ANY correct parquet scan, which "
+    "is exactly what makes them safe to hash. Metadata columns are "
+    "populated by the scan itself (constant per split), so the plan "
+    "is one FileScan + one partial/final aggregate — no extra pass.",
+    tags=("scan", "spark4", "lineitem"),
+)
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_file = li.groupBy(F.col("_metadata.file_path").alias("fp")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("_metadata.row_index").alias("mn"),
+        F.max("_metadata.row_index").alias("mx"),
+        F.countDistinct("_metadata.row_index").alias("nd"),
+        F.min("_metadata.file_name").alias("fname"),
+        F.min("_metadata.file_size").alias("fsize"),
+    )
+    return per_file.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.every(
+            (F.col("mn") == 0)
+            & (F.col("mx") == F.col("cnt") - 1)
+            & (F.col("nd") == F.col("cnt"))
+        ).alias("all_files_contiguous"),
+        (F.sum(F.col("mx") + 1) == F.sum("cnt")).alias(
+            "row_index_total_check"
+        ),
+        F.every(F.col("fname").endswith(".parquet")).alias(
+            "file_names_parquet"
+        ),
+        F.every(F.col("fsize") > 0).alias("file_sizes_positive"),
+    )

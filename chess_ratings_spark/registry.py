@@ -55,9 +55,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     # --- round-8 new / plan-or-oracle-changed (need fresh driver rows) ---
     "lake_changes_between",
     "agg_distribution_shape",
-    "lake_partition_evolution",
-    "lake_delete_mor",
-    "stream_sink_tablelog",
+    "lake_merge_cdf",
+    "agg_hll_setops",
+    "scan_metadata_columns",
     # --- the 45 r1/r2-evidence names: rotation debt cleared this round ---
     "agg_distinct",
     "agg_hash_group",
@@ -104,7 +104,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_ntile_rank",
     "win_rank_topk",
     "win_running",
-    # --- 50+: previously-fronted names, evidence r4-r7, all current-green ---
+    # --- 50+: previously-fronted names, evidence r4-r7, all current-green
+    #     (the three TableLog-reworked queries lead: outputs unchanged and
+    #     locally re-verified, their r7 driver rows remain accurate) ---
+    "lake_partition_evolution",
+    "lake_delete_mor",
+    "stream_sink_tablelog",
     "lake_time_travel",
     "lake_optimize_commit",
     "stream_stateful_tws",

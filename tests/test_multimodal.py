@@ -127,9 +127,9 @@ def test_driver_order_contract():
     rewritten_r8 = {
         "lake_changes_between",  # new: CDF incremental read
         "agg_distribution_shape",  # rewritten: e6 integer grid from exact power sums
-        "lake_partition_evolution",  # floor bucketing + single-write stats manifest
-        "lake_delete_mor",  # delete vectors ride the commit payload
-        "stream_sink_tablelog",  # sink commits via rebase callback
+        "lake_merge_cdf",  # new: CDF-driven replica sync
+        "agg_hll_setops",  # new: HLL union/intersection set algebra
+        "scan_metadata_columns",  # new: hidden _metadata scan columns
     }
     wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r8]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"

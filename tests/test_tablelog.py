@@ -239,3 +239,25 @@ def test_changes_between_skips_optimize_churn(base, spark):
     assert counts == {(1, "insert"): 10, (2, "delete"): 10, (4, "insert"): 10}
     deleted = {r.k for r in ch.filter(F.col("_change_type") == "delete").collect()}
     assert all(k % 2 == 0 for k in deleted) and len(deleted) == 10
+
+
+def test_optimize_materializes_delete_vectors(base, spark):
+    """OPTIMIZE over a snapshot carrying delete vectors must compact
+    only the LIVE rows (merge-on-read applied during the rewrite) and
+    consume the sidecar — not resurrect deleted rows by copying raw
+    files, and not carry a stale delete_vectors reference forward."""
+    log = TableLog(base)
+    log.append(_tiny(spark, n=20, tag=1), n_files=2, tag="a")
+    dv = str(Path(base) / "dv")
+    log.snapshot(spark).filter(F.col("k") % 4 == 0).select("k").write.mode(
+        "overwrite"
+    ).parquet(dv)
+    log.commit(
+        log.read_manifest()["files"], op="delete-mor",
+        extra={"delete_vectors": [dv]},
+    )
+    v = log.optimize(spark, target_rows_per_file=1_000)
+    m = log.read_manifest(v)
+    assert "delete_vectors" not in m
+    got = {r.k for r in log.snapshot(spark, v).collect()}
+    assert got == {k for k in range(1000, 1020) if k % 4 != 0}
