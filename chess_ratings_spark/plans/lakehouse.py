@@ -1261,3 +1261,110 @@ def lake_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_clone_shallow",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    base AS (SELECT * FROM ev WHERE user_id % 3 <> 2),
+    cd AS (SELECT * FROM ev WHERE user_id % 3 = 2 AND event_id % 2 = 0),
+    sd AS (SELECT * FROM ev WHERE user_id % 3 = 2 AND event_id % 2 = 1)
+    SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_base,
+           CAST((SELECT count(*) FROM base) + (SELECT count(*) FROM cd)
+                AS BIGINT) AS n_clone,
+           CAST((SELECT count(*) FROM base) + (SELECT count(*) FROM sd)
+                AS BIGINT) AS n_source,
+           CAST((SELECT sum(vc) FROM base) + (SELECT sum(vc) FROM cd)
+                AS BIGINT) AS vc_clone,
+           CAST((SELECT sum(vc) FROM base) + (SELECT sum(vc) FROM sd)
+                AS BIGINT) AS vc_source,
+           CAST(8 AS INT) AS shared_files,
+           CAST(2 AS INT) AS clone_own_files,
+           true AS clone_broken_by_source_vacuum
+    """,
+    doc="SHALLOW CLONE (Delta CLONE / Iceberg snapshot ref): a new "
+    "table whose v0 manifest REFERENCES the source's data files — "
+    "zero bytes copied, an O(manifest) metadata commit, which is how "
+    "a 100 TB table gets a dev/test fork in seconds. Both tables "
+    "then diverge independently (clone appends the even half of the "
+    "third-third of events, source the odd half); each side's count "
+    "and fixed-point checksum is oracle-replayed, and the zero-copy "
+    "claim is pinned structurally: the clone's v0 manifest lists "
+    "exactly the source's 8 files (shared_files) while its own data "
+    "dir holds only its 2 delta files (clone_own_files). The query "
+    "also demonstrates the documented HAZARD that makes shallow "
+    "clones operationally sharp: after the source OPTIMIZEs and "
+    "VACUUMs, the shared base files are physically gone and the "
+    "clone's snapshot fails at scan (clone_broken_by_source_vacuum "
+    "— Delta's 'vacuum on the source breaks shallow clones' "
+    "caveat, made executable). Production formats solve this with "
+    "cross-table reference counting; the failure is the lesson.",
+    tags=("lakehouse", "time-travel", "maintenance", "events"),
+)
+def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    root = tempfile.mkdtemp(prefix="crs_clone_")
+    try:
+        src = TableLog(Path(root) / "src")
+        src.append(ev.filter(F.col("user_id") % 3 == 0), n_files=4, tag="a")
+        src.append(ev.filter(F.col("user_id") % 3 == 1), n_files=4, tag="b")
+        n_base = src.snapshot(spark).count()
+        base_files = list(src.read_manifest()["files"])
+
+        # SHALLOW CLONE: the clone's v0 manifest points at the source's
+        # files — a pure metadata commit, zero data copied
+        clone = TableLog(Path(root) / "clone")
+        clone.commit(base_files, op="clone")
+        shared = len(
+            set(clone.read_manifest(0)["files"]) & set(base_files)
+        )
+
+        third = ev.filter(F.col("user_id") % 3 == 2)
+        clone.append(third.filter(F.col("event_id") % 2 == 0), 2, "cd")
+        src.append(third.filter(F.col("event_id") % 2 == 1), 2, "sd")
+        own = len(list(clone.data_dir.glob("*.parquet")))
+
+        c = clone.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+        ).collect()[0]
+        s = src.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+        ).collect()[0]
+
+        # the hazard: source maintenance physically removes the shared
+        # base files; the clone's manifest now points into the void
+        src.optimize(spark, target_rows_per_file=200_000)
+        src.vacuum(retain_versions=1)
+        try:
+            clone.snapshot(spark).count()
+            broken = False
+        except Exception:
+            broken = True
+
+        return tables.local_row(
+            spark,
+            ("n_base", int(n_base), "bigint"),
+            ("n_clone", int(c["n"]), "bigint"),
+            ("n_source", int(s["n"]), "bigint"),
+            ("vc_clone", int(c["vc"]), "bigint"),
+            ("vc_source", int(s["vc"]), "bigint"),
+            ("shared_files", int(shared), "int"),
+            ("clone_own_files", int(own), "int"),
+            ("clone_broken_by_source_vacuum", bool(broken), "boolean"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -104,7 +104,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_ntile_rank",
     "win_rank_topk",
     "win_running",
-    # --- 50+: previously-fronted names, evidence r4-r7, all current-green
+    # --- 50+: the window is exactly full (5 new/changed + the 45-name
+    #     rotation-debt clearance), so the round's 6th new query sits
+    #     first in line for round 9; it is locally sim-verified ---
+    "lake_clone_shallow",
+    # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---
     "lake_partition_evolution",
