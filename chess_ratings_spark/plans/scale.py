@@ -409,3 +409,106 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "join_aqe_skew",
+    oracle="""
+    WITH a AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    w AS (
+      SELECT t.event_type, v.w
+      FROM (VALUES ('click'), ('view'), ('purchase'), ('signup'),
+                   ('error')) t(event_type),
+           (VALUES (0), (1), (2), (3), (4), (5), (6)) v(w)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.vc * w.w) AS BIGINT) AS weighted,
+           true AS skew_split_applied,
+           true AS proof_available
+    FROM a JOIN w USING (event_type)
+    """,
+    doc="ENGINE-automatic skew mitigation (AQE OptimizeSkewedJoin) — "
+    "the runtime complement to join_skew_salted's manual salting: "
+    "the same 5-value hot key, forced down the sort-merge path "
+    "(merge hint + broadcast threshold off), with the skew detector "
+    "tuned to demo scale (factor 1.0 / 2 KB threshold; production "
+    "defaults are 5x median / 256 MB) and "
+    "forceOptimizeSkewedJoin=true because the demo aggregates right "
+    "after the join (the rule otherwise declines to split a "
+    "distribution a downstream operator requires). AQE then splits "
+    "each oversized reduce partition into MAPPER RANGES and "
+    "replicates the matching dim partition — which is why the fact "
+    "side is repartitioned to 16 upstream tasks first: a "
+    "single-mapper input (one parquet file at test scale) is "
+    "UNSPLITTABLE, the subtle precondition this query exists to "
+    "record. The executed plan must carry an 'AQEShuffleRead "
+    "skewed' node (skew_split_applied, via the degradable plan-proof "
+    "helper); counts and the integer checksum are replayed by the "
+    "oracle — the split must not change results. Session confs are "
+    "saved and restored.",
+    tags=("join", "scale", "events"),
+)
+def join_aqe_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k in tuned:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        a = ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+        ).repartition(16)
+        w = tables.local_table(
+            spark,
+            [
+                (t, i)
+                for t in ("click", "view", "purchase", "signup", "error")
+                for i in range(7)
+            ],
+            [("event_type", "string"), ("w", "bigint")],
+        )
+        out = (
+            a.hint("merge")
+            .join(w.hint("merge"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("vc") * F.col("w")).cast("bigint").alias("weighted"),
+            )
+        )
+        r = out.collect()[0]  # bounded: 1 row; also finalizes the AQE plan
+        plan = _with_query_execution(out, lambda qe: qe.executedPlan().toString())
+        proof = plan is not None
+        applied = proof and "AQEShuffleRead skewed" in plan
+        return tables.local_row(
+            spark,
+            ("n", int(r["n"]), "bigint"),
+            ("weighted", int(r["weighted"]), "bigint"),
+            ("skew_split_applied", bool(applied), "boolean"),
+            ("proof_available", bool(proof), "boolean"),
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)

@@ -108,6 +108,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     #     rotation-debt clearance), so the round's 6th new query sits
     #     first in line for round 9; it is locally sim-verified ---
     "lake_clone_shallow",
+    "join_aqe_skew",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---
