@@ -42,6 +42,11 @@ SLICE = [
     "dedup_incremental_digest",
     "join_fuzzy_editdistance",
     "ml_linear_trend_exact",
+    # round 8: exact-power-sum moments and the CDF/AQE paths must be
+    # layout-independent by construction
+    "agg_distribution_shape",
+    "lake_changes_between",
+    "join_aqe_skew",
 ]
 
 
