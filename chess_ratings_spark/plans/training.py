@@ -946,3 +946,126 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionByName(s)
     return out.orderBy("step")
+
+
+@register(
+    "ml_gd_classifier",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) % 256 AS x,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    g1 AS (
+      SELECT CAST(sum(x * (h - y * 1048576)) AS BIGINT) AS gw,
+             CAST(sum(h - y * 1048576) AS BIGINT) AS gb,
+             CAST(sum((h - y * 1048576) * (h - y * 1048576)) AS BIGINT)
+               AS loss,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT x, y,
+                   (least(greatest(x * 0 + 0, -2097152), 2097152)
+                    + 2097152) // 4 AS h
+            FROM f)
+    ),
+    p1 AS (SELECT 0 - gw // (n * 65536) AS w,
+                  0 - gb // (n * 256) AS b, loss FROM g1),
+    g2 AS (
+      SELECT CAST(sum(x * (h - y * 1048576)) AS BIGINT) AS gw,
+             CAST(sum(h - y * 1048576) AS BIGINT) AS gb,
+             CAST(sum((h - y * 1048576) * (h - y * 1048576)) AS BIGINT)
+               AS loss,
+             CAST(count(*) AS BIGINT) AS n,
+             max(w) AS w, max(b) AS b
+      FROM (SELECT f.x, f.y, p1.w, p1.b,
+                   (least(greatest(f.x * p1.w + p1.b, -2097152), 2097152)
+                    + 2097152) // 4 AS h
+            FROM f, p1)
+    ),
+    p2 AS (SELECT w - gw // (n * 65536) AS w,
+                  b - gb // (n * 256) AS b, loss FROM g2),
+    g3 AS (
+      SELECT CAST(sum(x * (h - y * 1048576)) AS BIGINT) AS gw,
+             CAST(sum(h - y * 1048576) AS BIGINT) AS gb,
+             CAST(sum((h - y * 1048576) * (h - y * 1048576)) AS BIGINT)
+               AS loss,
+             CAST(count(*) AS BIGINT) AS n,
+             max(w) AS w, max(b) AS b
+      FROM (SELECT f.x, f.y, p2.w, p2.b,
+                   (least(greatest(f.x * p2.w + p2.b, -2097152), 2097152)
+                    + 2097152) // 4 AS h
+            FROM f, p2)
+    ),
+    p3 AS (SELECT w - gw // (n * 65536) AS w,
+                  b - gb // (n * 256) AS b, loss FROM g3)
+    SELECT 1 AS step, CAST(w AS BIGINT) AS w, CAST(b AS BIGINT) AS b,
+           loss FROM p1
+    UNION ALL SELECT 2, CAST(w AS BIGINT), CAST(b AS BIGINT), loss FROM p2
+    UNION ALL SELECT 3, CAST(w AS BIGINT), CAST(b AS BIGINT), loss FROM p3
+    ORDER BY step
+    """,
+    doc="Distributed iterative model training as DataFrame jobs: 3 "
+    "full-batch gradient-descent steps on a hard-sigmoid classifier "
+    "(h = clamp(z/4 + 1/2, 0, 1), purchase/signup as the positive "
+    "class), ENTIRELY in exact integer fixed point (scale 2^20, "
+    "truncating `div` for the learning-rate steps, clamp before "
+    "shift keeps every intermediate in [0, 4S]) — no libm anywhere, "
+    "so both engines replay bit-identical parameter trajectories "
+    "and the driver hash pins all three (w, b, pre-update loss) "
+    "rows. The hard sigmoid is the piecewise-RATIONAL surrogate "
+    "that makes a nonlinear-classifier GD exactly oracle-able "
+    "where exp/sigmoid floor-grids would gamble on 1.8M boundary "
+    "draws per run. Unlike the closed-form ml_linear_trend_exact, "
+    "the clamp makes each gradient data-dependent on the current "
+    "parameters, so every step is a genuine distributed pass: "
+    "parameters ride as a broadcast 1-row frame (BPE's in-plan "
+    "scalar pattern), each iteration is one crossJoin + "
+    "partial/final aggregate over events, and localCheckpoint "
+    "truncates lineage between steps — no driver-side data, loss "
+    "strictly decreasing (asserted in pytest). At 100 TB this is "
+    "the shape of any sufficient-statistics-free training loop: "
+    "per-step cost = one scan + one combinable aggregate.",
+    tags=("ml", "iterative", "events"),
+)
+def ml_gd_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S = 1 << 20
+    LRW = 1 << 16
+    LRB = 1 << 8
+    ev = tables.load(spark, sf_dir, "events")
+    feats = ev.selectExpr(
+        "CAST(floor(value * 100) AS BIGINT) % 256 AS x",
+        "CAST(CASE WHEN event_type IN ('purchase', 'signup')"
+        " THEN 1 ELSE 0 END AS BIGINT) AS y",
+    )
+    params = tables.local_table(
+        spark, [(0, 0)], [("w", "bigint"), ("b", "bigint")]
+    )
+    steps = []
+    for step in (1, 2, 3):
+        j = feats.crossJoin(F.broadcast(params)).selectExpr(
+            "x",
+            "y",
+            "w",
+            "b",
+            f"(least(greatest(x * w + b, {-2 * S}), {2 * S}) + {2 * S})"
+            " div 4 AS h",
+        )
+        a = j.groupBy("w", "b").agg(
+            F.sum(F.expr(f"x * (h - y * {S})")).alias("gw"),
+            F.sum(F.expr(f"h - y * {S}")).alias("gb"),
+            F.sum(F.expr(f"(h - y * {S}) * (h - y * {S})")).alias("loss"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        new = a.selectExpr(
+            f"w - (gw div (n * {LRW})) AS w",
+            f"b - (gb div (n * {LRB})) AS b",
+            "loss",
+        ).localCheckpoint()
+        steps.append(
+            new.selectExpr(f"{step} AS step", "w", "b", "loss")
+        )
+        params = new.select("w", "b")
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("step")

@@ -109,6 +109,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     #     first in line for round 9; it is locally sim-verified ---
     "lake_clone_shallow",
     "join_aqe_skew",
+    "ml_gd_classifier",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

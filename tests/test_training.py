@@ -194,3 +194,14 @@ def test_countmin_never_underestimates(spark):
     for r in rows:
         assert r.overestimate_ok
         assert r.est_count >= r.true_count
+
+
+def test_gd_classifier_loss_decreases(spark):
+    """The exact fixed-point GD trajectory must actually learn: loss
+    strictly decreases across the three steps and the parameters move
+    (a saturated hard sigmoid or a zero learning step would flatline)."""
+    rows = REGISTRY["ml_gd_classifier"].fn(spark, SF_SMOKE).collect()
+    assert [r.step for r in rows] == [1, 2, 3]
+    losses = [r.loss for r in rows]
+    assert losses[0] > losses[1] > losses[2] > 0
+    assert (rows[0].w, rows[0].b) != (rows[2].w, rows[2].b)
