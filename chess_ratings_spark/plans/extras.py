@@ -701,3 +701,92 @@ def mm_video_scene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.every(F.col("min_energy") > 0).alias("energy_positive"),
         )
     )
+
+
+@register(
+    "sink_pyds_twophase",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS vc_sum,
+           CAST(4 AS INT) AS n_task_files,
+           true AS orphan_excluded,
+           true AS counts_consistent
+    FROM events
+    """,
+    doc="Python DataSource WRITER with two-phase commit "
+    "(sources/jsonl_sink.py, Spark 4 SPARK-45065) — the writer half "
+    "of the user-defined-source surface whose reader half is the "
+    "HTTP/zip/XML source: each of 4 write tasks streams its "
+    "partition to a part-file executor-side and returns a commit "
+    "message; the driver's commit() publishes the manifest with the "
+    "same exclusive-create CAS as operators/tablelog.py. The query "
+    "writes events through the sink, plants an ORPHAN part-file "
+    "(a crashed/speculated task's leftover), reads back ONLY the "
+    "manifest's files, and certifies: row count and fixed-point "
+    "checksum round-trip exactly (oracle recomputes from the "
+    "logical input), exactly 4 task files committed (one per "
+    "repartition), the orphan is invisible to manifest-resolved "
+    "reads while a naive directory glob sees it, and the per-file "
+    "counts in the commit messages sum to the table count.",
+    tags=("sink", "spark4", "events"),
+)
+def sink_pyds_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from chess_ratings_spark.sources.jsonl_sink import (
+        JsonlManifestSink,
+        read_manifest,
+    )
+
+    try:
+        spark.dataSource.register(JsonlManifestSink)
+    except Exception:
+        pass  # already registered in this session
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_pyds_")
+    out = str(Path(base) / "out")
+    try:
+        (
+            ev.repartition(4)
+            .write.format("crs_jsonl_sink")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+        # a crashed task's leftover: present in the dir, not the manifest
+        (Path(out) / "part-orphan.jsonl").write_text(
+            _json.dumps(
+                {"event_id": -1, "user_id": -1, "event_type": "x", "vc": 0}
+            )
+            + "\n"
+        )
+        m = read_manifest(out)
+        committed = [f["path"] for f in m["files"]]
+        schema = "event_id bigint, user_id bigint, event_type string, vc bigint"
+        back = spark.read.schema(schema).json(committed)
+        r = back.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+        ).collect()[0]
+        naive = spark.read.schema(schema).json(out + "/part-*.jsonl")
+        n_naive = naive.count()
+        return tables.local_row(
+            spark,
+            ("n_rows", int(r["n"]), "bigint"),
+            ("vc_sum", int(r["vc"]), "bigint"),
+            ("n_task_files", len(committed), "int"),
+            ("orphan_excluded", bool(n_naive == r["n"] + 1), "boolean"),
+            (
+                "counts_consistent",
+                bool(sum(f["n_rows"] for f in m["files"]) == r["n"]),
+                "boolean",
+            ),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

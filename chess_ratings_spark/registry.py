@@ -110,6 +110,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "lake_clone_shallow",
     "join_aqe_skew",
     "ml_gd_classifier",
+    "sink_pyds_twophase",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

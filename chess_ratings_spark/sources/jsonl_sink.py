@@ -1,0 +1,121 @@
+"""Python DataSource WRITER (Spark 4, SPARK-45065 user-defined data
+sources): a JSONL sink with a two-phase commit — the writer half of the
+API surface ``sources/http_xml.py`` covers for reads.
+
+Protocol (the same shape as every production sink, FileFormatWriter
+included):
+
+1. ``write(iterator)`` runs ONCE PER TASK on executors: each task
+   streams its partition to a uniquely-named ``part-*.jsonl`` file and
+   returns a :class:`WriterCommitMessage` naming the file and its row
+   count. Task files are invisible to readers until committed.
+2. The driver collects all commit messages and calls ``commit``: the
+   manifest (file list + counts) is published with an exclusive-create
+   open — the SAME atomic CAS primitive as ``operators/tablelog.py``,
+   so a reader resolves either the full committed set or nothing.
+   ``abort`` unlinks the orphaned task files instead.
+
+A crashed/speculated task therefore leaves at most an uncommitted
+``part-*`` file that manifest-resolved readers never see — exactly-once
+publish semantics from at-least-once task attempts. At 100 TB the data
+path is per-task streaming on executors; the driver handles only one
+small message per task.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+@dataclasses.dataclass
+class JsonlCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class JsonlManifestWriter(DataSourceWriter):
+    def __init__(self, path: str, columns: list[str]) -> None:
+        self.path = path
+        self.columns = columns
+
+    def write(self, iterator) -> JsonlCommit:
+        os.makedirs(self.path, exist_ok=True)
+        # task-temp + rename: a task that dies mid-write leaves only a
+        # ``.tmp-*`` file that neither the manifest nor readers ever
+        # reference (it produced no commit message for abort() to see);
+        # the rename publishes the task file atomically on task success
+        token = uuid.uuid4().hex
+        tmp = os.path.join(self.path, f".tmp-{token}")
+        fname = os.path.join(self.path, f"part-{token}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.columns, list(row)))))
+                fh.write("\n")
+                n += 1
+        os.replace(tmp, fname)
+        return JsonlCommit(path=fname, n_rows=n)
+
+    def commit(self, messages) -> None:
+        entries = sorted(
+            ({"path": m.path, "n_rows": m.n_rows} for m in messages if m is not None),
+            key=lambda e: e["path"],
+        )
+        payload = json.dumps(
+            {"files": entries, "n_tasks": len(entries)}, indent=0
+        )
+        with open(os.path.join(self.path, MANIFEST_NAME), "x") as fh:
+            fh.write(payload)
+
+    def abort(self, messages) -> None:
+        # Measured API fact (Spark 4.1 local): on job failure the Python
+        # runner delivers ``[None, ...]`` here — successful tasks'
+        # commit messages are NOT passed through, so per-message
+        # unlinking is a no-op. Scrub the directory instead: without a
+        # published manifest everything in it is uncommitted; if an
+        # earlier job already published one (``mode("append")`` into a
+        # used dir would have failed the exclusive-create anyway), its
+        # files are kept.
+        import glob
+
+        keep: set[str] = set()
+        mpath = os.path.join(self.path, MANIFEST_NAME)
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                keep = {f["path"] for f in json.load(fh)["files"]}
+        for pat in ("part-*.jsonl", ".tmp-*"):
+            for f in glob.glob(os.path.join(self.path, pat)):
+                if f not in keep:
+                    try:
+                        os.unlink(f)
+                    except OSError:
+                        pass
+
+
+class JsonlManifestSink(DataSource):
+    """``df.write.format("crs_jsonl_sink").option("path", dir).save()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "crs_jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlManifestWriter:
+        return JsonlManifestWriter(
+            self.options["path"], [f.name for f in schema.fields]
+        )
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        return json.load(fh)

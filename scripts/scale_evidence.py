@@ -451,6 +451,87 @@ def run_perplexity(spark, factor: int) -> dict:
     }
 
 
+def run_ivf(spark, factor: int) -> dict:
+    """ANN census for sim_ann_ivf under inflation: a FIXED query set
+    (copy-0 vec_id%100==0) searches the inflated corpus. The cyclic
+    component shifts keep each copy's internal geometry identical
+    while cross-copy cosines sit at background, so the true top-k for
+    a copy-0 query stays inside copy 0 and recall is comparable
+    across factors. Measured: candidate pairs scored (query probes
+    equi-joined to cell postings — the rows the exact cosine runs
+    on), candidates/n per query (the probe-fraction x replication
+    bound, ~0.46 on this structureless fixture at fixed
+    nprobe/n_cells/rep — constant, i.e. candidates linear in n; at
+    production scale n_cells grows ~sqrt(n) to shrink the fraction),
+    and recall@5 vs brute force over the same inflated corpus."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators import similarity
+    from chess_ratings_spark.operators.similarity import (
+        _cell_topn,
+        kmeans_cells,
+    )
+
+    e = inflate_embeddings(
+        tables.load(spark, SF_DIR, "embeddings").select(
+            "vec_id", "embedding", "label"
+        ),
+        factor,
+    )
+    queries = e.filter(
+        (F.col("vec_id") < 100_000_000) & (F.col("vec_id") % 100 == 0)
+    )
+    t0 = time.perf_counter()
+    n = e.count()
+    nq = queries.count()
+    seeds = kmeans_cells(e, n_cells=32, iters=3)
+    qc = _cell_topn(queries, seeds, "qid", 6)
+    cc = _cell_topn(e, seeds, "cid", 3)
+    n_candidates = qc.join(cc, "cell_id").filter(
+        F.col("qid") != F.col("cid")
+    ).count()
+    k = 5
+    b = similarity.brute_force_topk(queries, e, k=k).select(
+        "qid", "cid", F.lit(1).alias("ib")
+    )
+
+    def recall(nc, npb):
+        a = similarity.ivf_topk(
+            e, queries, k=k, nprobe=npb, n_cells=nc, rep=3
+        ).select("qid", "cid", F.lit(1).alias("ia"))
+        st = (
+            a.join(b, ["qid", "cid"], "full")
+            .agg(
+                F.count("ib").alias("n_exact"),
+                F.count(
+                    F.when(F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1)
+                ).alias("hits"),
+            )
+            .collect()[0]
+        )
+        return round(st["hits"] / st["n_exact"], 3)
+
+    r_fixed = recall(32, 6)
+    # production sizing: cells ~ sqrt(n) growth, probe FRACTION constant
+    nc_s = max(32, int(32 * factor ** 0.5))
+    np_s = max(6, round(nc_s * 6 / 32))
+    r_scaled = r_fixed if factor == 1 else recall(nc_s, np_s)
+    secs = round(time.perf_counter() - t0, 2)
+    return {
+        "op": "sim_ann_ivf",
+        "factor": factor,
+        "n_vectors": n,
+        "n_queries": nq,
+        "candidates": n_candidates,
+        "cand_per_query_over_n": round(n_candidates / (nq * n), 3),
+        "recall_fixed_params": r_fixed,
+        "scaled_cells_nprobe": [nc_s, np_s],
+        "recall_scaled_params": r_scaled,
+        "secs": secs,
+    }
+
+
 def run_tablelog(spark, factor: int) -> dict:
     """Lakehouse metadata growth census — the known table-format scale
     failure mode is the MANIFEST, not the data: at 100 TB a snapshot
@@ -573,7 +654,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_skew_salt):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_skew_salt, run_ivf):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()

@@ -152,3 +152,46 @@ def test_web_datasource_reads_multi_month_offline(spark):
         "rating:bigint,games:bigint,k:bigint,birthday:bigint,flag:string,"
         "period_year:int,period_month:int,game_format:string>"
     )
+
+
+def test_pyds_sink_abort_unlinks_and_commit_is_atomic(spark, tmp_path):
+    """The two-phase sink's failure path: a task exception after some
+    tasks wrote their part-files must trigger abort() — no manifest
+    appears and the written part-files are unlinked, so a
+    manifest-resolved reader sees NOTHING (all-or-nothing publish)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.sources.jsonl_sink import (
+        MANIFEST_NAME,
+        JsonlManifestSink,
+    )
+
+    try:
+        spark.dataSource.register(JsonlManifestSink)
+    except Exception:
+        pass
+    out = str(tmp_path / "sink")
+    poisoned = (
+        spark.range(100)
+        .repartition(4)
+        .select(
+            "id",
+            F.when(F.col("id") == 37, F.lit(None))
+            .otherwise(F.col("id"))
+            .alias("v"),
+        )
+        .selectExpr("id", "CAST(assert_true(v IS NOT NULL) AS STRING) AS chk", "v")
+    )
+    with _pytest.raises(Exception):
+        poisoned.write.format("crs_jsonl_sink").option("path", out).mode(
+            "append"
+        ).save()
+    assert not os.path.exists(os.path.join(out, MANIFEST_NAME))
+    leftover = [f for f in os.listdir(out)] if os.path.exists(out) else []
+    # successful tasks' files unlinked by abort(); the failed task left
+    # only a .tmp-* (never renamed), which abort() scrubbed too
+    assert [f for f in leftover if f.endswith(".jsonl")] == []
+    assert [f for f in leftover if f.startswith(".tmp-")] == []
