@@ -394,3 +394,135 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return stream_ops.progress_metrics_stream(spark, ev)
+
+
+@register(
+    "stream_cdf_source",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    feed AS (
+      SELECT 0 AS commit_version, 'insert' AS change_type, *
+      FROM ev WHERE user_id % 3 = 0
+      UNION ALL
+      SELECT 1, 'insert', * FROM ev WHERE user_id % 3 = 1
+      UNION ALL
+      SELECT 2, 'delete', * FROM ev
+      WHERE event_type = 'error' AND user_id % 3 <> 2
+      UNION ALL
+      SELECT 4, 'insert', * FROM ev WHERE user_id % 3 = 2
+    )
+    SELECT commit_version, change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vc) AS BIGINT) AS vc_sum
+    FROM feed GROUP BY commit_version, change_type
+    ORDER BY commit_version, change_type
+    """,
+    doc="Custom STREAMING source over the TableLog change feed "
+    "(sources/tablelog_stream.py, Spark 4 Python "
+    "DataSourceStreamReader) — Structured Streaming consuming a "
+    "manifest-log table incrementally, the Delta-streaming-source / "
+    "Iceberg-incremental-scan verb and the source half of "
+    "stream_sink_tablelog: commit versions ARE the stream offsets, "
+    "each micro-batch's partitions() diffs manifests driver-side "
+    "(metadata only) into one InputPartition per added file "
+    "(inserts) and per prior-file x new-delete-vector pair "
+    "(deletes), data_change=false OPTIMIZE commits contribute "
+    "NOTHING, and executors pyarrow-read exactly the changed bytes. "
+    "History replayed under the stream: v0/v1 append thirds of "
+    "events, v2 merge-on-read DELETE via sidecar, v3 OPTIMIZE, v4 "
+    "appends the last third; the availableNow run must emit v0's "
+    "initial snapshot as inserts (Delta's semantics), the deleted "
+    "ROWS at v2, nothing for v3, and v4's inserts — the per-(version,"
+    "type) census is the same oracle as lake_changes_between's "
+    "batch feed plus the v0 row, making the streaming source "
+    "value-equal to its batch twin. commit(end) persists a consumer "
+    "bookmark for restart.",
+    tags=("streaming", "lakehouse", "cdc", "events", "live"),
+)
+def stream_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+    from chess_ratings_spark.sources.tablelog_stream import TableLogCdfSource
+
+    try:
+        spark.dataSource.register(TableLogCdfSource)
+    except Exception:
+        pass
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_cdfstream_")
+    name = "cdf_" + uuid.uuid4().hex[:12]
+    try:
+        log = TableLog(base)
+        log.append(ev.filter(F.col("user_id") % 3 == 0), n_files=4, tag="m0")
+        log.append(ev.filter(F.col("user_id") % 3 == 1), n_files=4, tag="m1")
+        dv = str(Path(base) / "dv" / "v2")
+        (
+            ev.filter(
+                (F.col("event_type") == "error") & (F.col("user_id") % 3 != 2)
+            )
+            .select("event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dv)
+        )
+        log.commit(
+            log.read_manifest()["files"],
+            op="delete-mor",
+            extra={"delete_vectors": [dv]},
+        )
+        log.optimize(spark, target_rows_per_file=100_000)
+        log.append(ev.filter(F.col("user_id") % 3 == 2), n_files=4, tag="m2")
+
+        src = (
+            spark.readStream.format("crs_tablelog_cdf")
+            .option("path", base)
+            .option(
+                "schema",
+                "event_id bigint, user_id bigint,"
+                " event_type string, vc bigint",
+            )
+            .load()
+        )
+        agg = src.groupBy("_commit_version", "_change_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").cast("bigint").alias("vc_sum"),
+        )
+        with stream_ops._state_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        rows = (
+            spark.table(name)
+            .orderBy("_commit_version", "_change_type")
+            .collect()
+        )  # bounded: one row per (version, change type)
+        return tables.local_table(
+            spark,
+            [(int(r[0]), r[1], int(r[2]), int(r[3])) for r in rows],
+            [
+                ("commit_version", "int"),
+                ("change_type", "string"),
+                ("n", "bigint"),
+                ("vc_sum", "bigint"),
+            ],
+        ).orderBy("commit_version", "change_type")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

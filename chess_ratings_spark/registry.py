@@ -111,6 +111,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_aqe_skew",
     "ml_gd_classifier",
     "sink_pyds_twophase",
+    "stream_cdf_source",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---
