@@ -526,3 +526,169 @@ def stream_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("commit_version", "change_type")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "stream_replicate_tablelog",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    live AS (
+      SELECT * FROM ev
+      WHERE NOT (event_type = 'error' AND user_id % 3 <> 2)
+    )
+    SELECT CAST((SELECT count(*) FROM live) AS BIGINT) AS n_source_live,
+           CAST((SELECT count(*) FROM live) AS BIGINT) AS n_replica,
+           CAST((SELECT sum(vc) FROM live) AS BIGINT) AS vc_source,
+           CAST((SELECT sum(vc) FROM live) AS BIGINT) AS vc_replica,
+           CAST(2 AS INT) AS stream_rounds,
+           CAST((SELECT count(*) FROM ev
+                 WHERE event_type = 'error' AND user_id % 3 <> 2)
+                AS BIGINT) AS replicated_deletes,
+           true AS replica_matches_source
+    """,
+    doc="Lakehouse REPLICATION capstone: table A's change feed, read "
+    "through the custom streaming source (stream_cdf_source), drives "
+    "a foreachBatch consumer that maintains replica table B — "
+    "inserts land as B's own append commits, delete feeds become "
+    "B's OWN delete-vector commits (the replica replays the "
+    "merge-on-read mechanism, it does not just filter rows). Run as "
+    "two availableNow rounds over ONE checkpoint: round 1 streams "
+    "A's first two appends; A then merge-on-read-DELETEs its error "
+    "rows, OPTIMIZEs (which the feed must skip), and appends a "
+    "third; round 2 resumes from the checkpoint and applies exactly "
+    "the delta. Afterwards B's merge-on-read live state must equal "
+    "A's — count and fixed-point checksum, both recomputed by the "
+    "oracle from the logical input. This composes the round's whole "
+    "lakehouse surface end-to-end: custom stream source offsets -> "
+    "incremental partitions -> transactional replica commits -> MOR "
+    "read equality. All driver state is manifest metadata and "
+    "bounded per-batch scalars.",
+    tags=("streaming", "lakehouse", "cdc", "events", "live"),
+)
+def stream_replicate_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+    from chess_ratings_spark.sources.tablelog_stream import TableLogCdfSource
+
+    try:
+        spark.dataSource.register(TableLogCdfSource)
+    except Exception:
+        pass
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    root = tempfile.mkdtemp(prefix="crs_repl_")
+    try:
+        a = TableLog(Path(root) / "a")
+        b = TableLog(Path(root) / "b")
+        ckpt = str(Path(root) / "ckpt")
+        dv_counter = {"n": 0}
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            ins = batch_df.filter(
+                F.col("_change_type") == "insert"
+            ).select("event_id", "user_id", "event_type", "vc")
+            dels = batch_df.filter(
+                F.col("_change_type") == "delete"
+            ).select("event_id")
+            if ins.limit(1).count():
+                b.append(ins, n_files=4, tag=f"batch{batch_id}")
+            if dels.limit(1).count():
+                dv_counter["n"] += 1
+                dv = str(Path(root) / "b_dv" / f"d{dv_counter['n']}")
+                dels.coalesce(1).write.mode("overwrite").parquet(dv)
+                m = b.read_manifest()
+                b.commit(
+                    m["files"],
+                    op="delete-mor",
+                    extra={
+                        "delete_vectors": m.get("delete_vectors", []) + [dv]
+                    },
+                )
+
+        def drain_round() -> None:
+            src = (
+                spark.readStream.format("crs_tablelog_cdf")
+                .option("path", str(a.base))
+                .option(
+                    "schema",
+                    "event_id bigint, user_id bigint,"
+                    " event_type string, vc bigint",
+                )
+                .load()
+            )
+            q = (
+                src.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # round 1: A is two appends deep
+        a.append(ev.filter(F.col("user_id") % 3 == 0), n_files=4, tag="m0")
+        a.append(ev.filter(F.col("user_id") % 3 == 1), n_files=4, tag="m1")
+        drain_round()
+        # A moves on: MOR delete, OPTIMIZE (feed must skip), append
+        dv_a = str(Path(root) / "a_dv")
+        (
+            ev.filter(
+                (F.col("event_type") == "error") & (F.col("user_id") % 3 != 2)
+            )
+            .select("event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dv_a)
+        )
+        a.commit(
+            a.read_manifest()["files"],
+            op="delete-mor",
+            extra={"delete_vectors": [dv_a]},
+        )
+        a.optimize(spark, target_rows_per_file=100_000)
+        a.append(ev.filter(F.col("user_id") % 3 == 2), n_files=4, tag="m2")
+        drain_round()  # round 2: resumes from checkpoint, applies delta
+
+        def mor_live(log: TableLog):
+            m = log.read_manifest()
+            df = spark.read.parquet(*m["files"])
+            for dv in m.get("delete_vectors", []):
+                df = df.join(
+                    F.broadcast(spark.read.parquet(dv)),
+                    "event_id",
+                    "left_anti",
+                )
+            return df.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+            ).collect()[0]
+
+        sa, sb = mor_live(a), mor_live(b)
+        n_dels = spark.read.parquet(
+            str(Path(root) / "b_dv" / "d1")
+        ).count()
+        return tables.local_row(
+            spark,
+            ("n_source_live", int(sa["n"]), "bigint"),
+            ("n_replica", int(sb["n"]), "bigint"),
+            ("vc_source", int(sa["vc"]), "bigint"),
+            ("vc_replica", int(sb["vc"]), "bigint"),
+            ("stream_rounds", 2, "int"),
+            ("replicated_deletes", int(n_dels), "bigint"),
+            (
+                "replica_matches_source",
+                bool(sa["n"] == sb["n"] and sa["vc"] == sb["vc"]),
+                "boolean",
+            ),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

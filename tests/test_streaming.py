@@ -154,3 +154,19 @@ def test_cdf_stream_resumes_from_checkpoint(spark, tmp_path):
     log.append(t.select((F.col("k") + 100).alias("k")), n_files=1, tag="b")
     # restart from the same checkpoint: the sink gains ONLY v1's rows
     assert drain(uuid.uuid4()) == {(0, "insert"): 20, (1, "insert"): 20}
+
+
+def test_replicate_tablelog_replica_equals_source(spark):
+    """The replication capstone's own verdict columns: after two
+    availableNow rounds over one checkpoint — with a MOR delete and
+    an OPTIMIZE happening in A between them — replica B's live state
+    equals A's (count + fixed-point checksum), and the deletes arrived
+    as B's own delete-vector commit, not as filtered-out rows."""
+    from chess_ratings_spark.plans.streaming import stream_replicate_tablelog
+
+    row = stream_replicate_tablelog(spark, SF_SMOKE).collect()[0]
+    assert row["replica_matches_source"] is True
+    assert row["n_source_live"] == row["n_replica"]
+    assert row["vc_source"] == row["vc_replica"]
+    assert row["stream_rounds"] == 2
+    assert row["replicated_deletes"] > 0
