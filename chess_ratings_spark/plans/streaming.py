@@ -692,3 +692,177 @@ def stream_replicate_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_ivm_groupby",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    live AS (
+      SELECT * FROM ev
+      WHERE NOT (event_type = 'error' AND user_id % 3 <> 2)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vc) AS BIGINT) AS vc,
+           true AS matches_direct
+    FROM live GROUP BY event_type
+    """,
+    doc="Incremental view maintenance (IVM) over the change data feed: "
+    "a per-event_type (count, fixed-point sum) materialized view is "
+    "maintained by APPLYING SIGNED DELTAS from the CDF stream — "
+    "inserts contribute +1/+vc, delete feeds -1/-vc — never by "
+    "recomputing the aggregate from the base table (the whole point "
+    "at 100 TB: the view update cost scales with the CHANGE volume, "
+    "not the table volume). Each foreachBatch computes the batch's "
+    "grouped delta executor-side (one keyed shuffle over the batch) "
+    "and full-outer-merges it into the view, which is itself a "
+    "TableLog table committed per batch — the view has its own "
+    "transactional history. Two availableNow rounds over one "
+    "checkpoint; between them the source merge-on-read-DELETEs its "
+    "error rows, OPTIMIZEs (zero feed rows), and appends — so the "
+    "second delta mixes negative and positive contributions. "
+    "Afterwards the view must equal a direct groupBy over the "
+    "source's live MOR state, group by group (matches_direct), and "
+    "the oracle recomputes that truth from the logical input. "
+    "Driver state: manifest metadata only; the view itself stays a "
+    "distributed frame (group cardinality = |event_type|).",
+    tags=("streaming", "lakehouse", "cdc", "ivm", "events", "live"),
+)
+def stream_ivm_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+    from chess_ratings_spark.sources.tablelog_stream import TableLogCdfSource
+
+    try:
+        spark.dataSource.register(TableLogCdfSource)
+    except Exception:
+        pass
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    root = tempfile.mkdtemp(prefix="crs_ivm_")
+    try:
+        a = TableLog(Path(root) / "a")
+        view = TableLog(Path(root) / "view")
+        ckpt = str(Path(root) / "ckpt")
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            delta = (
+                batch_df.withColumn(
+                    "sgn",
+                    F.when(
+                        F.col("_change_type") == "insert", F.lit(1)
+                    ).otherwise(F.lit(-1)),
+                )
+                .groupBy("event_type")
+                .agg(
+                    F.sum("sgn").alias("dn"),
+                    F.sum(F.col("sgn") * F.col("vc")).alias("dvc"),
+                )
+            )
+            cur = (
+                view.snapshot(spark)
+                if view.latest_version() is not None
+                else spark.createDataFrame(
+                    [], "event_type string, n bigint, vc bigint"
+                )
+            )
+            merged = (
+                cur.join(delta, "event_type", "full_outer")
+                .select(
+                    "event_type",
+                    (
+                        F.coalesce(F.col("n"), F.lit(0))
+                        + F.coalesce(F.col("dn"), F.lit(0))
+                    ).alias("n"),
+                    (
+                        F.coalesce(F.col("vc"), F.lit(0))
+                        + F.coalesce(F.col("dvc"), F.lit(0))
+                    ).alias("vc"),
+                )
+                .filter(F.col("n") > 0)
+            )
+            view.append(merged, n_files=1, tag=f"b{batch_id}")
+            # the view table is REPLACED each batch: keep only the
+            # newest landed file in the committed manifest
+            m = view.read_manifest()
+            view.commit(m["files"][-1:], op="replace-view")
+
+        def drain_round() -> None:
+            src = (
+                spark.readStream.format("crs_tablelog_cdf")
+                .option("path", str(a.base))
+                .option(
+                    "schema",
+                    "event_id bigint, user_id bigint,"
+                    " event_type string, vc bigint",
+                )
+                .load()
+            )
+            q = (
+                src.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        a.append(ev.filter(F.col("user_id") % 3 == 0), n_files=4, tag="m0")
+        a.append(ev.filter(F.col("user_id") % 3 == 1), n_files=4, tag="m1")
+        drain_round()
+        dv_a = str(Path(root) / "a_dv")
+        (
+            ev.filter(
+                (F.col("event_type") == "error") & (F.col("user_id") % 3 != 2)
+            )
+            .select("event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dv_a)
+        )
+        a.commit(
+            a.read_manifest()["files"],
+            op="delete-mor",
+            extra={"delete_vectors": [dv_a]},
+        )
+        a.optimize(spark, target_rows_per_file=100_000)
+        a.append(ev.filter(F.col("user_id") % 3 == 2), n_files=4, tag="m2")
+        drain_round()
+
+        m = a.read_manifest()
+        src = spark.read.parquet(*m["files"])
+        for dv in m.get("delete_vectors", []):
+            src = src.join(
+                F.broadcast(spark.read.parquet(dv)), "event_id", "left_anti"
+            )
+        direct = src.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_d"), F.sum("vc").alias("vc_d")
+        )
+        out = (
+            view.snapshot(spark)
+            .join(direct, "event_type", "full_outer")
+            .select(
+                "event_type",
+                F.col("n").cast("bigint").alias("n"),
+                F.col("vc").cast("bigint").alias("vc"),
+                (
+                    (F.col("n") == F.col("n_d"))
+                    & (F.col("vc") == F.col("vc_d"))
+                ).alias("matches_direct"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before tmpdir cleanup
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -170,3 +170,20 @@ def test_replicate_tablelog_replica_equals_source(spark):
     assert row["vc_source"] == row["vc_replica"]
     assert row["stream_rounds"] == 2
     assert row["replicated_deletes"] > 0
+
+
+def test_ivm_view_matches_direct_aggregate(spark):
+    """IVM invariant: after two CDF rounds (the second mixing delete
+    and insert deltas), the signed-delta-maintained view equals the
+    direct groupBy over the source's live MOR state, per group — and
+    the deletes really subtracted (the error group kept only its
+    undeleted third)."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.plans.streaming import stream_ivm_groupby
+
+    rows = {r["event_type"]: r for r in stream_ivm_groupby(spark, SF_SMOKE).collect()}
+    assert all(r["matches_direct"] for r in rows.values())
+    ev = tables.load(spark, SF_SMOKE, "events")
+    full_error = ev.filter(F.col("event_type") == "error").count()
+    assert 0 < rows["error"]["n"] < full_error
