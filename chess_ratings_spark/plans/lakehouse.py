@@ -1368,3 +1368,234 @@ def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "lake_bloom_prune",
+    oracle="""
+    WITH c AS (
+      SELECT count(*) AS cnt, max(user_id) AS mxu,
+             min(event_id) AS mne, max(event_id) AS mxe,
+             min(CASE WHEN event_type = 'error' THEN event_id END) AS mnerr
+      FROM events
+    ),
+    p AS (SELECT 2 * cnt AS m, ((mxu + 1) + 7) // 8 AS w FROM c),
+    j AS (SELECT 0 AS j UNION ALL SELECT 1),
+    bits AS (
+      SELECT DISTINCT e.user_id // p.w AS b,
+             CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' || j.j), 1, 8))::UBIGINT
+                  % p.m AS BIGINT) AS pos
+      FROM events e, p, j
+    ),
+    probes AS (
+      SELECT 'absent_far' AS probe, mxe + 12345 AS key FROM c
+      UNION ALL SELECT 'absent_near', mxe + 1 FROM c
+      UNION ALL SELECT 'present_err', mnerr FROM c
+      UNION ALL SELECT 'present_max', mxe FROM c
+      UNION ALL SELECT 'present_min', mne FROM c
+    ),
+    ppos AS (
+      SELECT pr.probe, pr.key, j.j,
+             CAST(('0x' || substr(md5(CAST(pr.key AS VARCHAR) || ':' || j.j), 1, 8))::UBIGINT
+                  % p.m AS BIGINT) AS pos
+      FROM probes pr, p, j
+    ),
+    hits AS (
+      SELECT probe, key, b
+      FROM ppos JOIN bits USING (pos)
+      GROUP BY probe, key, b
+      HAVING count(DISTINCT j) = 2
+    )
+    SELECT pr.probe, CAST(pr.key AS BIGINT) AS key,
+           CAST(8 AS INT) AS n_files_total,
+           CAST((SELECT count(*) FROM hits h WHERE h.probe = pr.probe)
+                AS INT) AS n_files_hit,
+           (SELECT CAST(count(*) AS BIGINT) FROM events e
+            WHERE e.event_id = pr.key) AS n_rows_found,
+           true AS no_false_negative
+    FROM probes pr
+    """,
+    doc="Bloom-filter file skipping — the data-skipping lever min/max "
+    "stats CANNOT provide: files are bucketed by user_id, so every "
+    "file's event_id range spans the whole table and stats pruning "
+    "keeps all 8 files for any event_id point lookup; a per-file "
+    "Bloom sidecar (m = 2·|rows| bits, k = 2 md5-derived hash "
+    "positions — Parquet's bloom_filter / Iceberg's puffin shape) "
+    "skips every file whose filter provably excludes the key. The "
+    "sidecar is BUILT executor-side (one distinct over (bucket, "
+    "position)), stored as parquet referenced from the manifest, and "
+    "CONSULTED in-plan (position join + per-bucket k-match), with "
+    "only the bounded (probe × bucket) hit list reaching the driver "
+    "to choose files. Probes: three present keys (min / max / first "
+    "error event) and two absent keys INSIDE every file's [min,max] "
+    "envelope — the CDC-merge fast path where new keys should touch "
+    "zero files. The oracle replays the exact bit math "
+    "(md5-substring hashing is bit-equal across engines), so "
+    "n_files_hit — including any false positive — is deterministic, "
+    "and no_false_negative pins the pruned read returning every "
+    "matching row. At 100 TB this is the difference between probing "
+    "8 files and 0-1 files per upsert key.",
+    tags=("lakehouse", "scan", "bloom", "events"),
+)
+def lake_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    # bounded scalars: table-level extrema that parameterize the bloom
+    # geometry and the probe grid (one 1-row aggregate)
+    c = ev.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("user_id").alias("mxu"),
+        F.min("event_id").alias("mne"),
+        F.max("event_id").alias("mxe"),
+        F.min(F.when(F.col("event_type") == "error", F.col("event_id"))).alias(
+            "mnerr"
+        ),
+    ).collect()[0]
+    cnt, mxu = int(c["cnt"]), int(c["mxu"])
+    mne, mxe, mnerr = int(c["mne"]), int(c["mxe"]), int(c["mnerr"])
+    m_bits = 2 * cnt
+    width = ((mxu + 1) + 7) // 8
+
+    def positions(key_col, j_col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            key_col.cast("string"), F.lit(":"), j_col.cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(m_bits),
+        )
+
+    base = tempfile.mkdtemp(prefix="crs_bloom_")
+    try:
+        log = TableLog(Path(base) / "t")
+        log.append_range_bucketed(ev, "user_id", width=width, tag="ev")
+
+        # build the sidecar executor-side: distinct (bucket, bit) pairs
+        jj = F.explode(F.array(F.lit(0), F.lit(1))).alias("j")
+        sidecar_dir = str(Path(base) / "bloom")
+        (
+            ev.select(
+                F.floor(F.col("user_id") / width).cast("int").alias("b"),
+                "event_id",
+            )
+            .select("b", "event_id", jj)
+            .select("b", positions(F.col("event_id"), F.col("j")).alias("pos"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(sidecar_dir)
+        )
+
+        def attach(prev):
+            return prev["files"], {
+                "file_stats": prev.get("file_stats", []),
+                "bloom": {
+                    "col": "event_id",
+                    "m": m_bits,
+                    "k": 2,
+                    "path": sidecar_dir,
+                },
+            }
+
+        log.commit(build=attach, op="bloom-sidecar")
+
+        probes = tables.local_table(
+            spark,
+            [
+                ("absent_far", mxe + 12345),
+                ("absent_near", mxe + 1),
+                ("present_err", mnerr),
+                ("present_max", mxe),
+                ("present_min", mne),
+            ],
+            [("probe", "string"), ("key", "bigint")],
+        )
+        bloom = spark.read.parquet(sidecar_dir)
+        ppos = probes.select(
+            "probe", "key", F.explode(F.array(F.lit(0), F.lit(1))).alias("j")
+        ).select("probe", "key", "j", positions(F.col("key"), F.col("j")).alias("pos"))
+        hits = (
+            ppos.join(bloom, "pos")
+            .groupBy("probe", "key", "b")
+            .agg(F.countDistinct("j").alias("nj"))
+            .filter(F.col("nj") == 2)
+            .select("probe", "key", "b")
+        )
+        # bounded metadata to the driver: <= |probes| x |files| hit pairs
+        hit_rows = hits.collect()
+        hit_buckets = sorted({int(r["b"]) for r in hit_rows})
+        n_hit = {}
+        for r in hit_rows:
+            n_hit[r["probe"]] = n_hit.get(r["probe"], 0) + 1
+
+        m = log.read_manifest()
+        by_bucket = {}
+        for e in m.get("file_stats", []):
+            lo = e["stats"]["user_id"][0]
+            by_bucket[lo // width] = e["path"]
+        keep = [by_bucket[b] for b in hit_buckets if b in by_bucket]
+        if keep:
+            scanned = (
+                spark.read.parquet(*keep)
+                .withColumn("b", F.floor(F.col("user_id") / width).cast("int"))
+                .join(F.broadcast(hits), ["b"])
+                .filter(F.col("event_id") == F.col("key"))
+                .groupBy("probe")
+                .agg(F.count(F.lit(1)).alias("nf"))
+            )
+            found = {r["probe"]: int(r["nf"]) for r in scanned.collect()}
+        else:
+            found = {}
+        truth = {
+            r["probe"]: int(r["nt"])
+            for r in probes.join(ev, probes["key"] == ev["event_id"], "left")
+            .groupBy("probe")
+            .agg(F.count("event_id").alias("nt"))
+            .collect()
+        }
+        out_rows = [
+            (
+                p,
+                k,
+                8,
+                n_hit.get(p, 0),
+                found.get(p, 0),
+                bool(found.get(p, 0) == truth.get(p, 0)),
+            )
+            for (p, k) in [
+                ("absent_far", mxe + 12345),
+                ("absent_near", mxe + 1),
+                ("present_err", mnerr),
+                ("present_max", mxe),
+                ("present_min", mne),
+            ]
+        ]
+        return tables.local_table(
+            spark,
+            out_rows,
+            [
+                ("probe", "string"),
+                ("key", "bigint"),
+                ("n_files_total", "int"),
+                ("n_files_hit", "int"),
+                ("n_rows_found", "bigint"),
+                ("no_false_negative", "boolean"),
+            ],
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

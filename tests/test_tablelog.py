@@ -261,3 +261,22 @@ def test_optimize_materializes_delete_vectors(base, spark):
     assert "delete_vectors" not in m
     got = {r.k for r in log.snapshot(spark, v).collect()}
     assert got == {k for k in range(1000, 1020) if k % 4 != 0}
+
+
+def test_bloom_prune_skips_absent_keys(spark):
+    """The bloom sidecar's pruning claim: absent keys (inside every
+    file's event_id [min,max] envelope, so stats pruning keeps all 8)
+    touch at most 1 of 8 files (fp budget), and present keys are found
+    in full — the no-false-negative guarantee."""
+    from chess_ratings_spark.plans.lakehouse import lake_bloom_prune
+
+    from .conftest import SF_SMOKE
+
+    rows = {r["probe"]: r for r in lake_bloom_prune(spark, SF_SMOKE).collect()}
+    assert all(r["no_false_negative"] for r in rows.values())
+    for p in ("absent_far", "absent_near"):
+        assert rows[p]["n_files_hit"] <= 1
+        assert rows[p]["n_rows_found"] == 0
+    for p in ("present_min", "present_max", "present_err"):
+        assert rows[p]["n_files_hit"] >= 1
+        assert rows[p]["n_rows_found"] == 1
