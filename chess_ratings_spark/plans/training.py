@@ -1069,3 +1069,85 @@ def ml_gd_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionByName(s)
     return out.orderBy("step")
+
+
+@register(
+    "train_pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT source,
+           CAST((cum - n_tok) // 256 AS BIGINT) AS block_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE (cum - 1) // 256 > (cum - n_tok) // 256)
+                AS BIGINT) AS n_spanning,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY source, block_id
+    """,
+    doc="GPT-style sequence packing census (concat-and-chunk, the "
+    "dominant pretraining batch layout): within each source shard, "
+    "documents are concatenated in deterministic doc_id order and cut "
+    "into fixed 256-token training blocks; each doc's block is "
+    "derived from its exclusive running token total (block_id = "
+    "prefix_sum // L), and a doc SPANS a block boundary when its "
+    "first and last token land in different blocks — the rows a "
+    "packer must either split or mask across the attention boundary. "
+    "Packing is PARTITIONED BY SOURCE, which is the scale-honest "
+    "shape: a global concat order would funnel the prefix sum through "
+    "one reducer, while per-shard packing (what real pipelines do — "
+    "shards are the unit of data loading) keeps the window shuffle "
+    "keyed on source and each shard's running sum independent. Token "
+    "counts are whitespace counts replayed exactly by the oracle; "
+    "output is the per-(source, block) fill census: docs starting in "
+    "the block, boundary-spanners, and tokens contributed.",
+    tags=("training", "documents", "packing"),
+)
+def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    L = 256
+    d = tables.load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.groupBy(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tok")) / L)
+            .cast("bigint")
+            .alias("block_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (
+                    F.floor((F.col("cum") - 1) / L)
+                    > F.floor((F.col("cum") - F.col("n_tok")) / L)
+                ).cast("bigint")
+            ).alias("n_spanning"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

@@ -205,3 +205,41 @@ def test_gd_classifier_loss_decreases(spark):
     losses = [r.loss for r in rows]
     assert losses[0] > losses[1] > losses[2] > 0
     assert (rows[0].w, rows[0].b) != (rows[2].w, rows[2].b)
+
+
+def test_pack_sequences_conservation(spark):
+    """Packing invariants: per source, block token contributions sum to
+    the shard's total token count, and the highest block_id is exactly
+    (total_tokens - 1) // L — no tokens lost or double-packed."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.plans.training import train_pack_sequences
+
+    from .conftest import SF_SMOKE
+
+    out = train_pack_sequences(spark, SF_SMOKE)
+    per_src = {
+        r["source"]: (int(r["tok"]), int(r["mb"]))
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("block_id").alias("mb"))
+        .collect()
+    }
+    d = tables.load(spark, SF_SMOKE, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    truth = {
+        r["source"]: (int(r["tok"]), int(r["last_tok"]))
+        for r in d.groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("tok"),
+            F.max_by("n_tok", "doc_id").alias("last_tok"),
+        )
+        .collect()
+    }
+    assert {k: v[0] for k, v in per_src.items()} == {
+        k: v[0] for k, v in truth.items()
+    }
+    # the highest block holding a doc START is where the last doc begins
+    for src, (tok, mb) in per_src.items():
+        total, last_tok = truth[src]
+        assert mb == (total - last_tok) // 256
