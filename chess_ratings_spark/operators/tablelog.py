@@ -255,8 +255,54 @@ class TableLog:
 
     def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read (time travel when ``version`` is given):
-        resolve ONE manifest, scan exactly its files."""
-        return spark.read.parquet(*self.read_manifest(version)["files"])
+        resolve ONE manifest (plus its shard files when the table uses
+        the sharded protocol), scan exactly its files."""
+        return spark.read.parquet(*self.resolve_files(version))
+
+    # -- sharded-manifest protocol (Iceberg manifest-list shape) ----------
+
+    def append_manifest_sharded(self, df: DataFrame, n_files: int, tag: str) -> int:
+        """Append with an O(delta) commit payload — the metadata-scale
+        answer to the measured full-list failure mode (DESIGN.md: a
+        full-list manifest grows ~162 B per file per COMMIT, so at 1M
+        files every commit rewrites ~160 MB of metadata). Here each
+        landing writes ONE immutable shard file listing only the NEW
+        entries (``_log/shards/<tag>.json``), and the committed
+        manifest carries just the shard-reference list — the Iceberg
+        manifest-list / Delta checkpoint+delta shape: commit payload
+        grows by one path per landing regardless of table size, and a
+        snapshot read fans the shard fetches out (here a loop over
+        tiny local JSON; on an object store, parallel gets). Shard
+        files are immutable once referenced, so the exclusive-create
+        commit invariant is unchanged. NOT mixed with the full-list
+        verbs on the same table: the CDF source diffs full file
+        lists, so a sharded table is consumed via snapshots, not the
+        feed (the registered query documents the trade)."""
+        files = self._land(df, n_files, tag)
+        shard_dir = self.log_dir / "shards"
+        shard_dir.mkdir(exist_ok=True)
+        shard = shard_dir / f"{tag}.json"
+        with open(shard, "x") as fh:
+            fh.write(json.dumps({"files": sorted(files)}))
+
+        def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            shards = prev.get("manifest_shards", []) if prev is not None else []
+            return [], {"manifest_shards": shards + [str(shard)], "sharded": True}
+
+        return self.commit(op="append-sharded", build=rebase)
+
+    def resolve_files(self, version: int | None = None) -> list[str]:
+        """The file list behind a manifest, whichever protocol wrote
+        it: full-list manifests carry it inline; sharded manifests
+        reference immutable shard files holding O(delta) entries
+        each."""
+        m = self.read_manifest(version)
+        if not m.get("sharded"):
+            return m["files"]
+        out: list[str] = []
+        for s in m["manifest_shards"]:
+            out.extend(json.loads(Path(s).read_text())["files"])
+        return sorted(out)
 
     # -- change data feed -------------------------------------------------
 
@@ -412,7 +458,7 @@ class TableLog:
         keep_vs = versions[-retain_versions:]
         live: set[str] = set()
         for v in keep_vs:
-            live.update(self.read_manifest(v)["files"])
+            live.update(self.resolve_files(v))
         all_files = {str(p) for p in self.data_dir.glob("*.parquet")}
         dead = sorted(all_files - live)
         for p in dead:

@@ -116,6 +116,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_ivm_groupby",
     "lake_bloom_prune",
     "train_pack_sequences",
+    "lake_manifest_shard",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

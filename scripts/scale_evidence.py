@@ -587,6 +587,49 @@ def run_tablelog(spark, factor: int) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_tablelog_sharded(spark, factor: int) -> dict:
+    """Sharded-manifest twin of run_tablelog: the SAME landing sequence
+    committed through append_manifest_sharded. What must change:
+    manifest bytes become ~O(landings) (one shard path per landing,
+    ~90 B each) instead of O(total files), and the LAST commit's
+    metadata write is the constant per-landing shard (16 entries)
+    regardless of how many landings precede it — the Iceberg
+    manifest-list shape. Snapshot equality with the logical input is
+    asserted by the registered query lake_manifest_shard; here we
+    measure the growth curves the protocol claims to fix."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    base = tempfile.mkdtemp(prefix="crs_scale_shard_")
+    try:
+        log = TableLog(base)
+        t_last = 0.0
+        for c in range(factor):
+            t0 = time.perf_counter()
+            log.append_manifest_sharded(ev, n_files=16, tag=f"c{c}")
+            t_last = round(time.perf_counter() - t0, 2)
+        m_path = log._manifest_path(log.latest_version())
+        shard_paths = log.read_manifest()["manifest_shards"]
+        last_shard = Path(shard_paths[-1])
+        return {
+            "op": "tablelog_manifest_sharded",
+            "factor": factor,
+            "landings": factor,
+            "n_files": len(log.resolve_files()),
+            "manifest_bytes": m_path.stat().st_size,
+            "last_shard_bytes": last_shard.stat().st_size,
+            "last_commit_secs": t_last,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def run_skew_salt(spark, factor: int) -> dict:
     """Hottest-shuffle-partition census for join_skew_salted
     (plans/scale.py): events' 5-value event_type key hashed into 32
@@ -654,7 +697,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_skew_salt, run_ivf):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_tablelog_sharded, run_skew_salt, run_ivf):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()

@@ -280,3 +280,29 @@ def test_bloom_prune_skips_absent_keys(spark):
     for p in ("present_min", "present_max", "present_err"):
         assert rows[p]["n_files_hit"] >= 1
         assert rows[p]["n_rows_found"] == 1
+
+
+def test_sharded_manifest_commit_payload_is_o_delta(spark, tmp_path):
+    """Sharded protocol invariants: every commit's manifest carries
+    only shard references (never file entries), each shard holds
+    exactly the landing's delta, time travel resolves the prefix, and
+    vacuum on a sharded table keeps all referenced files live."""
+    import json as _json
+
+    log = TableLog(tmp_path / "t")
+    df = spark.range(300).select(F.col("id").alias("k"))
+    for i in range(5):
+        log.append_manifest_sharded(
+            df.filter(F.col("id") % 5 == i), n_files=2, tag=f"l{i}"
+        )
+    for v in range(5):
+        m = log.read_manifest(v)
+        assert m["files"] == []  # O(delta): no inline entries, ever
+        assert len(m["manifest_shards"]) == v + 1
+        shard = _json.loads(Path(m["manifest_shards"][-1]).read_text())
+        assert len(shard["files"]) == 2
+    assert log.snapshot(spark, 2).count() == 180  # 3 of 5 landings
+    assert log.snapshot(spark).count() == 300
+    census = log.vacuum(retain_versions=1)
+    assert census["n_removed"] == 0 and census["n_live"] == 10
+    assert log.snapshot(spark).count() == 300
