@@ -291,6 +291,47 @@ class TableLog:
 
         return self.commit(op="append-sharded", build=rebase)
 
+    def compact_shards(self, max_entries_per_shard: int = 1024) -> int:
+        """Iceberg ``rewrite_manifests``: merge the accumulated
+        per-landing shard files into few large shards and commit a
+        manifest referencing only those (data files untouched, so
+        ``data_change=False`` and the change feed ignores it — the
+        metadata twin of OPTIMIZE). Old shards stay on disk because
+        prior manifest versions still reference them: time travel
+        through a compaction is intact, exactly like data-file
+        OPTIMIZE. Keeps snapshot resolution O(total/max_entries) shard
+        reads after long landing histories."""
+        import uuid
+
+        shard_dir = self.log_dir / "shards"
+        shard_dir.mkdir(exist_ok=True)
+
+        def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            # rebuilt from the freshly-read manifest on EVERY attempt,
+            # so a conflict loser re-reads the winner's shards instead
+            # of republishing a stale merge (the lost-update class the
+            # static-list path refuses to retry); shard names carry a
+            # uuid so racing compactors never collide on the files
+            # themselves — the manifest CAS stays the only arbiter
+            token = uuid.uuid4().hex[:12]
+            entries: list[str] = []
+            for s in prev.get("manifest_shards", []) if prev else []:
+                entries.extend(json.loads(Path(s).read_text())["files"])
+            entries.sort()
+            new_shards: list[str] = []
+            for i in range(0, len(entries), max_entries_per_shard):
+                p = shard_dir / (
+                    f"compact-{token}-{i // max_entries_per_shard:04d}.json"
+                )
+                with open(p, "x") as fh:
+                    fh.write(
+                        json.dumps({"files": entries[i : i + max_entries_per_shard]})
+                    )
+                new_shards.append(str(p))
+            return [], {"manifest_shards": new_shards, "sharded": True}
+
+        return self.commit(op="rewrite-manifests", build=rebase)
+
     def resolve_files(self, version: int | None = None) -> list[str]:
         """The file list behind a manifest, whichever protocol wrote
         it: full-list manifests carry it inline; sharded manifests

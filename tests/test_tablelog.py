@@ -306,3 +306,29 @@ def test_sharded_manifest_commit_payload_is_o_delta(spark, tmp_path):
     census = log.vacuum(retain_versions=1)
     assert census["n_removed"] == 0 and census["n_live"] == 10
     assert log.snapshot(spark).count() == 300
+
+
+def test_compact_shards_rewrites_manifests_only(spark, tmp_path):
+    """rewrite_manifests: after compaction the manifest references one
+    merged shard, the snapshot is unchanged, the commit is not a data
+    change (CDF must skip it), and time travel through the compaction
+    still resolves the OLD shard list."""
+    log = TableLog(tmp_path / "t")
+    df = spark.range(200).select(F.col("id").alias("k"))
+    for i in range(4):
+        log.append_manifest_sharded(
+            df.filter(F.col("id") % 4 == i), n_files=2, tag=f"l{i}"
+        )
+    files_before = log.resolve_files()
+    v = log.compact_shards()
+    m = log.read_manifest(v)
+    assert len(m["manifest_shards"]) == 1
+    assert m["data_change"] is False
+    assert log.resolve_files(v) == sorted(files_before)
+    assert log.snapshot(spark).count() == 200
+    assert len(log.read_manifest(v - 1)["manifest_shards"]) == 4  # history
+    assert log.snapshot(spark, v - 1).count() == 200
+    # chunked compaction: max 3 entries/shard over 8 files -> 3 shards
+    v2 = log.compact_shards(max_entries_per_shard=3)
+    assert len(log.read_manifest(v2)["manifest_shards"]) == 3
+    assert log.snapshot(spark).count() == 200
