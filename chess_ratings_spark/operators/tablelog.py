@@ -274,10 +274,13 @@ class TableLog:
         snapshot read fans the shard fetches out (here a loop over
         tiny local JSON; on an object store, parallel gets). Shard
         files are immutable once referenced, so the exclusive-create
-        commit invariant is unchanged. NOT mixed with the full-list
-        verbs on the same table: the CDF source diffs full file
-        lists, so a sharded table is consumed via snapshots, not the
-        feed (the registered query documents the trade)."""
+        commit invariant is unchanged. The CDF streaming source
+        resolves shard references when diffing versions, so sharded
+        tables feed incrementally too (tests/test_streaming.py);
+        rewrite_manifests compactions are data_change=false and
+        contribute zero feed rows. Don't mix full-list appends and
+        sharded appends on ONE table — each protocol's rebase only
+        carries its own payload shape forward."""
         files = self._land(df, n_files, tag)
         shard_dir = self.log_dir / "shards"
         shard_dir.mkdir(exist_ok=True)

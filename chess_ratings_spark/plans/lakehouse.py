@@ -1625,9 +1625,11 @@ def lake_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Iceberg manifest-list / Delta checkpoint+delta shape, commit "
     "payload invariant in table size. Both snapshots must read back "
     "the identical row count (snapshots_equal also pins the "
-    "fixed-point value checksum). Trade documented in the operator "
-    "docstring: the CDF source diffs full lists, so sharded tables "
-    "are consumed via snapshots. All counts are protocol constants "
+    "fixed-point value checksum). The CDF streaming source resolves "
+    "shard references when diffing versions, so sharded tables feed "
+    "incrementally too, and rewrite_manifests compaction "
+    "(compact_shards) keeps snapshot resolution O(total/shard_size) "
+    "after long histories. All counts are protocol constants "
     "replayed by the oracle; measured shard/manifest bytes live in "
     "DESIGN.md's scale-evidence table.",
     tags=("lakehouse", "metadata", "events"),

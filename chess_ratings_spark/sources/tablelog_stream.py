@@ -83,6 +83,20 @@ class TableLogCdfReader(DataSourceStreamReader):
 
     # -- batch planning (driver: manifest metadata only) -------------------
 
+    def _files_of(self, m: dict) -> set[str]:
+        """A manifest's file set under either protocol: inline full
+        list, or the union of its referenced shard files (shard reads
+        are tiny local JSON — metadata, same cost class as the
+        manifest itself). rewrite_manifests compactions change the
+        shard layout but never this set, and are data_change=false
+        anyway, so the feed emits nothing for them."""
+        if not m.get("sharded"):
+            return set(m["files"])
+        out: set[str] = set()
+        for s in m.get("manifest_shards", []):
+            out.update(json.loads(Path(s).read_text())["files"])
+        return out
+
     def partitions(self, start: dict, end: dict):
         parts: list[CdfPartition] = []
         sv, ev = start["version"], end["version"]
@@ -90,11 +104,11 @@ class TableLogCdfReader(DataSourceStreamReader):
         prev_dvs: set[str] = set()
         if sv >= 0:
             m = self._manifest(sv)
-            prev_files = set(m["files"])
+            prev_files = self._files_of(m)
             prev_dvs = set(m.get("delete_vectors", []))
         for v in range(max(sv, -1) + 1, ev + 1):
             m = self._manifest(v)
-            files = set(m["files"])
+            files = self._files_of(m)
             dvs = set(m.get("delete_vectors", []))
             if m.get("data_change", True):
                 for f in sorted(files - prev_files):

@@ -187,3 +187,64 @@ def test_ivm_view_matches_direct_aggregate(spark):
     ev = tables.load(spark, SF_SMOKE, "events")
     full_error = ev.filter(F.col("event_type") == "error").count()
     assert 0 < rows["error"]["n"] < full_error
+
+
+def test_cdf_stream_consumes_sharded_tables(spark, tmp_path):
+    """The CDF source resolves sharded manifests too: a sharded-append
+    log streams its rows, a rewrite_manifests compaction contributes
+    ZERO feed rows (data_change=false, file set unchanged), and a
+    post-compaction sharded append resumes incrementally."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+    from chess_ratings_spark.sources.tablelog_stream import TableLogCdfSource
+
+    try:
+        spark.dataSource.register(TableLogCdfSource)
+    except Exception:
+        pass
+    base = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    log = TableLog(base)
+    t = spark.range(30).select(F.col("id").alias("k"))
+    log.append_manifest_sharded(t.filter(F.col("k") < 10), n_files=2, tag="a")
+    log.append_manifest_sharded(
+        t.filter((F.col("k") >= 10) & (F.col("k") < 20)), n_files=2, tag="b"
+    )
+
+    def drain():
+        src = (
+            spark.readStream.format("crs_tablelog_cdf")
+            .option("path", base)
+            .option("schema", "k bigint")
+            .option("key_col", "k")
+            .load()
+        )
+        q = (
+            src.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r[0], r[1]): r[2]
+            for r in spark.read.parquet(out_dir)
+            .groupBy("_commit_version", "_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    assert drain() == {(0, "insert"): 10, (1, "insert"): 10}
+    log.compact_shards()  # v2: metadata only, must feed nothing
+    log.append_manifest_sharded(t.filter(F.col("k") >= 20), n_files=1, tag="c")
+    assert drain() == {
+        (0, "insert"): 10,
+        (1, "insert"): 10,
+        (3, "insert"): 10,
+    }
