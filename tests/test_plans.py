@@ -255,3 +255,15 @@ def test_distribution_shape_single_pass_exact_sums(spark):
     p = plan_of(spark, "agg_distribution_shape")
     assert p.count("FileScan parquet") == 1
     assert p.count("HashAggregate") >= 2
+
+
+def test_pack_sequences_partitioned_window_no_global_funnel(spark):
+    """train_pack_sequences' scale claim: the prefix-sum window is
+    PARTITIONED BY source — no single-partition exchange anywhere (a
+    global concat order would funnel the whole corpus through one
+    reducer), and the aggregate keeps a partial (map-side) phase."""
+    p = plan_of(spark, "train_pack_sequences")
+    assert "Exchange SinglePartition" not in p
+    assert "windowspecdefinition(source" in p  # keyed, not global
+    assert "hashpartitioning(source" in p
+    assert "partial_count" in p or "partial" in p.lower()
