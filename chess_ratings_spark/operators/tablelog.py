@@ -202,11 +202,21 @@ class TableLog:
         """Land new data files, then commit (latest snapshot at commit
         time) + new files as the next version. The rebase callback
         makes two concurrent appends commute: the loser re-reads the
-        winner's manifest and stacks its files on top."""
+        winner's manifest and stacks its files on top. Sidecar
+        metadata (delete_vectors, file_stats) is CARRIED FORWARD from
+        the previous manifest — an append must never resurrect
+        MOR-deleted rows or orphan recorded stats (Delta carries DVs
+        across appends; only OPTIMIZE consumes them)."""
         new = self._land(df, n_files, tag)
 
-        def rebase(prev: dict | None) -> list[str]:
-            return (prev["files"] if prev is not None else []) + new
+        def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            files = (prev["files"] if prev is not None else []) + new
+            carry = {
+                k: prev[k]
+                for k in ("delete_vectors", "file_stats")
+                if prev is not None and k in prev
+            }
+            return files, carry
 
         return self.commit(op="append", build=rebase)
 
@@ -290,7 +300,10 @@ class TableLog:
 
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
             shards = prev.get("manifest_shards", []) if prev is not None else []
-            return [], {"manifest_shards": shards + [str(shard)], "sharded": True}
+            carry = {"manifest_shards": shards + [str(shard)], "sharded": True}
+            if prev is not None and "delete_vectors" in prev:
+                carry["delete_vectors"] = prev["delete_vectors"]
+            return [], carry
 
         return self.commit(op="append-sharded", build=rebase)
 
@@ -331,7 +344,10 @@ class TableLog:
                         json.dumps({"files": entries[i : i + max_entries_per_shard]})
                     )
                 new_shards.append(str(p))
-            return [], {"manifest_shards": new_shards, "sharded": True}
+            carry = {"manifest_shards": new_shards, "sharded": True}
+            if prev is not None and "delete_vectors" in prev:
+                carry["delete_vectors"] = prev["delete_vectors"]
+            return [], carry
 
         return self.commit(op="rewrite-manifests", build=rebase)
 
@@ -465,7 +481,10 @@ class TableLog:
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
             pfiles = prev["files"] if prev is not None else []
             pstats = prev.get("file_stats", []) if prev is not None else []
-            return pfiles + files, {"file_stats": pstats + entries}
+            carry = {"file_stats": pstats + entries}
+            if prev is not None and "delete_vectors" in prev:
+                carry["delete_vectors"] = prev["delete_vectors"]
+            return pfiles + files, carry
 
         return self.commit(op="append", build=rebase)
 

@@ -1679,3 +1679,116 @@ def lake_manifest_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "src_tablelog_format",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    live AS (
+      SELECT * FROM ev
+      WHERE NOT (event_type = 'error' AND user_id % 3 <> 2)
+    )
+    SELECT CAST((SELECT count(*) FROM live) AS BIGINT) AS n_live,
+           CAST((SELECT sum(vc) FROM live) AS BIGINT) AS vc_live,
+           CAST((SELECT count(*) FROM ev WHERE user_id % 3 = 0)
+                AS BIGINT) AS n_v0,
+           true AS matches_snapshot
+    """,
+    doc="TableLog as a STANDARD batch reader format — the third face "
+    "of the Python DataSource surface (streaming reader: "
+    "stream_cdf_source; 2PC writer: sink_pyds_twophase): "
+    "spark.read.format('crs_tablelog') resolves the manifest (shard "
+    "references included), plans one InputPartition per data file "
+    "with its version's delete-vector paths attached, applies "
+    "merge-on-read INSIDE the source executor-side (readers see live "
+    "rows; DV mechanics stay an implementation detail — Delta's "
+    "reader contract), and yields Arrow RecordBatches. Time travel "
+    "is a plain reader option: version=0 returns the first append "
+    "exactly. matches_snapshot pins the format read against the "
+    "log's own snapshot+anti-join read (count and fixed-point "
+    "checksum), and the oracle recomputes the truth from the logical "
+    "input.",
+    tags=("lakehouse", "source", "events"),
+)
+def src_tablelog_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+    from chess_ratings_spark.sources.tablelog_batch import TableLogBatchSource
+
+    try:
+        spark.dataSource.register(TableLogBatchSource)
+    except Exception:
+        pass
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_fmt_")
+    try:
+        log = TableLog(Path(base) / "t")
+        log.append(ev.filter(F.col("user_id") % 3 == 0), n_files=4, tag="m0")
+        log.append(ev.filter(F.col("user_id") % 3 == 1), n_files=4, tag="m1")
+        dv = str(Path(base) / "dv")
+        (
+            ev.filter(
+                (F.col("event_type") == "error") & (F.col("user_id") % 3 != 2)
+            )
+            .select("event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dv)
+        )
+        log.commit(
+            log.read_manifest()["files"],
+            op="delete-mor",
+            extra={"delete_vectors": [dv]},
+        )
+        log.append(ev.filter(F.col("user_id") % 3 == 2), n_files=4, tag="m2")
+
+        ddl = "event_id bigint, user_id bigint, event_type string, vc bigint"
+
+        def fmt(version=None):
+            r = (
+                spark.read.format("crs_tablelog")
+                .option("path", str(Path(base) / "t"))
+                .option("schema", ddl)
+            )
+            if version is not None:
+                r = r.option("version", str(version))
+            return r.load()
+
+        live = fmt().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        n_v0 = fmt(version=0).count()
+        # reference read: the log's own snapshot + DV anti-join
+        m = log.read_manifest()
+        snap = spark.read.parquet(*m["files"])
+        for d in m.get("delete_vectors", []):
+            snap = snap.join(
+                F.broadcast(spark.read.parquet(d)), "event_id", "left_anti"
+            )
+        ref = snap.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        return tables.local_row(
+            spark,
+            ("n_live", int(live["n"]), "bigint"),
+            ("vc_live", int(live["s"]), "bigint"),
+            ("n_v0", int(n_v0), "bigint"),
+            (
+                "matches_snapshot",
+                bool(live["n"] == ref["n"] and live["s"] == ref["s"]),
+                "boolean",
+            ),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

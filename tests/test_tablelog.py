@@ -332,3 +332,27 @@ def test_compact_shards_rewrites_manifests_only(spark, tmp_path):
     v2 = log.compact_shards(max_entries_per_shard=3)
     assert len(log.read_manifest(v2)["manifest_shards"]) == 3
     assert log.snapshot(spark).count() == 200
+
+
+def test_append_carries_delete_vectors_forward(spark, tmp_path):
+    """Regression: an append AFTER a merge-on-read delete must carry
+    the delete vectors into the new manifest — dropping them would
+    resurrect the deleted rows (Delta carries DVs across appends;
+    only OPTIMIZE consumes them). Applies to full-list and sharded
+    appends and to rewrite_manifests."""
+    log = TableLog(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    log.append(df.filter(F.col("k") < 50), n_files=2, tag="a")
+    dv = str(tmp_path / "dv")
+    df.filter(F.col("k") < 10).select("k").coalesce(1).write.parquet(dv)
+    log.commit(
+        log.read_manifest()["files"], op="delete-mor",
+        extra={"delete_vectors": [dv]},
+    )
+    log.append(df.filter(F.col("k") >= 50), n_files=2, tag="b")
+    m = log.read_manifest()
+    assert m.get("delete_vectors") == [dv], "append dropped the DVs"
+    live = spark.read.parquet(*m["files"]).join(
+        F.broadcast(spark.read.parquet(dv)), "k", "left_anti"
+    )
+    assert live.count() == 90
