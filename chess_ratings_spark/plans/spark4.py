@@ -276,3 +276,79 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.every(F.col("fsize") > 0).alias("file_sizes_positive"),
     )
+
+
+@register(
+    "sql_udf_create_function",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    r AS (
+      SELECT CASE WHEN user_id % 3 = 0 THEN 'gold'
+                  WHEN user_id % 3 = 1 THEN 'silver'
+                  ELSE 'bronze' END AS band,
+             vc + vc // 10 AS fee,
+             (user_id % 3 + 1) * (user_id % 3 + 2) // 2 AS lat
+      FROM ev
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(fee) AS BIGINT) AS fee_sum,
+           CAST(sum(lat) AS BIGINT) AS lat_sum
+    FROM r GROUP BY band
+    """,
+    doc="SQL UDFs (Spark 4, SPARK-46057 family): reusable logic "
+    "declared IN SQL — a scalar CREATE TEMPORARY FUNCTION "
+    "(fee = vc + vc div 10, integer-exact) and a TABLE function "
+    "(RETURNS TABLE ... explode(sequence(1, k))) consumed via "
+    "LATERAL — no Python on any row path: SQL UDFs inline into the "
+    "plan as catalyst expressions / lateral subqueries, so they keep "
+    "whole-stage codegen and cost nothing vs hand-inlined exprs "
+    "(unlike Python UDFs, which serialize). The oracle replays the "
+    "function BODIES inline (the lateral sum of 1..k collapses to "
+    "k(k+1)/2), so the hash equality certifies the UDF layer is pure "
+    "sugar over the same semantics.",
+    tags=("sql", "spark4", "events"),
+)
+def sql_udf_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_events_view(spark, sf_dir, "crs_s4_udf_events")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION crs_fee(vc BIGINT) "
+        "RETURNS BIGINT RETURN vc + vc div 10"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION crs_band(u BIGINT) "
+        "RETURNS STRING RETURN CASE WHEN u % 3 = 0 THEN 'gold' "
+        "WHEN u % 3 = 1 THEN 'silver' ELSE 'bronze' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION crs_steps(k INT) "
+        "RETURNS TABLE(i INT) RETURN SELECT explode(sequence(1, k)) AS i"
+    )
+    return spark.sql(
+        """
+        WITH ev AS (
+          SELECT event_id, user_id,
+                 CAST(floor(value * 100) AS BIGINT) AS vc
+          FROM crs_s4_udf_events
+        ),
+        lat AS (
+          SELECT e.event_id, sum(s.i) AS lat
+          FROM ev e, LATERAL crs_steps(CAST(e.user_id % 3 + 1 AS INT)) s
+          GROUP BY e.event_id
+        ),
+        r AS (
+          SELECT crs_band(e.user_id) AS band, crs_fee(e.vc) AS fee, l.lat
+          FROM ev e JOIN lat l
+            ON e.event_id = l.event_id
+        )
+        SELECT band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(fee) AS BIGINT) AS fee_sum,
+               CAST(sum(lat) AS BIGINT) AS lat_sum
+        FROM r GROUP BY band
+        """
+    )

@@ -118,6 +118,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "train_pack_sequences",
     "lake_manifest_shard",
     "src_tablelog_format",
+    "sql_udf_create_function",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---
