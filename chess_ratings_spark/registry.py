@@ -119,6 +119,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "lake_manifest_shard",
     "src_tablelog_format",
     "sql_udf_create_function",
+    "scan_pyds_pushdown",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

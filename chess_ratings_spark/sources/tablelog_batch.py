@@ -40,6 +40,66 @@ class TableLogBatchReader(DataSourceReader):
         self.key_col = key_col
         self.columns = columns
         self.version = version
+        self.pushed: list = []
+
+    def _maybe_push_filters(self, filters):
+        """Filter pushdown (Spark 4.1 Python DataSource API): record
+        the comparison filters we can evaluate against the manifest's
+        per-file [min, max] stats, then hand EVERY filter back to
+        Spark — stats skipping is a SUPERSET (a kept file may still
+        hold non-matching rows), so the exact predicate must stay in
+        the plan, exactly like parquet min/max row-group skipping.
+        ``partitions()`` then plans only files whose recorded interval
+        can satisfy all pushed comparisons."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        supported = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+        for f in filters:
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            yield f
+
+    def _stats_admit(self, stats: dict) -> bool:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in self.pushed:
+            col = f.attribute[0]
+            if col not in stats:
+                continue
+            mn, mx = stats[col]
+            v = f.value
+            ok = (
+                (mn <= v <= mx)
+                if isinstance(f, EqualTo)
+                else mx > v
+                if isinstance(f, GreaterThan)
+                else mx >= v
+                if isinstance(f, GreaterThanOrEqual)
+                else mn < v
+                if isinstance(f, LessThan)
+                else mn <= v
+            )
+            if not ok:
+                return False
+        return True
 
     def _manifest(self) -> dict:
         log_dir = self.base / "_log"
@@ -60,6 +120,13 @@ class TableLogBatchReader(DataSourceReader):
             files.sort()
         else:
             files = m["files"]
+        stats = {e["path"]: e["stats"] for e in m.get("file_stats", [])}
+        if self.pushed:
+            files = [
+                f
+                for f in files
+                if f not in stats or self._stats_admit(stats[f])
+            ]
         dvs = list(m.get("delete_vectors", []))
         return [TableLogFilePartition(f, dvs) for f in files]
 
@@ -84,6 +151,18 @@ class TableLogBatchReader(DataSourceReader):
             yield row
 
 
+class TableLogPushdownReader(TableLogBatchReader):
+    """Batch reader variant that OPTS IN to Spark 4.1 Python-source
+    filter pushdown (gated engine-side behind
+    ``spark.sql.python.filterPushdown.enabled`` because planning calls
+    into Python; merely DEFINING pushFilters trips the gate, so the
+    plain reader does not carry the method at all). Selected via
+    ``.option("pushdown", "true")``."""
+
+    def pushFilters(self, filters):
+        return self._maybe_push_filters(filters)
+
+
 class TableLogBatchSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -99,7 +178,12 @@ class TableLogBatchSource(DataSource):
             if f.strip()
         ]
         v = self.options.get("version")
-        return TableLogBatchReader(
+        cls = (
+            TableLogPushdownReader
+            if self.options.get("pushdown", "false").lower() == "true"
+            else TableLogBatchReader
+        )
+        return cls(
             self.options["path"],
             self.options.get("key_col", "event_id"),
             cols,

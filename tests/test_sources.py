@@ -195,3 +195,42 @@ def test_pyds_sink_abort_unlinks_and_commit_is_atomic(spark, tmp_path):
     # only a .tmp-* (never renamed), which abort() scrubbed too
     assert [f for f in leftover if f.endswith(".jsonl")] == []
     assert [f for f in leftover if f.startswith(".tmp-")] == []
+
+
+def test_pyds_filter_pushdown_prunes_planned_partitions(spark, tmp_path):
+    """Engine-driven certification: with the pushdown flag on, a
+    .filter() on the crs_tablelog format must reach pushFilters before
+    partitions(), so the scan plans only stat-overlapping files (3 of
+    8 here) — observable as the scan RDD's partition count. The plain
+    reader (no pushdown option) plans all 8. Results match either
+    way (the exact predicate stays in the plan)."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+    from chess_ratings_spark.sources.tablelog_batch import TableLogBatchSource
+
+    try:
+        spark.dataSource.register(TableLogBatchSource)
+    except Exception:
+        pass
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    log = TableLog(tmp_path / "t")
+    df = spark.range(80).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    log.append_range_bucketed(df, "k", width=10, tag="r")
+
+    def fmt(pushdown):
+        return (
+            spark.read.format("crs_tablelog")
+            .option("path", str(tmp_path / "t"))
+            .option("schema", "k bigint, v bigint")
+            .option("key_col", "k")
+            .option("pushdown", pushdown)
+            .load()
+            .filter(F.col("k").between(25, 44))
+        )
+
+    pruned, plain = fmt("true"), fmt("false")
+    assert pruned.rdd.getNumPartitions() == 3  # buckets [20,30) [30,40) [40,50)
+    assert plain.rdd.getNumPartitions() == 8
+    assert sorted(r.k for r in pruned.collect()) == list(range(25, 45))
+    assert sorted(r.k for r in plain.collect()) == list(range(25, 45))
