@@ -105,8 +105,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_rank_topk",
     "win_running",
     # --- 50+: the window is exactly full (5 new/changed + the 45-name
-    #     rotation-debt clearance), so the round's 6th new query sits
-    #     first in line for round 9; it is locally sim-verified ---
+    #     rotation-debt clearance), so the rest of round 8's new
+    #     queries queue here, all locally sim-verified (full registry
+    #     == ALL MATCH at sf0.01 AND sf0.001); FRONT THESE 13 in the
+    #     round-9 window ---
     "lake_clone_shallow",
     "join_aqe_skew",
     "ml_gd_classifier",
