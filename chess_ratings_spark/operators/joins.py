@@ -114,3 +114,97 @@ def asof_join(
         "*", *[F.last(f"__v_{v}", ignorenulls=True).over(w).alias(v) for v in value_cols]
     )
     return filled.filter(F.col("__side") == 1).select(*lcols, *value_cols)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Nearest-as-of join: for each left row, the right row minimizing
+    ``|right_ts - left_ts|`` per key, ties broken BACKWARD (the
+    at-or-before match) — the sensor-alignment semantics backward and
+    forward each get only half right. Timestamps must be numeric
+    (pass epoch micros/nanos) so the tie-break compares exact
+    integers.
+
+    ONE union-tag pass: the same keyed sort serves a backward
+    ``last(ignorenulls)`` window (unbounded preceding → current) and a
+    forward ``first(ignorenulls)`` window (next row → unbounded
+    following), so BOTH candidates cost a single shuffle — two
+    separate as-of joins would shuffle twice and join again. Right
+    rows sort before left at equal ts, so an equal-ts match lands in
+    the backward window with lag 0 and wins every tie.
+
+    Output: left columns + chosen ``value_cols`` + ``asof_direction``
+    ('backward' | 'forward' | 'none') + ``asof_lag`` (nonnegative, in
+    the caller's ts unit; NULL when unmatched).
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[v].dataType).alias(f"__v_{v}")
+            for v in value_cols
+        ],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("__rts"),
+    )
+    tagged_r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(v).alias(f"__v_{v}") for v in value_cols],
+        F.col(right_ts).alias("__rts"),
+    )
+    order = [F.col("__ts"), F.col("__side")]
+    w_b = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    sel = [
+        "*",
+        F.last("__rts", ignorenulls=True).over(w_b).alias("__bts"),
+        F.first("__rts", ignorenulls=True).over(w_f).alias("__fts"),
+    ]
+    for v in value_cols:
+        sel.append(F.last(f"__v_{v}", ignorenulls=True).over(w_b).alias(f"__b_{v}"))
+        sel.append(F.first(f"__v_{v}", ignorenulls=True).over(w_f).alias(f"__f_{v}"))
+    rows = (
+        tagged_l.unionByName(tagged_r).select(*sel).filter(F.col("__side") == 1)
+    )
+    back = F.col("__fts").isNull() | (
+        F.col("__bts").isNotNull()
+        & ((F.col("__ts") - F.col("__bts")) <= (F.col("__fts") - F.col("__ts")))
+    )
+    none = F.col("__bts").isNull() & F.col("__fts").isNull()
+    out_vals = [
+        F.when(back, F.col(f"__b_{v}")).otherwise(F.col(f"__f_{v}")).alias(v)
+        for v in value_cols
+    ]
+    direction = (
+        F.when(none, F.lit("none"))
+        .when(back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("asof_direction")
+    )
+    lag = (
+        F.when(none, F.lit(None).cast("bigint"))
+        .when(back, F.col("__ts") - F.col("__bts"))
+        .otherwise(F.col("__fts") - F.col("__ts"))
+        .cast("bigint")
+        .alias("asof_lag")
+    )
+    return rows.select(*lcols, *out_vals, direction, lag)

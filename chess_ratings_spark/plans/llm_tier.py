@@ -1016,3 +1016,85 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["view_value"], direction="forward",
     )
     return out.select("event_id", "user_id", "value", "view_value")
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, value, epoch_us(ts) AS tsu
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, epoch_us(ts) AS tsu, max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT p.event_id, v.view_value AS bv, v.tsu AS btsu
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.tsu >= v.tsu
+    ),
+    f AS (
+      SELECT p.event_id, v.view_value AS fv, v.tsu AS ftsu
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.tsu <= v.tsu
+    )
+    SELECT p.event_id, p.user_id, p.value,
+           CASE WHEN btsu IS NULL AND ftsu IS NULL THEN NULL
+                WHEN ftsu IS NULL THEN bv
+                WHEN btsu IS NULL THEN fv
+                WHEN p.tsu - btsu <= ftsu - p.tsu THEN bv ELSE fv
+           END AS view_value,
+           CASE WHEN btsu IS NULL AND ftsu IS NULL THEN 'none'
+                WHEN ftsu IS NULL THEN 'backward'
+                WHEN btsu IS NULL THEN 'forward'
+                WHEN p.tsu - btsu <= ftsu - p.tsu THEN 'backward'
+                ELSE 'forward'
+           END AS asof_direction,
+           CAST(CASE WHEN btsu IS NULL AND ftsu IS NULL THEN NULL
+                     WHEN ftsu IS NULL THEN p.tsu - btsu
+                     WHEN btsu IS NULL THEN ftsu - p.tsu
+                     WHEN p.tsu - btsu <= ftsu - p.tsu THEN p.tsu - btsu
+                     ELSE ftsu - p.tsu
+                END AS BIGINT) AS asof_lag
+    FROM p
+    LEFT JOIN b ON p.event_id = b.event_id
+    LEFT JOIN f ON p.event_id = f.event_id
+    """,
+    doc="NEAREST as-of join, completing the family (backward: "
+    "join_asof, forward: join_asof_forward): each purchase matches "
+    "the view MINIMIZING |view_ts - purchase_ts|, ties broken "
+    "backward — the sensor-alignment semantics where either "
+    "one-sided variant alone picks the wrong neighbor half the time. "
+    "ONE union-tag pass computes both candidates: the same keyed "
+    "sort serves a backward last(ignorenulls) window and a forward "
+    "first(ignorenulls) window, so the whole join is a single "
+    "shuffle on user_id (two chained ASOF joins would shuffle "
+    "twice and join again — the oracle does exactly that and must "
+    "agree). Integer-microsecond timestamps make the tie-break "
+    "exact; asof_direction/asof_lag expose which neighbor won and "
+    "by how much.",
+    tags=("join", "events"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.joins import asof_join_nearest
+
+    ev = tables.load(spark, sf_dir, "events").withColumn(
+        "tsu", F.expr("ts_ns div 1000")
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tsu", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "tsu")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join_nearest(
+        left, right, key="user_id", left_ts="tsu", right_ts="tsu",
+        value_cols=["view_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "value", "view_value",
+        "asof_direction", "asof_lag",
+    )

@@ -1151,3 +1151,72 @@ def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "sample_epoch_reshuffle",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS s0,
+             substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 1) AS s1
+      FROM documents
+    ),
+    u AS (
+      SELECT 0 AS epoch, s0 AS shard, n_chars, s0 <> s1 AS moved FROM t
+      UNION ALL
+      SELECT 1, s1, n_chars, s0 <> s1 FROM t
+    )
+    SELECT CAST(epoch AS INT) AS epoch, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(*) FILTER (WHERE moved) AS BIGINT) AS n_moved
+    FROM u GROUP BY 1, 2
+    """,
+    doc="Per-epoch reshuffle — multi-epoch training needs a DIFFERENT "
+    "document permutation each epoch (same order twice overfits "
+    "batch statistics) that is still deterministic per (epoch, doc) "
+    "so a preempted run resumes identically: shard_e(doc) = first "
+    "hex digit of md5('epoch{e}:' || doc_id), content-independent "
+    "and seedable without moving or re-reading any data (the epoch "
+    "salt changes the key, not the corpus). The census proves both "
+    "properties: per-shard balance within each epoch AND n_moved "
+    "(docs whose epoch-0 and epoch-1 shards differ — expected "
+    "15/16 of the corpus), so an implementation that forgot the "
+    "salt (identical permutations, n_moved = 0) hash-mismatches. "
+    "Pure projection + one grouped agg; at 100 TB the assignment "
+    "rides the shard write as repartitionByRange on the epoch key, "
+    "exactly like sample_global_shuffle.",
+    tags=("training", "sample", "documents"),
+)
+def sample_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def shard(e: int):
+        return F.substring(
+            F.md5(F.concat(F.lit(f"epoch{e}:"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        )
+
+    t = d.select(
+        "doc_id", "n_chars", shard(0).alias("s0"), shard(1).alias("s1")
+    )
+    u = t.select(
+        F.lit(0).alias("epoch"),
+        F.col("s0").alias("shard"),
+        "n_chars",
+        (F.col("s0") != F.col("s1")).alias("moved"),
+    ).unionByName(
+        t.select(
+            F.lit(1).alias("epoch"),
+            F.col("s1").alias("shard"),
+            "n_chars",
+            (F.col("s0") != F.col("s1")).alias("moved"),
+        )
+    )
+    return u.groupBy(F.col("epoch").cast("int").alias("epoch"), "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.col("moved").cast("bigint")).alias("n_moved"),
+    )
