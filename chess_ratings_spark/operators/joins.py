@@ -129,7 +129,10 @@ def asof_join_nearest(
     at-or-before match) — the sensor-alignment semantics backward and
     forward each get only half right. Timestamps must be numeric
     (pass epoch micros/nanos) so the tie-break compares exact
-    integers.
+    integers, and the right side must be unique per (key, ts)
+    (pre-aggregate duplicates, as the registered query does) — equal-
+    ts right rows would otherwise be ordered arbitrarily within the
+    window sort.
 
     ONE union-tag pass: the same keyed sort serves a backward
     ``last(ignorenulls)`` window (unbounded preceding → current) and a

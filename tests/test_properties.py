@@ -333,3 +333,45 @@ def test_tablelog_snapshot_isolation_under_op_sequences(spark, seq):
             assert got == sorted(want), f"version {v}"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lefts=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    rights=st.lists(st.integers(0, 50), min_size=0, max_size=8),
+)
+def test_asof_nearest_matches_bruteforce(spark, lefts, rights):
+    """asof_join_nearest vs a Python brute force on one key: for every
+    left ts, the chosen right row must minimize |delta| with ties
+    going backward (at-or-before), lag must be the winning |delta|,
+    and unmatched rows must report direction 'none'."""
+    from chess_ratings_spark.operators.joins import asof_join_nearest
+
+    rset = sorted(set(rights))
+    left = spark.createDataFrame(
+        [(i, 7, t) for i, t in enumerate(lefts)], "lid int, k int, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [(7, t, t * 10) for t in rset], "k int, ts bigint, val bigint"
+    )
+    got = {
+        r["lid"]: (r["val"], r["asof_direction"], r["asof_lag"])
+        for r in asof_join_nearest(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=["val"],
+        ).collect()
+    }
+    for i, t in enumerate(lefts):
+        if not rset:
+            assert got[i] == (None, "none", None)
+            continue
+        back = max((r for r in rset if r <= t), default=None)
+        fwd = min((r for r in rset if r >= t), default=None)
+        if back is not None and (fwd is None or t - back <= fwd - t):
+            assert got[i] == (back * 10, "backward", t - back)
+        else:
+            assert got[i] == (fwd * 10, "forward", fwd - t)
