@@ -1220,3 +1220,94 @@ def sample_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.col("moved").cast("bigint")).alias("n_moved"),
     )
+
+
+@register(
+    "train_collate_batches",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             least(CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS BIGINT), 128) AS l
+      FROM documents
+    ),
+    arrival AS (
+      SELECT source, l,
+             (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+               // 8 AS batch_id
+      FROM d
+    ),
+    bylen AS (
+      SELECT source, l,
+             (row_number() OVER (PARTITION BY source ORDER BY l DESC, doc_id)
+               - 1) // 8 AS batch_id
+      FROM d
+    ),
+    u AS (
+      SELECT 'arrival' AS strategy, * FROM arrival
+      UNION ALL
+      SELECT 'sorted', * FROM bylen
+    ),
+    u2 AS (
+      SELECT *, max(l) OVER (PARTITION BY strategy, source, batch_id) AS lmb
+      FROM u
+    )
+    SELECT strategy, source, CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(l) AS BIGINT) AS l_max,
+           CAST(sum(lmb - l) AS BIGINT) AS pad_tokens
+    FROM u2 GROUP BY strategy, source, batch_id
+    """,
+    doc="Batch collation census — the pad-waste accounting that "
+    "motivates length-bucketed batching, the last data decision "
+    "before tensors: docs are collated 8 per batch (per source "
+    "shard, token lengths capped at L=128) under two strategies — "
+    "arrival order (doc_id) vs length-sorted — and each batch "
+    "reports rows, its max length (the padded width), and "
+    "pad_tokens = sum(l_max - l), the tokens burned as padding. "
+    "Sorting by length makes within-batch lengths homogeneous, so "
+    "total pad collapses (asserted in pytest); everything is window "
+    "math partitioned by (strategy, source) — no UDF, no global "
+    "funnel, and the oracle replays the identical expressions.",
+    tags=("training", "documents", "packing"),
+)
+def train_collate_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = tables.load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.least(
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).cast("bigint"),
+            F.lit(128),
+        ).alias("l"),
+    )
+
+    def batched(order_cols, strategy):
+        w = Window.partitionBy("source").orderBy(*order_cols)
+        return d.select(
+            F.lit(strategy).alias("strategy"),
+            "source",
+            "l",
+            F.floor((F.row_number().over(w) - 1) / 8)
+            .cast("bigint")
+            .alias("batch_id"),
+        )
+
+    u = batched([F.col("doc_id")], "arrival").unionByName(
+        batched([F.col("l").desc(), F.col("doc_id")], "sorted")
+    )
+    wb = Window.partitionBy("strategy", "source", "batch_id")
+    return (
+        u.withColumn("l_max_b", F.max("l").over(wb))
+        .groupBy("strategy", "source", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("l").alias("l_max"),
+            F.sum(F.col("l_max_b") - F.col("l")).alias("pad_tokens"),
+        )
+    )

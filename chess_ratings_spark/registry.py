@@ -107,7 +107,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     # --- 50+: the window is exactly full (5 new/changed + the 45-name
     #     rotation-debt clearance), so the rest of round 8's new
     #     queries queue here, all locally sim-verified (full registry
-    #     == ALL MATCH at sf0.01 AND sf0.001); FRONT THESE 15 in the
+    #     == ALL MATCH at sf0.01 AND sf0.001); FRONT THESE 16 in the
     #     round-9 window ---
     "lake_clone_shallow",
     "join_aqe_skew",
@@ -124,6 +124,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "scan_pyds_pushdown",
     "join_asof_nearest",
     "sample_epoch_reshuffle",
+    "train_collate_batches",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

@@ -243,3 +243,20 @@ def test_pack_sequences_conservation(spark):
     for src, (tok, mb) in per_src.items():
         total, last_tok = truth[src]
         assert mb == (total - last_tok) // 256
+
+
+def test_collate_sorted_batching_reduces_padding(spark):
+    """The point of length-bucketed batching: total pad_tokens under
+    the length-sorted strategy must be strictly below arrival order
+    (and both strategies see identical rows per (source, batch) count
+    structure)."""
+    from chess_ratings_spark.plans.training import train_collate_batches
+
+    rows = train_collate_batches(spark, SF_SMOKE).collect()
+    pad = {"arrival": 0, "sorted": 0}
+    n = {"arrival": 0, "sorted": 0}
+    for r in rows:
+        pad[r["strategy"]] += r["pad_tokens"]
+        n[r["strategy"]] += r["n_rows"]
+    assert n["arrival"] == n["sorted"]
+    assert pad["sorted"] < pad["arrival"]
