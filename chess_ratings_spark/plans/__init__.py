@@ -18,6 +18,7 @@ from chess_ratings_spark.plans import (  # noqa: F401
     spark4,
     streaming,
     tier_r,
+    timeseries,
     tpch,
     training,
 )

@@ -99,3 +99,58 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="crs_orc_") + "/orders"
     _orders_slice(spark, sf_dir).write.mode("overwrite").orc(path)
     return _agg(spark.read.orc(path))
+
+
+@register(
+    "src_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+           md5(text || chr(10)) AS content_md5
+    FROM documents
+    WHERE doc_id % 101 = 0
+    ORDER BY doc_id
+    """,
+    doc="binaryFile source — the opaque-blob ingestion path every "
+    "multimodal pipeline starts from: a deterministic document subset "
+    "is landed one blob per asset (write.partitionBy(doc_id), exactly "
+    "one row per partition value, so each directory holds exactly one "
+    "file and no intra-file row-order dependence exists), then read "
+    "back with format('binaryFile'), keyed by the path (regexp on the "
+    "partition directory, the asset-id-in-path convention), with "
+    "byte length and content md5 as the typed metadata. The oracle "
+    "recomputes both from the source text (strlen counts UTF-8 "
+    "bytes exactly as the blob stores them; the +1/chr(10) is the "
+    "text writer's record terminator), so a hash-match proves the "
+    "blob round-trip is byte-exact. At 100 TB this is the pattern for "
+    "image/audio shards: binaryFile gives (path, mtime, length, "
+    "content) rows partition-parallel across files, and the decode "
+    "step (extras.py mm_* operators) runs downstream as Arrow-batched "
+    "mapInPandas.",
+    tags=("scan", "formats", "documents", "multimodal"),
+)
+def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = tempfile.mkdtemp(prefix="crs_binf_") + "/blobs"
+    docs = (
+        tables.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 101 == 0)
+        .select("doc_id", F.col("text").alias("value"))
+    )
+    # one row per partition value => one file per directory; repartition
+    # spreads the per-asset writes across tasks
+    docs.repartition(8, "doc_id").write.mode("overwrite").partitionBy(
+        "doc_id"
+    ).text(path)
+    back = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "part-*"
+    ).load(path)
+    return (
+        back.select(
+            F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )

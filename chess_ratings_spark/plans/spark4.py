@@ -352,3 +352,103 @@ def sql_udf_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r GROUP BY band
         """
     )
+
+
+@register(
+    "fn_xml_parse",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="XML as a first-class format (Spark 4.0, SPARK-44265 built-in "
+    "XML): each order row is serialized with to_xml(struct(...)) and "
+    "parsed back with from_xml under a DECLARED schema, then "
+    "aggregated; the oracle aggregates the ORIGINAL parquet, so a "
+    "hash-match proves the serialize->parse loop is lossless "
+    "(Java double<->string text round-trips are exact, dates travel "
+    "as ISO strings). This is the remaining text format after "
+    "CSV/JSON (formats.py) — the reference ingests FIDE XML "
+    "(reference prefect/flows/ingest_web_to_gcs.py:70-90), and this "
+    "is that parse expressed as a vectorized JVM expression instead "
+    "of a Python loop: at 100 TB the XML decode runs inside "
+    "whole-stage codegen, no UDF.",
+    tags=("scalar", "spark4", "orders", "formats"),
+)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.aggregates import money
+
+    o = tables.load(spark, sf_dir, "orders")
+    xml = o.select(
+        F.to_xml(
+            F.struct(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            )
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x",
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,"
+            " o_orderdate STRING",
+        ).alias("o")
+    ).select("o.*")
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        money(F.sum("o_totalprice")).alias("total"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+
+
+@register(
+    "sql_session_variables",
+    oracle="""
+    WITH thr AS (
+      SELECT floor(max(o_totalprice)) / 2 AS t FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_big,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_centi
+    FROM orders, thr
+    WHERE o_totalprice > thr.t
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="SQL session variables + EXECUTE IMMEDIATE (Spark 4.0, "
+    "SPARK-42849/SPARK-44293): DECLARE VARIABLE holds a data-derived "
+    "scalar (SET VAR ... = scalar subquery — the threshold never "
+    "touches the Python driver), and the query template runs through "
+    "EXECUTE IMMEDIATE with a ? placeholder (injection-safe "
+    "parameterization) plus IDENTIFIER() binding the table name from "
+    "a string — the templated-SQL surface generated pipelines need. "
+    "The oracle replays the same threshold as a scalar subquery; "
+    "floor(max)/2 is exact IEEE arithmetic on both engines.",
+    tags=("sql", "spark4", "orders"),
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView("crs_s4v_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE crs_min_total DOUBLE DEFAULT 0.0")
+    spark.sql(
+        "SET VAR crs_min_total ="
+        " (SELECT floor(max(o_totalprice)) / 2 FROM crs_s4v_orders)"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n_big,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS total_centi
+           FROM IDENTIFIER(?)
+           WHERE o_totalprice > ?
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority'
+          USING 'crs_s4v_orders', crs_min_total
+        """
+    )

@@ -1,0 +1,208 @@
+"""Time-series operators: resampling into OHLC bars and calendar
+gap-fill with linear interpolation.
+
+Both are staples of a telemetry/metrics engine that the rest of the
+registry did not yet cover: ``ts_resample_ohlc`` is downsampling
+(irregular events -> fixed-width bars with order-sensitive open/close
+picks made deterministic), ``ts_gapfill_interpolate`` is upsampling
+(sparse daily series -> dense calendar spine with the holes filled by
+exact integer linear interpolation).
+
+Scale notes (100 TB posture): both plans are one keyed shuffle each —
+OHLC is a single groupBy over (event_type, bucket) with the open/close
+picks expressed as window row-numbers over the SAME partitioning (no
+second shuffle: the window and the aggregation share
+(event_type, bucket) clustering); gap-fill's spine is generated
+per-key with ``sequence()`` (rows ~= span_days x n_keys, never a
+cross-join against a global calendar), and the prev/next scans are
+windows over the same per-key partitioning as the spine join. Neither
+plan collects anything to the driver.
+
+Determinism: open/close are row picks, not sums — made exact by the
+(ts, event_id) total order (event_id is unique); sums are on the
+centi-integer grid; interpolation is integer arithmetic with
+truncating division (Spark ``div`` == DuckDB ``//``, verified in
+tests/test_grid_agreement.py's division bridge) — both sides compute
+bit-identical BIGINTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chess_ratings_spark import tables
+from chess_ratings_spark.registry import register
+
+#: 6-hour bars, expressed in epoch microseconds (engine-portable:
+#: Spark `timestampdiff(MICROSECOND, epoch, ts)` == DuckDB `epoch_us(ts)`).
+_BAR_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             epoch_us(ts) // {_BAR_US} AS bar,
+             CAST(floor(value * 100) AS BIGINT) AS vc,
+             row_number() OVER (
+               PARTITION BY event_type, epoch_us(ts) // {_BAR_US}
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type, epoch_us(ts) // {_BAR_US}
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type,
+           CAST(bar AS BIGINT) AS bar,
+           CAST(max(CASE WHEN rn_a = 1 THEN vc END) AS BIGINT) AS open,
+           CAST(max(vc) AS BIGINT) AS high,
+           CAST(min(vc) AS BIGINT) AS low,
+           CAST(max(CASE WHEN rn_d = 1 THEN vc END) AS BIGINT) AS close,
+           CAST(count(*) AS BIGINT) AS volume,
+           CAST(sum(vc) AS BIGINT) AS amount
+    FROM base
+    GROUP BY event_type, bar
+    ORDER BY event_type, bar
+    """,
+    doc="Downsample irregular events into fixed 6-hour OHLC bars per "
+    "event_type: open/close are the first/last value in (ts, event_id) "
+    "order (the unique event_id breaks ts ties, so the order-sensitive "
+    "picks are total-order deterministic), high/low/volume/amount are "
+    "plain aggregates on the centi grid. One shuffle: the row-number "
+    "windows and the groupBy share the (event_type, bar) clustering, "
+    "so Spark plans a single Exchange reused by both operators. This "
+    "is the metrics-downsampling verb (Prometheus-style rollup / "
+    "candlestick bars) the registry lacked.",
+    tags=("timeseries", "window", "events"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP'1970-01-01 00:00:00', ts)"
+            f" div {_BAR_US}"
+        ).alias("bar"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w = Window.partitionBy("event_type", "bar")
+    base = base.withColumn(
+        "rn_a", F.row_number().over(w.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    ).withColumn(
+        "rn_d", F.row_number().over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    )
+    return (
+        base.groupBy("event_type", "bar")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("vc"))).alias("open"),
+            F.max("vc").alias("high"),
+            F.min("vc").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("vc"))).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum("vc").alias("amount"),
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
+@register(
+    "ts_gapfill_interpolate",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vc
+      FROM events WHERE user_id % 97 = 0
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), span AS (
+      SELECT event_type, min(d) AS mn, max(d) AS mx FROM per GROUP BY event_type
+    ), spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM span
+    ), j AS (
+      SELECT sp.event_type, sp.d, p.vc
+      FROM spine sp LEFT JOIN per p USING (event_type, d)
+    ), f AS (
+      SELECT event_type, d, vc,
+             last_value(vc IGNORE NULLS) OVER w_p AS prev_v,
+             last_value(CASE WHEN vc IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w_p AS prev_d,
+             first_value(vc IGNORE NULLS) OVER w_n AS next_v,
+             first_value(CASE WHEN vc IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w_n AS next_d
+      FROM j
+      WINDOW w_p AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_n AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(d, '%Y-%m-%d') AS day,
+           CAST(coalesce(vc,
+             (prev_v * date_diff('day', d, next_d)
+              + next_v * date_diff('day', prev_d, d))
+             // date_diff('day', prev_d, next_d)) AS BIGINT) AS value_centi,
+           (vc IS NULL) AS interpolated
+    FROM f ORDER BY event_type, day
+    """,
+    doc="Calendar gap-fill with linear interpolation: the user_id%97 "
+    "slice of events has real multi-day holes per event_type (12-22 "
+    "missing days at sf0.01); a per-key date spine is generated with "
+    "sequence(min_d, max_d) — per-key spans, never a global-calendar "
+    "cross join — observed daily centi-sums are left-joined on, and "
+    "each hole is filled by exact integer linear interpolation "
+    "between its nearest observed neighbors (prev/next located by "
+    "IGNORE NULLS running windows; both endpoints always exist "
+    "because the span ends are observed). The weighted-average "
+    "numerator and the truncating division are pure BIGINT arithmetic "
+    "on both engines (Spark div == DuckDB //), so interpolated values "
+    "are bit-exact, not float-close.",
+    tags=("timeseries", "window", "events"),
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("user_id") % 97 == 0)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("vc"))
+    )
+    spine = (
+        per.groupBy("event_type")
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("d"),
+        )
+    )
+    j = spine.join(per, ["event_type", "d"], "left")
+    w_p = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("vc").isNotNull(), F.col("d"))
+    f = (
+        j.withColumn("prev_v", F.last("vc", ignorenulls=True).over(w_p))
+        .withColumn("prev_d", F.last(obs_d, ignorenulls=True).over(w_p))
+        .withColumn("next_v", F.first("vc", ignorenulls=True).over(w_n))
+        .withColumn("next_d", F.first(obs_d, ignorenulls=True).over(w_n))
+    )
+    interp = F.expr(
+        "(prev_v * datediff(next_d, d) + next_v * datediff(d, prev_d))"
+        " div datediff(next_d, prev_d)"
+    )
+    return f.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("vc"), interp).cast("bigint").alias("value_centi"),
+        F.col("vc").isNull().alias("interpolated"),
+    ).orderBy("event_type", "day")
