@@ -211,6 +211,33 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_rocksdb",
+    oracle="""
+    SELECT user_id,
+           round(sum(value), 2) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE value > 150.0) AS BIGINT) AS n_over
+    FROM events GROUP BY user_id
+    """,
+    doc="stream_stateful's per-key state contract under the RocksDB "
+    "state store provider with changelog checkpointing — the "
+    "production configuration when state outgrows executor memory "
+    "(RocksDB spills to local disk; changelog checkpointing uploads "
+    "per-batch deltas instead of full snapshots). The oracle is the "
+    "same whole-input batch GROUP BY: swapping the state engine must "
+    "never change answers. The provider actually engaging is proven "
+    "separately from the checkpoint's on-disk signature "
+    "(.changelog/.zip vs the HDFS provider's .delta) — asserted in "
+    "tests/test_streaming.py::test_rocksdb_provider_engaged, kept "
+    "out of the hashed result schema.",
+    tags=("streaming", "events", "live"),
+)
+def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.stateful_stream_rocksdb(spark, ev)
+
+
+@register(
     "stream_checkpoint",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_events

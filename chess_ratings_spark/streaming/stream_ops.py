@@ -282,6 +282,107 @@ def stateful_stream_tws(
     return stateful_stream(spark, ev, threshold=threshold)
 
 
+#: Set by :func:`stateful_stream_rocksdb` after each run: True iff the
+#: query's checkpoint state directory contains RocksDB ``.changelog``
+#: (or ``.zip`` snapshot) artifacts — the provider's on-disk signature,
+#: distinct from the HDFS provider's ``.delta``/``.snapshot`` files.
+#: tests/test_streaming.py asserts this, keeping the provider proof out
+#: of the (oracle-hashed) result schema.
+last_rocksdb_proof: bool | None = None
+
+
+def stateful_stream_rocksdb(
+    spark: SparkSession, ev: DataFrame, threshold: float = 150.0
+) -> DataFrame:
+    """:func:`stateful_stream`'s per-key state contract executed under
+    the RocksDB state store provider with changelog checkpointing —
+    the production configuration for state that outgrows executor
+    memory. The HDFS-backed default keeps every key's state in an
+    in-memory map (state size is bounded by the executor heap); RocksDB
+    spills to local SSD, bounds memory via block-cache configs, and
+    changelog checkpointing uploads only the per-batch delta instead
+    of re-snapshotting the full store — at 100 TB-scale key
+    cardinality this is the difference between a stateful job that
+    runs and one that OOMs at the first wide micro-batch.
+
+    The provider is a query-start conf (set + restored around the
+    run); the result must be byte-identical to the default-provider
+    twin (same oracle), so a provider swap can never change answers —
+    only the state-storage engine. Proof the swap engaged: RocksDB
+    checkpoints write ``N.changelog``/``N.zip`` files where the HDFS
+    provider writes ``N.delta`` — recorded in
+    :data:`last_rocksdb_proof` from the explicit checkpoint dir."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    global last_rocksdb_proof
+    last_rocksdb_proof = None
+
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev, reuse=True))
+
+    def track(key, pdf_iter, state: GroupState):
+        total, n, n_over = state.get if state.exists else (0.0, 0, 0)
+        for pdf in pdf_iter:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+            n_over += int((pdf["value"] > threshold).sum())
+        state.update((total, n, n_over))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [round(total, 2)], "n_events": [n], "n_over": [n_over]}
+        )
+
+    out = src.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, total_value double, n_events bigint, n_over bigint",
+        stateStructType="total double, n bigint, n_over bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb"
+        ".changelogCheckpointing.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    ckpt = tempfile.mkdtemp(prefix="crs_rocks_") + "/ckpt"
+    try:
+        with _state_partitions(spark):
+            name = "snk_" + uuid.uuid4().hex[:12]
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+    state_files = [
+        f
+        for root, _, files in os.walk(os.path.join(ckpt, "state"))
+        for f in files
+    ]
+    last_rocksdb_proof = any(
+        f.endswith((".changelog", ".zip")) for f in state_files
+    ) and not any(f.endswith(".delta") for f in state_files)
+    return _snapshot_sink(spark, name)
+
+
 def session_stream(spark: SparkSession, ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows as a real streaming query. Append mode
     emits a session once the watermark passes its end; end-of-stream

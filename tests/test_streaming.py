@@ -74,6 +74,33 @@ def test_stateful_stream_totals(spark):
     assert out == expected
 
 
+def test_rocksdb_provider_engaged(spark):
+    """The RocksDB twin must (a) equal the batch GROUP BY exactly and
+    (b) actually have run under RocksDB: changelog checkpointing
+    leaves .changelog/.zip state artifacts, while a silent fallback to
+    the HDFS provider would leave .delta files and flip the proof."""
+    ev = tables.load(spark, SF_SMOKE, "events")
+    out = {r.user_id: (r.total_value, r.n_events, r.n_over) for r in
+           stream_ops.stateful_stream_rocksdb(spark, ev).collect()}
+    expected = {
+        r.user_id: (r.total, r.n, r.n_over)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") > 150.0, 1).otherwise(0)).alias("n_over"),
+        )
+        .collect()
+    }
+    assert out == expected
+    assert stream_ops.last_rocksdb_proof is True
+    # the conf swap must have been restored
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    ).endswith("HDFSBackedStateStoreProvider")
+
+
 def test_tws_gated_or_works(spark):
     """transformWithStateInPandas is import-gated on google.protobuf;
     where available it must match the static aggregation, where not the
