@@ -59,7 +59,10 @@ from pyspark.sql import DataFrame, SparkSession
 #: Commit ops that add/remove ROWS (vs rewriting the same rows into
 #: different files). OPTIMIZE-style ops are excluded from the change
 #: feed: they change the file layout, never the logical table.
-_DATA_CHANGE_PREFIXES = ("append", "delete", "stream-batch", "overwrite")
+#: ``publish`` is a data change: fast-forwarding a branch makes the
+#: branch's staged rows visible on main for the first time, so a main
+#: CDF consumer must replay them.
+_DATA_CHANGE_PREFIXES = ("append", "delete", "stream-batch", "overwrite", "publish")
 
 
 def _is_data_change(op: str) -> bool:
@@ -83,9 +86,9 @@ class TableLog:
     """A parquet table with a versioned manifest log under
     ``<base>/_log``. Data files live flat under ``<base>/data``."""
 
-    def __init__(self, base: str | Path) -> None:
+    def __init__(self, base: str | Path, *, log_subdir: str = "_log") -> None:
         self.base = Path(base)
-        self.log_dir = self.base / "_log"
+        self.log_dir = self.base / log_subdir
         self.data_dir = self.base / "data"
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.data_dir.mkdir(parents=True, exist_ok=True)
@@ -363,6 +366,66 @@ class TableLog:
         for s in m["manifest_shards"]:
             out.extend(json.loads(Path(s).read_text())["files"])
         return sorted(out)
+
+    # -- branches (write-audit-publish) ------------------------------------
+
+    def create_branch(self, name: str, version: int | None = None) -> "TableLog":
+        """Fork a branch at ``version`` (default: latest) — Iceberg-style
+        refs reduced to their mechanism: a branch is a SEPARATE commit
+        log over the SAME immutable data directory. The fork point is
+        recorded as the branch's first commit (identical file list, op
+        ``branch-create``), so branch version numbering continues from
+        main's and :meth:`fast_forward` can verify ancestry. Writes to
+        the branch land data files normally but publish manifests only
+        in the branch log — invisible to main readers until a publish.
+        This is the Write-Audit-Publish isolation primitive: stage data
+        on a branch, audit the branch snapshot, publish by fast-forward.
+        """
+        m = self.read_manifest(version)
+        br = TableLog(self.base, log_subdir=f"_branches/{name}/_log")
+        carry = {
+            k: m[k] for k in ("delete_vectors", "file_stats") if k in m
+        }
+        carry["forked_from"] = int(m["version"])
+        br.try_commit(
+            int(m["version"]), m["files"], op="branch-create", extra=carry
+        )
+        return br
+
+    def branch(self, name: str) -> "TableLog":
+        """Handle to an existing branch's log (same data dir)."""
+        return TableLog(self.base, log_subdir=f"_branches/{name}/_log")
+
+    def fast_forward(self, branch: "TableLog", name: str) -> int:
+        """Publish a branch: commit the branch head's file list as
+        main's next version — but ONLY if main still sits at the
+        branch's fork point (the fast-forward condition; Iceberg's
+        ``fast_forward`` procedure fails the same way). If main
+        advanced with its own data changes, the branch must rebase
+        (re-fork + re-apply) — silently merging two diverged file
+        lists could double-commit or drop files, so the conflict
+        propagates via :class:`CommitConflict` instead of retrying.
+        """
+        head = branch.read_manifest()
+        fork = int(branch.read_manifest(branch.versions()[0])["forked_from"])
+
+        def build(prev: dict | None) -> tuple[list[str], dict]:
+            prev_v = -1 if prev is None else int(prev["version"])
+            if prev_v != fork:
+                raise CommitConflict(
+                    f"main advanced to v{prev_v} past fork v{fork};"
+                    " not a fast-forward — rebase the branch"
+                )
+            carry = {
+                k: head[k]
+                for k in ("delete_vectors", "file_stats")
+                if k in head
+            }
+            carry["published_branch"] = name
+            carry["branch_head"] = int(head["version"])
+            return head["files"], carry
+
+        return self.commit(op=f"publish-{name}", build=build, max_retries=0)
 
     # -- change data feed -------------------------------------------------
 

@@ -1911,3 +1911,106 @@ def scan_pyds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_branch_wap",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+             AS main_rows_before,
+           CAST(count(*) AS BIGINT) AS branch_rows,
+           CAST(count(*) FILTER (WHERE value IS NULL
+                                 OR floor(value * 100) < 0) AS BIGINT)
+             AS n_violations,
+           CAST(count(*) AS BIGINT) AS main_rows_after,
+           CAST(1 AS INT) AS published_version,
+           CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+             AS cdf_insert_rows,
+           true AS stale_publish_rejected
+    FROM events
+    """,
+    doc="Write-Audit-Publish on the manifest log "
+    "(operators/tablelog.py::create_branch/fast_forward — Iceberg's "
+    "branch refs + fast_forward procedure reduced to their "
+    "mechanism): main v0 holds the even-user half of events; a branch "
+    "forks at v0 and stages the odd-user half (data files land in the "
+    "shared immutable data dir, the manifest publishes only in the "
+    "branch log); the audit (null / negative-value constraint check) "
+    "runs against the BRANCH snapshot; main is then read again and "
+    "must still see only v0 (main_rows_before — the isolation "
+    "property WAP exists for); publish is a fast-forward commit of "
+    "the branch head as main v1, which the change feed replays as "
+    "exactly the staged rows (cdf_insert_rows). A second branch also "
+    "forked at v0 then tries to publish AFTER main advanced: the "
+    "fast-forward condition fails and the commit is REJECTED "
+    "(stale_publish_rejected) — diverged branches must rebase, never "
+    "silently merge file lists. All driver-side state is manifest "
+    "metadata; every read is a pruned scan of one manifest's files.",
+    tags=("lakehouse", "branch", "events"),
+)
+def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import (
+        CommitConflict,
+        TableLog,
+    )
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_wap_")
+    try:
+        log = TableLog(base)
+        log.append(ev.filter(F.col("user_id") % 2 == 0), n_files=4, tag="even")
+
+        # WRITE: stage the odd half on a branch
+        br = log.create_branch("audit_stage")
+        br.append(ev.filter(F.col("user_id") % 2 == 1), n_files=4, tag="odd")
+        stale = log.create_branch("stale")  # second fork at v0
+
+        # AUDIT: constraint check against the branch snapshot
+        branch_snap = br.snapshot(spark)
+        audit = branch_snap.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.col("value").isNull() | (F.col("vc") < 0), 1)
+            ).alias("bad"),
+        ).collect()[0]
+
+        # isolation: main still serves v0 while the branch is staged
+        main_before = int(log.snapshot(spark).count())
+
+        # PUBLISH: fast-forward main to the audited branch head
+        published = log.fast_forward(br, "audit_stage")
+        main_after = int(log.snapshot(spark).count())
+        cdf_inserts = int(
+            log.changes_between(spark, 0, published)
+            .filter(F.col("_change_type") == "insert")
+            .count()
+        )
+
+        # a branch whose fork point main has passed must be rejected
+        try:
+            log.fast_forward(stale, "stale")
+            rejected = False
+        except CommitConflict:
+            rejected = True
+
+        return tables.local_row(
+            spark,
+            ("main_rows_before", main_before, "bigint"),
+            ("branch_rows", int(audit["n"]), "bigint"),
+            ("n_violations", int(audit["bad"]), "bigint"),
+            ("main_rows_after", main_after, "bigint"),
+            ("published_version", int(published), "int"),
+            ("cdf_insert_rows", cdf_inserts, "bigint"),
+            ("stale_publish_rejected", rejected, "boolean"),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

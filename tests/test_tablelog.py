@@ -356,3 +356,30 @@ def test_append_carries_delete_vectors_forward(spark, tmp_path):
         F.broadcast(spark.read.parquet(dv)), "k", "left_anti"
     )
     assert live.count() == 90
+
+
+def test_branch_wap_isolation_and_fast_forward(spark, tmp_path):
+    """Branch staging is invisible to main until fast-forward; publish
+    makes it visible atomically; a branch whose fork point main has
+    passed is rejected (must rebase, never merge file lists)."""
+    log = TableLog(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    log.append(df.filter(F.col("k") < 40), n_files=2, tag="base")
+
+    br = log.create_branch("wap")
+    stale = log.create_branch("stale")
+    br.append(df.filter(F.col("k") >= 40), n_files=2, tag="staged")
+
+    assert br.snapshot(spark).count() == 100  # branch sees staged rows
+    assert log.snapshot(spark).count() == 40  # main does not
+
+    v = log.fast_forward(br, "wap")
+    assert log.snapshot(spark).count() == 100
+    m = log.read_manifest(v)
+    assert m["published_branch"] == "wap" and m["data_change"] is True
+    # the publish replays through the change feed as exactly the staged rows
+    cdf = log.changes_between(spark, 0, v)
+    assert cdf.filter(F.col("_change_type") == "insert").count() == 60
+
+    with pytest.raises(CommitConflict):
+        log.fast_forward(stale, "stale")
