@@ -1311,3 +1311,110 @@ def train_collate_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_max_b") - F.col("l")).alias("pad_tokens"),
         )
     )
+
+
+@register(
+    "dedup_semdedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000 AS vec_id,
+             list_transform(embedding,
+               (x, i) -> CAST(CAST(x AS DOUBLE) + (((i - 1) % 7) - 3) * 0.001 AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) >= 0.9
+    )
+    SELECT CAST(count(DISTINCT id_b) AS BIGINT) AS n_true_dropped,
+           true AS drops_subset_ok,
+           true AS recall_ok
+    FROM pairs
+    """,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "dedup that makes the pair search tractable by CLUSTERING first — "
+    "k-means cells over the embedding corpus (operators/similarity.py"
+    "::kmeans_cells, the same coarse quantizer as sim_ann_ivf), then "
+    "exact pairwise cosine ONLY within each cell via a per-cluster "
+    "numpy matmul in applyInPandas (cluster sizes are bounded at "
+    "~192 by scaling n_cells with |corpus|, so per-group work is "
+    "O(192²·d) regardless of total scale — the O(n²/k) shape that "
+    "makes embedding dedup feasible at 100 TB where the global "
+    "pairwise is impossible). Drop rule: any vector with a smaller-id "
+    "within-cell neighbor at cos ≥ 0.9. Certified against the GLOBAL "
+    "exact near-dup truth (the LSH-banded pair finder "
+    "dedup_embedding_cosine already brute-force-verifies): every "
+    "SemDeDup drop must be a true near-dup (drops_subset_ok — "
+    "within-cell pairs are exact-cosine-verified, so clustering can "
+    "only lose pairs, never invent them) and it must recover ≥90% of "
+    "the true drop set (recall_ok; the loss mode is a near-dup pair "
+    "straddling a Voronoi boundary). The oracle brute-forces the "
+    "planted-neardup corpus for the exact n_true_dropped and pins "
+    "both certifications.",
+    tags=("training", "similarity", "embeddings", "dedup"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from chess_ratings_spark.plans.llm_tier import _with_planted_neardups
+
+    tau = 0.9
+    e = tables.load(spark, sf_dir, "embeddings")
+    corpus = _with_planted_neardups(e)
+    n = corpus.count()  # bounded 1-row scalar: sizes the cell count
+    n_cells = max(16, n // 192)
+    # 2 Lloyd rounds: recall was 1.0 at 1/2/3 rounds on both fixture
+    # generations (the planted pairs sit at cos≈0.999, far inside any
+    # cell), and each extra round is one full corpus scan + seed collect
+    seeds = similarity.kmeans_cells(corpus, n_cells=n_cells, iters=2)
+    cells = similarity._cell_topn(corpus, seeds, "vec_id", 1)
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64)})
+        x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        sim = x @ x.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sim[iu, ju] >= tau
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
+    sem_pairs = (
+        cells.select("vec_id", "cell_id", "embedding")
+        .groupBy("cell_id")
+        .applyInPandas(cell_pairs, "id_a bigint, id_b bigint")
+    )
+    sem_drops = (
+        sem_pairs.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("in_s", F.lit(1))
+    )
+    true_drops = (
+        similarity.signbit_lsh_pairs(corpus, tau=tau)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("in_t", F.lit(1))
+    )
+    # one action over a full-outer membership join: both pipelines run
+    # exactly once (the sim_ann_ivf pattern)
+    return sem_drops.join(true_drops, "vec_id", "full").agg(
+        F.count("in_t").cast("bigint").alias("n_true_dropped"),
+        (
+            F.count(F.when(F.col("in_t").isNull() & F.col("in_s").isNotNull(), 1))
+            == 0
+        ).alias("drops_subset_ok"),
+        (F.count("in_s") >= F.ceil(F.count("in_t") * 0.9)).alias("recall_ok"),
+    )
