@@ -107,8 +107,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     # --- 50+: the window is exactly full (5 new/changed + the 45-name
     #     rotation-debt clearance), so the rest of round 8's new
     #     queries queue here, all locally sim-verified (full registry
-    #     == ALL MATCH at sf0.01 AND sf0.001); FRONT THESE 16 in the
-    #     round-9 window ---
+    #     == ALL MATCH at sf0.01 AND sf0.001); FRONT THESE 24 (16 here
+    #     + the 8 late-round-8 additions below) in the round-9 window ---
     "lake_clone_shallow",
     "join_aqe_skew",
     "ml_gd_classifier",
@@ -125,6 +125,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_asof_nearest",
     "sample_epoch_reshuffle",
     "train_collate_batches",
+    # --- late-round-8 additions (same queue: driver rows in round 9) ---
+    "ts_resample_ohlc",
+    "ts_gapfill_interpolate",
+    "fn_xml_parse",
+    "sql_session_variables",
+    "src_binaryfile",
+    "stream_stateful_rocksdb",
+    "lake_branch_wap",
+    "dedup_semdedup",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---
