@@ -62,7 +62,11 @@ from pyspark.sql import DataFrame, SparkSession
 #: ``publish`` is a data change: fast-forwarding a branch makes the
 #: branch's staged rows visible on main for the first time, so a main
 #: CDF consumer must replay them.
-_DATA_CHANGE_PREFIXES = ("append", "delete", "stream-batch", "overwrite", "publish")
+#: ``restore`` is a data change: reverting to an old snapshot removes
+#: (and may resurrect) rows relative to the current version.
+_DATA_CHANGE_PREFIXES = (
+    "append", "delete", "stream-batch", "overwrite", "publish", "restore",
+)
 
 
 def _is_data_change(op: str) -> bool:
@@ -367,6 +371,28 @@ class TableLog:
             out.extend(json.loads(Path(s).read_text())["files"])
         return sorted(out)
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION (Delta RESTORE / Iceberg
+        rollback): commit the OLD snapshot's exact content — file list
+        plus its sidecar metadata (delete vectors, stats) — as the NEXT
+        version. History is never rewritten (the bad versions stay
+        time-travelable for forensics); the restore is itself an
+        auditable, CAS-published commit, and it is a data change: the
+        change feed replays it as deletes of the rows the bad versions
+        added and inserts of any rows they had removed."""
+        old = self.read_manifest(version)
+
+        def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            carry = {
+                k: old[k]
+                for k in ("delete_vectors", "file_stats")
+                if k in old
+            }
+            carry["restored_from"] = int(old["version"])
+            return old["files"], carry
+
+        return self.commit(op=f"restore-to-{version}", build=rebase)
+
     # -- branches (write-audit-publish) ------------------------------------
 
     def create_branch(self, name: str, version: int | None = None) -> "TableLog":
@@ -464,6 +490,18 @@ class TableLog:
                     feeds.append(
                         spark.read.parquet(*added)
                         .withColumn("_change_type", F.lit("insert"))
+                        .withColumn("_commit_version", F.lit(v).cast("int"))
+                    )
+                removed = sorted(set(prev["files"]) - set(m["files"]))
+                if removed:
+                    # a data-change commit that DROPS files (RESTORE /
+                    # overwrite) logically deletes their rows — emit
+                    # them, as Delta CDF does for remove actions. (An
+                    # OPTIMIZE also drops files but is data_change=
+                    # false and never reaches this branch.)
+                    feeds.append(
+                        spark.read.parquet(*removed)
+                        .withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v).cast("int"))
                     )
                 dv_added = [

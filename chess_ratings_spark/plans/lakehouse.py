@@ -2014,3 +2014,183 @@ def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_table_history",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 2 AS half, user_id % 5 AS m5 FROM events
+    )
+    SELECT * FROM (VALUES
+      (0, 'append', true, 4,
+         (SELECT count(*) FROM s WHERE half = 0)),
+      (1, 'append', true, 8,
+         (SELECT count(*) FROM s)),
+      (2, 'delete-mor', true, 8,
+         (SELECT count(*) FROM s WHERE m5 <> 0)),
+      (3, 'optimize', false, 1,
+         (SELECT count(*) FROM s WHERE m5 <> 0))
+    ) AS h(version, op, data_change, n_files, n_live_rows)
+    ORDER BY version
+    """,
+    doc="DESCRIBE HISTORY — the table-audit verb every lakehouse "
+    "exposes: the commit log rendered as a queryable frame (version, "
+    "operation, data_change flag, file count, live row count per "
+    "snapshot) for a table driven through append → append → MOR "
+    "delete → OPTIMIZE. The metadata columns come straight from the "
+    "manifests (bounded driver state — the Delta/Iceberg contract); "
+    "the live row count per version is a real MOR-aware snapshot "
+    "read. The oracle replays every row from the logical input plus "
+    "the protocol's deterministic constants (repartition(n) on "
+    "non-empty data writes exactly n files; OPTIMIZE at 50k-row "
+    "targets lands 1 file at every test SF; the delete is "
+    "metadata-only so v2 keeps v1's 8 files). data_change=false on "
+    "OPTIMIZE is the flag incremental consumers key on.",
+    tags=("lakehouse", "events", "history"),
+)
+def lake_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_hist_")
+    try:
+        log = TableLog(base)
+        log.append(ev.filter(F.col("user_id") % 2 == 0), n_files=4, tag="a")
+        log.append(ev.filter(F.col("user_id") % 2 == 1), n_files=4, tag="b")
+        # MOR delete: drop user_id%5==0 via a delete-vector sidecar
+        dv = tempfile.mkdtemp(prefix="crs_hist_dv_") + "/keys"
+        ev.filter(F.col("user_id") % 5 == 0).select("event_id").coalesce(
+            1
+        ).write.parquet(dv)
+        log.commit(
+            log.read_manifest()["files"],
+            op="delete-mor",
+            extra={"delete_vectors": [dv]},
+        )
+        log.optimize(spark, target_rows_per_file=50_000)
+
+        rows = []
+        for v in log.versions():
+            m = log.read_manifest(v)
+            snap = log.snapshot(spark, version=v)
+            for d in m.get("delete_vectors", []):
+                snap = snap.join(
+                    F.broadcast(spark.read.parquet(d)), "event_id", "left_anti"
+                )
+            op = m["op"].split("-to-")[0] if m["op"].startswith("restore") else m["op"]
+            rows.append(
+                (
+                    int(v),
+                    op,
+                    bool(m["data_change"]),
+                    len(m["files"]),
+                    int(snap.count()),
+                )
+            )
+        return tables.local_table(
+            spark,
+            rows,
+            [
+                ("version", "int"),
+                ("op", "string"),
+                ("data_change", "boolean"),
+                ("n_files", "int"),
+                ("n_live_rows", "bigint"),
+            ],
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_restore_version",
+    oracle="""
+    WITH s AS (SELECT user_id % 2 AS half FROM events)
+    SELECT CAST(2 AS INT) AS restored_version,
+           CAST((SELECT count(*) FROM s) AS BIGINT) AS pre_restore_rows,
+           CAST((SELECT count(*) FROM s WHERE half = 0) AS BIGINT)
+             AS post_restore_rows,
+           true AS live_equals_v0,
+           CAST((SELECT count(*) FROM s) AS BIGINT) AS time_travel_v1_rows,
+           CAST((SELECT count(*) FROM s WHERE half = 1) AS BIGINT)
+             AS cdf_deleted_rows,
+           true AS history_preserved
+    FROM (VALUES (1)) one(x)
+    """,
+    doc="RESTORE TABLE ... TO VERSION (Delta RESTORE / Iceberg "
+    "rollback-to-snapshot): after a bad append (v1), "
+    "operators/tablelog.py::restore commits v0's exact content as v2 "
+    "— history is never rewritten (v1 stays time-travelable for "
+    "forensics: time_travel_v1_rows), the restore is itself an "
+    "auditable CAS commit, and it IS a data change: the change feed "
+    "replays it as deletes of exactly the rows the bad version added "
+    "(cdf_deleted_rows — changes_between emits removed-file rows as "
+    "deletes, the Delta CDF remove-action shape; this history has no "
+    "delete-vector sidecars, keeping removed-file semantics exact). "
+    "live_equals_v0 pins the restored state checksum-equal to the "
+    "v0 snapshot. The oracle recomputes every census from the "
+    "logical input.",
+    tags=("lakehouse", "time-travel", "events"),
+)
+def lake_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_restore_")
+    try:
+        log = TableLog(base)
+        log.append(ev.filter(F.col("user_id") % 2 == 0), n_files=4, tag="good")
+        log.append(ev.filter(F.col("user_id") % 2 == 1), n_files=4, tag="bad")
+        pre = log.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+
+        restored_v = log.restore(0)
+
+        post = log.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        v0 = log.snapshot(spark, version=0).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        tt_v1 = int(log.snapshot(spark, version=1).count())
+        cdf_del = int(
+            log.changes_between(spark, 1, restored_v)
+            .filter(F.col("_change_type") == "delete")
+            .count()
+        )
+        m = log.read_manifest(restored_v)
+        history_ok = (
+            log.versions() == [0, 1, 2]
+            and int(m.get("restored_from", -1)) == 0
+            and bool(m["data_change"])
+        )
+        return tables.local_row(
+            spark,
+            ("restored_version", int(restored_v), "int"),
+            ("pre_restore_rows", int(pre["n"]), "bigint"),
+            ("post_restore_rows", int(post["n"]), "bigint"),
+            (
+                "live_equals_v0",
+                bool(post["n"] == v0["n"] and post["s"] == v0["s"]),
+                "boolean",
+            ),
+            ("time_travel_v1_rows", tt_v1, "bigint"),
+            ("cdf_deleted_rows", cdf_del, "bigint"),
+            ("history_preserved", bool(history_ok), "boolean"),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

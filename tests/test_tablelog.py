@@ -383,3 +383,25 @@ def test_branch_wap_isolation_and_fast_forward(spark, tmp_path):
 
     with pytest.raises(CommitConflict):
         log.fast_forward(stale, "stale")
+
+
+def test_restore_preserves_history_and_feeds_deletes(spark, tmp_path):
+    """RESTORE commits the old snapshot as a NEW version (history kept),
+    and the change feed replays it as deletes of the rows the reverted
+    versions added — including resurrection inserts when restoring
+    past an overwrite-style removal."""
+    log = TableLog(tmp_path / "t")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    log.append(df.filter(F.col("k") < 40), n_files=2, tag="good")
+    log.append(df.filter(F.col("k") >= 40), n_files=2, tag="bad")
+    v = log.restore(0)
+    assert v == 2 and log.versions() == [0, 1, 2]
+    assert log.snapshot(spark).count() == 40
+    assert log.snapshot(spark, version=1).count() == 100  # forensics
+    cdf = log.changes_between(spark, 1, v)
+    assert cdf.filter(F.col("_change_type") == "delete").count() == 60
+    assert cdf.filter(F.col("_change_type") == "insert").count() == 0
+    # restore FORWARD again (to v1): removed files resurrect as inserts
+    v2 = log.restore(1)
+    cdf2 = log.changes_between(spark, v, v2)
+    assert cdf2.filter(F.col("_change_type") == "insert").count() == 60
