@@ -452,3 +452,100 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING 'crs_s4v_orders', crs_min_total
         """
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey % 50 = 0
+    ORDER BY c_custkey, o_orderkey
+    """,
+    doc="Correlated LATERAL subquery join (SPARK-34382): per-customer "
+    "top-2 orders expressed as a lateral dependent subquery with "
+    "ORDER BY + LIMIT — the SQL-standard spelling of the "
+    "top-k-per-group pattern win_rank_topk expresses with windows. "
+    "Catalyst decorrelates the lateral into a ranked join (no "
+    "per-customer re-execution); the (o_totalprice DESC, o_orderkey) "
+    "total order makes the LIMIT pick deterministic. DuckDB runs the "
+    "IDENTICAL lateral SQL text, so both engines must agree on every "
+    "decorrelation corner (customers with <2 or 0 orders).",
+    tags=("join", "sql", "spark4", "orders", "customer"),
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "crs_lat_customer"
+    )
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "crs_lat_orders"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.price
+        FROM crs_lat_customer c, LATERAL (
+          SELECT o_orderkey, round(o_totalprice, 2) AS price
+          FROM crs_lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey % 50 = 0
+        ORDER BY c_custkey, o_orderkey
+        """
+    )
+
+
+@register(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           strftime(min(o_orderdate + INTERVAL 1 MONTH),
+                    '%Y-%m-%d %H:%M:%S') AS first_due,
+           strftime(max(o_orderdate + INTERVAL 36 HOUR),
+                    '%Y-%m-%d %H:%M:%S') AS last_grace,
+           strftime(max(last_day(CAST(o_orderdate AS DATE))),
+                    '%Y-%m-%d') AS last_eom,
+           CAST(count(DISTINCT date_trunc('quarter', o_orderdate))
+                AS BIGINT) AS n_quarters
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="ANSI interval arithmetic as first-class types: year-month "
+    "intervals clamp at month ends (Jan 31 + 1 MONTH = Feb 29 — "
+    "verified identical clamping in both engines), day-time "
+    "intervals shift exact wall-clock microseconds, last_day / "
+    "date_trunc('quarter') give the calendar-boundary verbs every "
+    "billing/retention pipeline needs. All computed on NTZ "
+    "timestamps so no session-timezone dependence exists (the "
+    "hostile-tz driver sim proves it); rendered as strings for "
+    "hashing. The month-DIFF verb is deliberately absent: Spark "
+    "timestampdiff(MONTH) counts full elapsed months while DuckDB "
+    "date_diff('month') counts boundary crossings — an "
+    "engine-portability trap documented here instead of shipped.",
+    tags=("scalar", "orders", "datetime"),
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderpriority",
+            F.expr("o_orderdate + INTERVAL 1 MONTH").alias("due"),
+            F.expr("o_orderdate + INTERVAL 36 HOUR").alias("grace"),
+            F.last_day(F.col("o_orderdate").cast("date")).alias("eom"),
+            F.date_trunc("quarter", "o_orderdate").alias("q"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(F.min("due"), "yyyy-MM-dd HH:mm:ss").alias("first_due"),
+            F.date_format(F.max("grace"), "yyyy-MM-dd HH:mm:ss").alias("last_grace"),
+            F.date_format(F.max("eom"), "yyyy-MM-dd").alias("last_eom"),
+            F.countDistinct("q").alias("n_quarters"),
+        )
+        .orderBy("o_orderpriority")
+    )
