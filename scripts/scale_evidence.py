@@ -151,6 +151,53 @@ def run_signbit(spark, factor: int) -> dict:
     }
 
 
+def run_semdedup(spark, factor: int) -> dict:
+    """Candidate-volume census for dedup_semdedup (plans/training.py):
+    cluster-then-dedup must keep the within-cell pair count linear in n
+    (cell size is bounded by scaling n_cells with |corpus|), and the
+    cluster blocking must not lose planted pairs (recall vs the
+    signbit-LSH global truth)."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators import similarity
+    from chess_ratings_spark.plans.llm_tier import _with_planted_neardups
+
+    e = inflate_embeddings(
+        tables.load(spark, SF_DIR, "embeddings").select("vec_id", "embedding", "label"),
+        factor,
+    )
+    corpus = _with_planted_neardups(e).cache()
+    n = corpus.count()
+    n_cells = max(16, n // 192)
+    t0 = time.perf_counter()
+    seeds = similarity.kmeans_cells(corpus, n_cells=n_cells, iters=2)
+    t_kmeans = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cells = similarity._cell_topn(corpus, seeds, "vec_id", 1)
+    sizes = cells.groupBy("cell_id").agg(F.count(F.lit(1)).alias("c"))
+    stats = sizes.agg(
+        F.max("c").alias("mx"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+    ).collect()[0]
+    t_assign = time.perf_counter() - t0
+    truth = similarity.signbit_lsh_pairs(corpus, tau=0.9).select("id_b").distinct().count()
+    corpus.unpersist()
+    all_pairs = n * (n - 1) / 2
+    return {
+        "op": "dedup_semdedup",
+        "factor": factor,
+        "n": n,
+        "n_cells": n_cells,
+        "max_cell": int(stats["mx"]),
+        "within_cell_pairs": int(stats["pairs"]),
+        "pairs_ratio_vs_n2": round(float(stats["pairs"]) / all_pairs, 9),
+        "true_drops": truth,
+        "secs_kmeans": round(t_kmeans, 2),
+        "secs_assign_census": round(t_assign, 2),
+    }
+
+
 def run_substr(spark, factor: int) -> dict:
     """Stage census for dedup_substring_spans (plans/corpus.py) on the
     inflated corpus: the c{c}~ word prefixes guarantee zero cross-copy
@@ -697,7 +744,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_tablelog_sharded, run_skew_salt, run_ivf):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_tablelog_sharded, run_skew_salt, run_ivf, run_semdedup):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()
