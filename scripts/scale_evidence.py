@@ -181,6 +181,29 @@ def run_semdedup(spark, factor: int) -> dict:
         F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
     ).collect()[0]
     t_assign = time.perf_counter() - t0
+    # actual drop sets: within-cell exact pairs (the SemDeDup path) vs
+    # the global signbit-LSH truth
+    import numpy as np
+    import pandas as pd
+
+    def cell_pairs(pdf):
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_b": np.array([], dtype=np.int64)})
+        x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        s = x @ x.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        m = s[iu, ju] >= 0.9
+        return pd.DataFrame({"id_b": np.maximum(ids[iu[m]], ids[ju[m]])})
+
+    sem_drops = (
+        cells.select("vec_id", "cell_id", "embedding")
+        .groupBy("cell_id")
+        .applyInPandas(cell_pairs, "id_b bigint")
+        .distinct()
+        .count()
+    )
     truth = similarity.signbit_lsh_pairs(corpus, tau=0.9).select("id_b").distinct().count()
     corpus.unpersist()
     all_pairs = n * (n - 1) / 2
@@ -193,6 +216,8 @@ def run_semdedup(spark, factor: int) -> dict:
         "within_cell_pairs": int(stats["pairs"]),
         "pairs_ratio_vs_n2": round(float(stats["pairs"]) / all_pairs, 9),
         "true_drops": truth,
+        "semdedup_drops": sem_drops,
+        "recall": round(sem_drops / truth, 4) if truth else None,
         "secs_kmeans": round(t_kmeans, 2),
         "secs_assign_census": round(t_assign, 2),
     }
