@@ -267,3 +267,37 @@ def test_pack_sequences_partitioned_window_no_global_funnel(spark):
     assert "windowspecdefinition(source" in p  # keyed, not global
     assert "hashpartitioning(source" in p
     assert "partial_count" in p or "partial" in p.lower()
+
+
+def test_ohlc_windows_share_the_group_exchange(spark):
+    """ts_resample_ohlc's claim: the two row-number windows and the
+    groupBy share the (event_type, bar) clustering — exactly one
+    pre-aggregation Exchange (the second Exchange in the plan is the
+    output ORDER BY's range partitioning)."""
+    p = plan_of(spark, "ts_resample_ohlc")
+    lines = [l for l in p.splitlines() if "Exchange" in l and "rangepartitioning" not in l]
+    assert len(lines) == 1, lines
+    assert p.count("Window") == 2
+
+
+def test_gapfill_never_cross_joins_the_calendar(spark):
+    p = plan_of(spark, "ts_gapfill_interpolate")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate explode" in p  # per-key sequence() spine
+
+
+def test_lateral_topk_decorrelates(spark):
+    """Catalyst must rewrite the correlated LATERAL LIMIT subquery into
+    a ranked join — per-customer re-execution would appear as a
+    nested-loop/cartesian shape."""
+    p = plan_of(spark, "join_lateral_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p  # the decorrelated rank
+
+def test_semdedup_never_goes_quadratic(spark):
+    p = plan_of(spark, "dedup_semdedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInPandas" in p  # per-cell bounded matmul
