@@ -21,4 +21,5 @@ from chess_ratings_spark.plans import (  # noqa: F401
     timeseries,
     tpch,
     training,
+    warehouse,
 )

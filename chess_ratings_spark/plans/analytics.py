@@ -953,3 +953,41 @@ def agg_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.10
         ).alias("inter_within_bound"),
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)
+                    + 7 * (length(text)
+                           - length(replace(text, 'e', '')))) AS BIGINT)
+             AS score_sum
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Arrow-optimized Python UDF (Spark 4, SPARK-40307: "
+    "udf(useArrow=True)) — the fourth and newest Python-function "
+    "flavor after pandas scalar (udf_vector_norm), pandas grouped-agg "
+    "(udf_grouped_trend), and UDTF (udtf_doc_chunks): per-row Python "
+    "semantics with Arrow-batch transfer instead of pickle, ~2x the "
+    "old row-serializer throughput while keeping the plain-function "
+    "programming model. The function is exact integer math "
+    "(chars + 7x'e'-count) so the oracle replays it with no float "
+    "grid; the aggregate keeps output bounded. The engine's hot paths "
+    "still avoid per-row Python entirely — this query pins the API "
+    "surface, not a recommended pattern.",
+    tags=("udf", "documents", "spark4"),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("bigint", useArrow=True)
+    def score(text: str) -> int:
+        return len(text) + 7 * text.count("e")
+
+    d = tables.load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", score("text").alias("s"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("s").alias("score_sum"))
+        .orderBy("lang")
+    )

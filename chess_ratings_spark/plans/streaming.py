@@ -238,6 +238,37 @@ def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value * weight), 2) AS weighted_value
+    FROM events
+    JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                 ('signup', 5.0), ('error', 0.0)) AS w(event_type, weight)
+      USING (event_type)
+    GROUP BY event_type
+    """,
+    doc="Stream-static join — the canonical production streaming shape "
+    "(event stream enriched against a slowly-changing dimension): the "
+    "static side re-resolves in EVERY micro-batch (dim updates are "
+    "picked up without restarting the query), carries no watermark "
+    "and no join state — per batch it is just a broadcast hash join, "
+    "unlike the stateful stream-stream interval joins. The oracle is "
+    "the batch join aggregate: enrichment through the micro-batch "
+    "engine must not change a single weighted sum.",
+    tags=("streaming", "join", "events", "live"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    weights = tables.local_table(
+        spark,
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        [("event_type", "string"), ("weight", "double")],
+    )
+    return stream_ops.static_join_stream(spark, ev, weights)
+
+
+@register(
     "stream_checkpoint",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_events

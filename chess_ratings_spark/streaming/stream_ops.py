@@ -383,6 +383,23 @@ def stateful_stream_rocksdb(
     return _snapshot_sink(spark, name)
 
 
+def static_join_stream(spark: SparkSession, ev: DataFrame, weights: DataFrame) -> DataFrame:
+    """Stream-static join — per-micro-batch dimension enrichment, the
+    most common production streaming shape (events stream x slowly-
+    changing dim): the static side is joined fresh in EVERY micro-batch
+    (so a dim updated between batches is picked up without restarting
+    the query), needs no watermark and holds no join state — unlike
+    stream-stream joins, the static side is simply a broadcast per
+    batch. The aggregate downstream is normal stateful streaming."""
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(_stage(ev, reuse=True))
+    j = src.join(F.broadcast(weights), "event_type")
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted_value"),
+    )
+    return _drain(spark, agg, "complete")
+
+
 def session_stream(spark: SparkSession, ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows as a real streaming query. Append mode
     emits a session once the watermark passes its end; end-of-stream
