@@ -238,6 +238,45 @@ def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_then_window",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+    ), j AS (
+      SELECT pid, p_ts FROM p JOIN v USING (user_id)
+      WHERE v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts
+    ), b AS (SELECT max(ts) AS hi FROM events)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', p_ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j, b
+    WHERE time_bucket(INTERVAL '1 hour', p_ts) + INTERVAL '1 hour'
+            <= hi - INTERVAL '4 hours'
+    GROUP BY 1
+    """,
+    doc="Multiple stateful operators in one streaming query "
+    "(SPARK-40925, Spark 3.4+): a watermarked stream-stream interval "
+    "join feeds a tumbling event-time window aggregation in the SAME "
+    "query — the shape that previously forced two queries and an "
+    "intermediate sink. The test is watermark PROPAGATION: the window "
+    "operator finalizes against the join's output watermark (input "
+    "watermark minus the join's buffering delay), so both sides are "
+    "compared on the closed horizon every correct implementation "
+    "must have emitted (window end ≤ max_ts − 6h = delay + lookback "
+    "+ width/2); the oracle replays join + bucketing + horizon "
+    "exactly. Two micro-batches drive finalization (all data, then a "
+    "filtered-out sentinel) — the late_data_stream harness pattern.",
+    tags=("streaming", "join", "events", "live"),
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.join_then_window_stream(spark, ev)
+
+
+@register(
     "stream_static_join",
     oracle="""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,

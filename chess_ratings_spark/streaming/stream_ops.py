@@ -481,6 +481,90 @@ def interval_join_stream(
     return _drain(spark, joined, "append")
 
 
+def join_then_window_stream(
+    spark: SparkSession,
+    ev: DataFrame,
+    lookback: str = "1 hour",
+    width: str = "1 hour",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """TWO stateful operators in ONE streaming query (SPARK-40925,
+    Spark 3.4+): a watermarked stream-stream interval join (purchases ×
+    same-user views within `lookback` before the purchase) feeding a
+    tumbling event-time window aggregation over the join output —
+    previously this required two queries with an intermediate sink.
+
+    Event-time/watermark propagation is the whole point: the join's
+    output watermark is the input watermark minus the join's buffering
+    delay, and the downstream window finalizes against THAT. The
+    harness runs two micro-batches (all events, then one sentinel row
+    that both sides filter out) so the batch-1 watermark
+    (max_ts − delay) takes effect and finalizes windows in batch 2.
+    Because the engine's effective finalization horizon after a
+    chained join is implementation-defined within
+    [max_ts − delay − lookback, max_ts − delay], BOTH the streamed
+    output and the oracle are restricted to windows ending at or
+    before max_ts − delay − lookback − width/2 (a horizon every
+    correct implementation must have emitted) — the comparison is
+    exact on that closed set."""
+    import datetime as _dt
+
+    base = tempfile.mkdtemp(prefix="crs_msop_") + "/in"
+    sel = lambda d: d.select("event_id", "ts", "user_id", "event_type", "value", "props")  # noqa: E731
+    sel(ev).write.mode("overwrite").parquet(base)
+    sentinel = ev.filter(F.col("event_type") == "error").orderBy("ts").limit(1)
+
+    def side(name: str, ts_alias: str, id_alias: str) -> DataFrame:
+        src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(base))
+        return (
+            src.filter(F.col("event_type") == name)
+            .withWatermark("ts", delay)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(f"{id_alias}_user"),
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    p = side("purchase", "p_ts", "purchase_id")
+    v = side("view", "v_ts", "view_id")
+    joined = p.join(
+        v,
+        (F.col("purchase_id_user") == F.col("view_id_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    )
+    agg = (
+        joined.groupBy(F.window("p_ts", width))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("window.end").alias("w_end"),
+            "n_pairs",
+        )
+    )
+    name = "msop_" + uuid.uuid4().hex[:12]
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()  # batch 1: all data; watermark set at end
+        sel(sentinel).write.mode("append").parquet(base)
+        q.processAllAvailable()  # batch 2: finalized windows emit
+        q.stop()
+    out = _snapshot_sink(spark, name)
+    hi = ev.agg(F.max("ts")).collect()[0][0]  # bounded 1-row scalar
+    horizon = hi - _dt.timedelta(hours=4)  # delay 2h + lookback 1h + width 1h
+    return (
+        out.filter(F.col("w_end").cast("timestamp_ntz") <= _ntz_lit(horizon))
+        .select("window_start", "n_pairs")
+    )
+
+
 def foreach_batch_merge_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
     """Streaming upsert sink via foreachBatch: each microbatch's
     per-user partial aggregate MERGEs into a versioned parquet state
