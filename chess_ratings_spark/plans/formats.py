@@ -154,3 +154,53 @@ def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sink_overwrite_dynamic",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'click'
+                         THEN 2 * CAST(floor(value * 100) AS BIGINT)
+                         ELSE CAST(floor(value * 100) AS BIGINT) END)
+                AS BIGINT) AS vc_sum
+    FROM events GROUP BY event_type
+    """,
+    doc="Dynamic partition overwrite — the daily re-ingest verb: the "
+    "full events table lands partitioned by event_type, then a "
+    "CORRECTED 'click' slice (values doubled) is written with "
+    "mode('overwrite') + partitionOverwriteMode=dynamic, which must "
+    "replace ONLY the click partition and leave the other four "
+    "untouched (static overwrite would truncate the whole table — "
+    "the career-ending default this option exists to avoid; the "
+    "reference's skip-if-exists month logic, ingest_web_to_gcs.py:"
+    "189-193, is this exact semantics). The census proves both "
+    "properties at once: click's checksum is exactly 2× the "
+    "original, every other partition's count and checksum are "
+    "byte-identical to the initial landing.",
+    tags=("sink", "formats", "events"),
+)
+def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark import tables as _t
+
+    ev = _t.load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    path = tempfile.mkdtemp(prefix="crs_dynow_") + "/t"
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    corrected = ev.filter(F.col("event_type") == "click").withColumn(
+        "vc", F.col("vc") * 2
+    )
+    (
+        corrected.write.partitionBy("event_type")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc_sum")
+    )
