@@ -115,3 +115,125 @@ def test_tablelog_matches_model(spark, tmp_path_factory, protocol, ops):
         assert {r.k for r in live_df(v).collect()} == set(expected), (
             f"version {v} diverged from model"
         )
+
+
+# branch/restore vocabulary: main appends, MOR deletes, RESTORE to a
+# random earlier version, branch staging (fork-on-first-use + append),
+# and publish (fast-forward where main is unmoved since the fork, else
+# a REQUIRED CommitConflict).
+_branch_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 9)),
+        st.tuples(st.just("delete"), st.integers(0, 4)),
+        st.tuples(st.just("restore"), st.integers(0, 9)),
+        st.tuples(st.just("branch"), st.integers(0, 9)),
+        st.tuples(st.just("publish"), st.just(0)),
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_branch_ops)
+def test_tablelog_branch_restore_matches_model(spark, tmp_path_factory, ops):
+    """Model-based check of the round-8 verbs: RESTORE must land main
+    exactly on the chosen historical set, branch staging must never
+    leak into main, fast-forward publish must land exactly the staged
+    set, a diverged-fork publish must raise CommitConflict and leave
+    main untouched, and EVERY main version (including post-restore and
+    post-publish ones) must time-travel to its recorded model set."""
+    from chess_ratings_spark.operators.tablelog import CommitConflict
+
+    base = tmp_path_factory.mktemp("brmdl")
+    log = TableLog(base / "t")
+    dv_dir = base / "dv"
+    dv_dir.mkdir(exist_ok=True)
+
+    model: set[int] = set()
+    history: list[tuple[int, frozenset[int]]] = []
+    branch = None  # (TableLog handle, model set, fork main-version)
+    n_dv = 0
+    n_br = 0
+
+    def live_df(lg, version=None):
+        m = lg.read_manifest(version)
+        df = lg.snapshot(spark, version)
+        for dv in m.get("delete_vectors", []):
+            df = df.join(
+                F.broadcast(spark.read.parquet(dv)), "k", "left_anti"
+            )
+        return df
+
+    for i, (kind, arg) in enumerate(ops):
+        if kind == "append":
+            lo = arg * 20 + i * 200
+            keys = set(range(lo, lo + 20))
+            v = log.append(
+                spark.range(lo, lo + 20).select(F.col("id").alias("k")),
+                n_files=2,
+                tag=f"a{i}",
+            )
+            model |= keys
+            history.append((v, frozenset(model)))
+        elif kind == "delete" and history:
+            doomed = {k for k in model if k % 5 == arg}
+            if not doomed:
+                continue
+            n_dv += 1
+            p = str(dv_dir / f"d{n_dv}")
+            spark.createDataFrame(
+                [(k,) for k in sorted(doomed)], "k bigint"
+            ).coalesce(1).write.parquet(p)
+            m = log.read_manifest()
+            v = log.commit(
+                m["files"],
+                op="delete-mor",
+                extra={"delete_vectors": m.get("delete_vectors", []) + [p]},
+            )
+            model -= doomed
+            history.append((v, frozenset(model)))
+        elif kind == "restore" and history:
+            tgt_v, tgt_set = history[arg % len(history)]
+            v = log.restore(tgt_v)
+            model = set(tgt_set)
+            history.append((v, frozenset(model)))
+        elif kind == "branch" and history:
+            if branch is None:
+                n_br += 1
+                br = log.create_branch(f"b{n_br}")
+                branch = [br, set(model), log.latest_version()]
+            lo = 100_000 + arg * 20 + i * 200
+            keys = set(range(lo, lo + 20))
+            branch[0].append(
+                spark.range(lo, lo + 20).select(F.col("id").alias("k")),
+                n_files=2,
+                tag=f"b{i}",
+            )
+            branch[1] |= keys
+            # staging must be invisible to main
+            assert {r.k for r in live_df(log).collect()} == model
+        elif kind == "publish" and branch is not None:
+            br, br_model, fork_v = branch
+            if log.latest_version() == fork_v:
+                v = log.fast_forward(br, "staged")
+                model = set(br_model)
+                history.append((v, frozenset(model)))
+            else:
+                with pytest.raises(CommitConflict):
+                    log.fast_forward(br, "staged")
+                # a rejected publish must leave main untouched
+                assert {r.k for r in live_df(log).collect()} == model
+            branch = None
+
+    if not history:
+        return
+    assert {r.k for r in live_df(log).collect()} == model
+    for v, expected in history:
+        assert {r.k for r in live_df(log, v).collect()} == set(expected), (
+            f"main version {v} diverged from model"
+        )
