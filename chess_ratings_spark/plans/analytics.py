@@ -991,3 +991,63 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("s").alias("score_sum"))
         .orderBy("lang")
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_merged
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Bitmap aggregates (Spark 3.5, SPARK-44094: "
+    "bitmap_bucket_number / bitmap_bit_position / "
+    "bitmap_construct_agg / bitmap_or_agg / bitmap_count) — EXACT "
+    "mergeable distinct counting, the precise counterpart to "
+    "agg_approx_distinct's HLL: per (group, 32k-bucket) fixed-size "
+    "bitmaps OR-merge losslessly, so exact distinct counts compose "
+    "across partitions, shards, and incremental batches the way only "
+    "approximate sketches otherwise do (count(DISTINCT) itself is "
+    "NOT mergeable — you cannot add two distinct counts). Proven "
+    "in-query: n_users computes the direct bitmap path, "
+    "n_users_merged rebuilds per-(user_id%4)-shard partial bitmaps "
+    "and OR-merges them — both must equal the plain COUNT DISTINCT "
+    "the oracle states. At 100 TB this is the daily-active-users "
+    "rollup pattern: store per-day bitmaps, OR them for any date "
+    "range, count exactly — no rescan.",
+    tags=("agg", "events", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables.load(spark, sf_dir, "events").createOrReplaceTempView(
+        "crs_bm_events"
+    )
+    return spark.sql(
+        """
+        WITH direct AS (
+          SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          FROM crs_bm_events
+          GROUP BY event_type, bitmap_bucket_number(user_id)
+        ), d AS (
+          SELECT event_type, CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users
+          FROM direct GROUP BY event_type
+        ), part AS (
+          SELECT event_type, user_id % 4 AS shard,
+                 bitmap_bucket_number(user_id) AS bkt,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          FROM crs_bm_events
+          GROUP BY event_type, user_id % 4, bitmap_bucket_number(user_id)
+        ), merged AS (
+          SELECT event_type, bkt, bitmap_or_agg(bm) AS bm
+          FROM part GROUP BY event_type, bkt
+        ), m AS (
+          SELECT event_type,
+                 CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users_merged
+          FROM merged GROUP BY event_type
+        )
+        SELECT d.event_type, d.n_users, m.n_users_merged
+        FROM d JOIN m USING (event_type)
+        ORDER BY event_type
+        """
+    )
