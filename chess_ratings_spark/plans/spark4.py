@@ -549,3 +549,54 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "fn_tz_convert",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           strftime(min(timezone('America/New_York', timezone('UTC', ts))),
+                    '%Y-%m-%d %H:%M:%S') AS first_ny,
+           strftime(max(timezone('Asia/Kolkata', timezone('UTC', ts))),
+                    '%Y-%m-%d %H:%M:%S') AS last_kolkata,
+           strftime(max(timezone('Australia/Eucla', timezone('UTC', ts))),
+                    '%Y-%m-%d %H:%M:%S') AS last_eucla
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Explicit timezone conversion as a COLUMN function "
+    "(convert_timezone, SPARK-38195) — wall-clock math that never "
+    "consults the session timezone, which is the only way timestamp "
+    "logic survives a driver whose session zone is arbitrary (the "
+    "hostile-tz sim runs America/New_York): events' NTZ instants "
+    "(UTC wall clock by fixture convention) are converted to New "
+    "York, Kolkata (+5:30), and Eucla (+8:45) — the sub-hour offsets "
+    "that break any code assuming whole-hour zones. DuckDB replays "
+    "via the two-step timezone(zone, timezone(src, ts)) composition, "
+    "verified datetime-equal per value (both engines read the same "
+    "IANA tzdb); outputs render as strings so the hash compares wall "
+    "clocks, not instants.",
+    tags=("scalar", "spark4", "events", "datetime"),
+)
+def fn_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+
+    def conv(zone: str):
+        return F.convert_timezone(F.lit("UTC"), F.lit(zone), F.col("ts"))
+
+    return (
+        ev.select(
+            "event_type",
+            conv("America/New_York").alias("ny"),
+            conv("Asia/Kolkata").alias("kk"),
+            conv("Australia/Eucla").alias("eu"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(F.min("ny"), "yyyy-MM-dd HH:mm:ss").alias("first_ny"),
+            F.date_format(F.max("kk"), "yyyy-MM-dd HH:mm:ss").alias("last_kolkata"),
+            F.date_format(F.max("eu"), "yyyy-MM-dd HH:mm:ss").alias("last_eucla"),
+        )
+        .orderBy("event_type")
+    )

@@ -107,8 +107,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     # --- 50+: the window is exactly full (5 new/changed + the 45-name
     #     rotation-debt clearance), so the rest of round 8's new
     #     queries queue here, all locally sim-verified (full registry
-    #     == ALL MATCH at sf0.01 AND sf0.001); FRONT THESE 36 (16 here
-    #     + the 20 late-round-8 additions below) in the round-9 window ---
+    #     == ALL MATCH at sf0.01 AND sf0.001); FRONT THESE 37 (16 here
+    #     + the 21 late-round-8 additions below) in the round-9 window ---
     "lake_clone_shallow",
     "join_aqe_skew",
     "ml_gd_classifier",
@@ -146,6 +146,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_join_then_window",
     "sink_overwrite_dynamic",
     "agg_bitmap_distinct",
+    "fn_tz_convert",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---
