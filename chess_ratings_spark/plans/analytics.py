@@ -1051,3 +1051,268 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+@register(
+    "agg_entropy_gini",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS HUGEINT) AS c
+      FROM documents GROUP BY source, lang
+    ), t AS (
+      SELECT source, lang, c,
+             CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS clnc_e6
+      FROM c
+    ), g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(c) AS HUGEINT) AS n,
+             CAST(sum(c * c) AS HUGEINT) AS sum_c2,
+             CAST(sum(clnc_e6) AS BIGINT) AS sum_clnc_e6
+      FROM t GROUP BY source
+    )
+    SELECT source, n_langs, CAST(n AS BIGINT) AS n,
+           CAST(((n * n - sum_c2) * 1000000) // (n * n) AS BIGINT)
+             AS gini_e6,
+           CAST(floor((ln(CAST(n AS DOUBLE))
+                       - (CAST(sum_clnc_e6 AS DOUBLE) / 1e6)
+                         / CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+             AS entropy_e6
+    FROM g ORDER BY source
+    """,
+    doc="Categorical distribution-balance aggregates per corpus source: "
+    "Gini impurity 1 - Σp² and Shannon entropy of the language mix "
+    "— the label-balance monitors a training-data pipeline runs "
+    "before mixing sources (a source whose language entropy collapses "
+    "is a scraper regression mean/count monitors miss). Gini is EXACT "
+    "integer arithmetic end-to-end: (n² - Σc²)·10⁶ "
+    "floor-divided by n² on decimal(38,0)/HUGEINT (both engines' "
+    "integral division truncates toward zero = floor for the "
+    "non-negative domain), overflow-safe past 10¹⁹ rows per group. "
+    "Entropy needs ln (transcendental), so it follows the repo's "
+    "floor-grid discipline (DESIGN.md 'Oracle-parity rules'): each "
+    "c·ln(c) term is floored to an e6 BIGINT grid PER GROUP ROW "
+    "(exact, layout-independent integer sum across the lang "
+    "dimension), then H = ln(n) - Σterm/n is evaluated as the "
+    "textually identical IEEE expression in both engines and floored "
+    "to e6. tests/test_grid_agreement.py covers the c·ln(c) domain. "
+    "One partial+final HashAggregate pair per level; mergeable across "
+    "partitions (counts then moments), no holistic state.",
+    tags=("agg", "documents", "quality"),
+)
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    t = c.withColumn(
+        "clnc_e6",
+        F.floor(
+            F.col("c").cast("double")
+            * F.log(F.col("c").cast("double"))
+            * F.lit(1e6)
+        ).cast("bigint"),
+    )
+    g = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.sum("clnc_e6").cast("bigint").alias("sum_clnc_e6"),
+    )
+    return (
+        g.selectExpr(
+            "source",
+            "n_langs",
+            "CAST(n AS BIGINT) AS n",
+            "CAST((n * n - sum_c2) * 1000000 div (n * n) AS BIGINT)"
+            " AS gini_e6",
+            "CAST(floor((ln(CAST(n AS DOUBLE))"
+            " - (CAST(sum_clnc_e6 AS DOUBLE) / 1e6)"
+            " / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS entropy_e6",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "win_median_rolling",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, vc,
+             list_sort(list(vc) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS frame
+      FROM t
+    )
+    SELECT event_id, user_id, vc,
+           CAST(len(frame) AS INT) AS n_frame,
+           frame[CAST((len(frame) + 1) // 2 AS INT)]
+             + frame[CAST((len(frame) + 2) // 2 AS INT)] AS med2_centi
+    FROM w ORDER BY event_id
+    """,
+    doc="Exact rolling median over a 7-row trailing frame per user — "
+    "the robust-location window mean-based rolling stats can't give "
+    "(one outlier tick drags a rolling mean for 7 rows; the median "
+    "shrugs it off). Spark has no holistic window aggregate, so the "
+    "bounded frame is materialized explicitly: collect_list over "
+    "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW (≤7 elements — state "
+    "is O(frame), NOT O(partition)), array_sort, then lower+upper "
+    "middle summed on the centi grid (med2 = 2·median stays integral "
+    "for even frames — no float division anywhere). DuckDB replays "
+    "with its native list() window aggregate and 1-based extracts. "
+    "Ties are harmless (sorted duplicates), and the (ts, event_id) "
+    "order key makes the frame itself deterministic. One window "
+    "shuffle on user_id; at 100 TB this is the same single exchange "
+    "any per-entity rolling stat costs, and the frame bound keeps "
+    "per-row state constant — it never degrades into the "
+    "collect-the-whole-partition antipattern.",
+    tags=("window", "events"),
+)
+def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    framed = e.withColumn("frame", F.array_sort(F.collect_list("vc").over(w)))
+    return (
+        framed.selectExpr(
+            "event_id",
+            "user_id",
+            "vc",
+            "CAST(size(frame) AS INT) AS n_frame",
+            "element_at(frame, CAST((size(frame) + 1) div 2 AS INT))"
+            " + element_at(frame, CAST((size(frame) + 2) div 2 AS INT))"
+            " AS med2_centi",
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "ml_normal_equations",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(l_quantity AS HUGEINT) AS x1,
+             CAST(floor(l_discount * 100) AS HUGEINT) AS x2,
+             CAST(floor(l_extendedprice) AS HUGEINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+             sum(y * y) AS syy
+      FROM t
+    ), d AS (
+      SELECT n, sy, s1y, s2y, syy,
+        n  * (s11 * s22 - s12 * s12)
+          - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2) AS det,
+        sy * (s11 * s22 - s12 * s12)
+          - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        n  * (s1y * s22 - s12 * s2y)
+          - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2) AS det1,
+        n  * (s11 * s2y - s1y * s12)
+          - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2) AS det2
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((det0 * 1000000) // det AS BIGINT) AS beta0_e6,
+           CAST((det1 * 1000000) // det AS BIGINT) AS beta1_e6,
+           CAST((det2 * 1000000) // det AS BIGINT) AS beta2_e6,
+           CAST(floor((1.0 - (CAST(syy AS DOUBLE)
+                   - (CAST(det0 AS DOUBLE) * CAST(sy AS DOUBLE)
+                      + CAST(det1 AS DOUBLE) * CAST(s1y AS DOUBLE)
+                      + CAST(det2 AS DOUBLE) * CAST(s2y AS DOUBLE))
+                     / CAST(det AS DOUBLE))
+                  / (CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                       / CAST(n AS DOUBLE))) * 1e6) AS BIGINT) AS r2_e6
+    FROM d
+    """,
+    doc="Exact closed-form multiple linear regression (2 features + "
+    "intercept) by the normal equations: price ~ quantity + discount "
+    "over lineitem. The distributed part is ONE partial+final "
+    "aggregate computing the 10 Gram sums (n, Σx, Σxx', Σxy, Σy²) — "
+    "the textbook 'sufficient statistics' reduction, mergeable across "
+    "any sharding, which is why this pattern (not gradient descent) "
+    "is the 100 TB answer when d is small: one pass, one shuffle of "
+    "10 numbers per partition. The 3x3 solve itself happens IN-PLAN "
+    "on the 1-row aggregate via Cramer determinants evaluated in "
+    "EXACT integer arithmetic (decimal(38,0) / HUGEINT; features on "
+    "integer grids keep every minor exact, magnitudes ≲1e33 at sf0.1 "
+    "— 38-digit headroom; at petabyte row counts the same sums feed "
+    "the float path instead). β coefficients land on an e6 grid by "
+    "exact integer truncating division (Spark div ≡ DuckDB // — both "
+    "truncate toward zero including the negative discount "
+    "coefficient, the bridge verified in DESIGN.md). R² is the one "
+    "float output: evaluated from the SAME exact integers by a "
+    "textually identical +,-,*,/ expression (IEEE-deterministic, no "
+    "libm), e6-floored. ml_linear_trend_exact is the d=1 special "
+    "case; ml_gd_classifier covers the iterative regime.",
+    tags=("ml", "lineitem"),
+)
+def ml_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    t = li.selectExpr(
+        "CAST(l_quantity AS DECIMAL(38,0)) AS x1",
+        "CAST(floor(l_discount * 100) AS DECIMAL(38,0)) AS x2",
+        "CAST(floor(l_extendedprice) AS DECIMAL(38,0)) AS y",
+    )
+    s = t.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.expr("x1 * x1")).alias("s11"),
+        F.sum(F.expr("x1 * x2")).alias("s12"),
+        F.sum(F.expr("x2 * x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x1 * y")).alias("s1y"),
+        F.sum(F.expr("x2 * y")).alias("s2y"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    d = s.selectExpr(
+        "n", "sy", "s1y", "s2y", "syy",
+        "n  * (s11 * s22 - s12 * s12)"
+        " - s1 * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s12 - s11 * s2) AS det",
+        "sy * (s11 * s22 - s12 * s12)"
+        " - s1 * (s1y * s22 - s12 * s2y)"
+        " + s2 * (s1y * s12 - s11 * s2y) AS det0",
+        "n  * (s1y * s22 - s12 * s2y)"
+        " - sy * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s2y - s1y * s2) AS det1",
+        "n  * (s11 * s2y - s1y * s12)"
+        " - s1 * (s1 * s2y - s1y * s2)"
+        " + sy * (s1 * s12 - s11 * s2) AS det2",
+    )
+    return d.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST((det0 * 1000000) div det AS BIGINT) AS beta0_e6",
+        "CAST((det1 * 1000000) div det AS BIGINT) AS beta1_e6",
+        "CAST((det2 * 1000000) div det AS BIGINT) AS beta2_e6",
+        "CAST(floor((1.0 - (CAST(syy AS DOUBLE)"
+        " - (CAST(det0 AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " + CAST(det1 AS DOUBLE) * CAST(s1y AS DOUBLE)"
+        " + CAST(det2 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+        " / CAST(det AS DOUBLE))"
+        " / (CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE))) * 1e6) AS BIGINT) AS r2_e6",
+    )

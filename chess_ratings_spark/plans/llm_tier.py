@@ -1098,3 +1098,94 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value", "view_value",
         "asof_direction", "asof_lag",
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH pairs AS ("""
+    + _EXACT_JACCARD_ORACLE.format(tau=0.8)
+    + """
+    ), e AS (
+      SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b FROM pairs
+    ), adj AS (
+      SELECT a AS node, b AS nbr FROM e
+      UNION ALL SELECT b AS node, a AS nbr FROM e
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node
+    ), adjc AS (
+      SELECT adj.node, adj.nbr FROM adj JOIN deg ON adj.node = deg.node
+      WHERE deg.d <= 64
+    ), co AS (
+      SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS inter
+      FROM adjc x JOIN adjc y ON x.nbr = y.nbr AND x.node < y.node
+      GROUP BY x.node, y.node
+    )
+    SELECT co.a, co.b, co.inter,
+           da.d + db.d - co.inter AS uni,
+           CAST((co.inter * 1000000) // (da.d + db.d - co.inter) AS BIGINT)
+             AS jacc_e6
+    FROM co JOIN deg da ON co.a = da.node JOIN deg db ON co.b = db.node
+    ORDER BY jacc_e6 DESC, a, b
+    """,
+    doc="Structural (neighborhood) Jaccard similarity over the verified "
+    "near-dup pair graph: for every node pair sharing >= 1 neighbor, "
+    "|N(a) AND N(b)| / |N(a) OR N(b)| — the link-prediction / "
+    "role-equivalence score (two docs never directly matched but "
+    "duplicating the same third docs are cluster-mates the pairwise "
+    "join missed). Pair generation is the shared-neighbor equi-join "
+    "(each neighbor w emits the pairs within N(w)) — per-node fanout "
+    "is d(w) choose 2, so the hot-node cap d <= 64 bounds candidate "
+    "volume the same way the capped inverted index bounds "
+    "sim_containment_join; at 100 TB the cap is the difference "
+    "between sum-of-d-squared and quadratic blowup on celebrity "
+    "nodes (capped nodes still appear as pair ENDPOINTS — only their "
+    "fanout as the shared witness is cut). Jaccard lands exact on an "
+    "e6 integer grid (inter*10^6 floor-div union, both engines "
+    "truncate non-negative division). Reuses the session-cached "
+    "verified pair set, so the expensive shingle verify join is "
+    "computed once across the graph family.",
+    tags=("graph", "dedup"),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = shared_verified_pairs(spark, sf_dir, tau=0.8)
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    adjc = adj.join(deg.filter(F.col("d") <= 64), "node", "inner").select(
+        "node", "nbr"
+    )
+    x, y = adjc.alias("x"), adjc.alias("y")
+    co = (
+        x.join(
+            y,
+            (F.col("x.nbr") == F.col("y.nbr"))
+            & (F.col("x.node") < F.col("y.node")),
+        )
+        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        co.join(da, "a")
+        .join(db, "b")
+        .selectExpr(
+            "a",
+            "b",
+            "inter",
+            "da + db - inter AS uni",
+            "CAST((inter * 1000000) div (da + db - inter) AS BIGINT)"
+            " AS jacc_e6",
+        )
+        .orderBy(F.desc("jacc_e6"), "a", "b")
+    )

@@ -147,6 +147,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sink_overwrite_dynamic",
     "agg_bitmap_distinct",
     "fn_tz_convert",
+    # --- final round-8 session additions (same round-9 queue) ---
+    "agg_entropy_gini",
+    "win_median_rolling",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

@@ -188,3 +188,37 @@ def test_distribution_shape_e6_grid(sf_dir):
             v = val * 1e6
             dist = min(v - math.floor(v), math.ceil(v) - v)
             assert dist > 1e-3, (sf_dir, flag, label, v)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_entropy_grids(sf_dir):
+    """agg_entropy_gini's two floor grids: the per-(source, lang)
+    c·ln(c)·1e6 term grid and the final per-source entropy e6 grid
+    (ln(n) - Σterm/1e6/n). Gini needs no check — exact integers."""
+    con = _con(sf_dir)
+    rows = con.execute(
+        """
+        SELECT source, lang, count(*) AS c
+        FROM documents GROUP BY source, lang
+        """
+    ).fetchall()
+    assert rows
+    worst = min(
+        margin_ok(c * math.log(c), 1e6) for _, _, c in rows if c > 1
+    )
+    assert worst > 0, f"c*ln(c)*1e6 boundary margin exhausted: {worst}"
+    # the downstream entropy expression, replayed exactly as both
+    # engines evaluate it (from the already-floored term sums)
+    by_src: dict[str, list[int]] = {}
+    for s, _, c in rows:
+        by_src.setdefault(s, []).append(c)
+    worst_h = None
+    for cs in by_src.values():
+        n = sum(cs)
+        sum_e6 = sum(math.floor(c * math.log(c) * 1e6) for c in cs)
+        h = math.log(float(n)) - (sum_e6 / 1e6) / float(n)
+        m = margin_ok(h, 1e6)
+        worst_h = m if worst_h is None else min(worst_h, m)
+    assert worst_h is not None and worst_h > 0, (
+        f"entropy*1e6 boundary margin exhausted: {worst_h}"
+    )
