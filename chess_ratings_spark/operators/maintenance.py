@@ -44,6 +44,34 @@ def merge_upsert(
     return t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer").select(*out_cols)
 
 
+def merge_upsert_evolve(
+    target: DataFrame, source: DataFrame, key: str, update_cols: Sequence[str]
+) -> DataFrame:
+    """MERGE ... WITH SCHEMA EVOLUTION semantics (the Delta/Spark-4
+    automatic-evolution contract): columns present only in the SOURCE
+    are added to the merged schema, with pre-existing target rows
+    taking NULL for them; matched rows then update source-only columns
+    like any other update column. The target is widened IN-PLAN
+    (typed NULL literals — pure projection, no data rewrite; on a
+    manifest-log table the old files simply lack the column, exactly
+    Parquet schema-merge semantics) before the single full-outer
+    merge join."""
+    new_cols = [
+        (f.name, f.dataType)
+        for f in source.schema.fields
+        if f.name not in target.columns
+    ]
+    widened = target
+    for name, dtype in new_cols:
+        widened = widened.withColumn(name, F.lit(None).cast(dtype))
+    return merge_upsert(
+        widened,
+        source,
+        key,
+        update_cols=list(update_cols) + [n for n, _ in new_cols],
+    )
+
+
 def hash_bucket(col: Column | str, n_buckets: int = 100) -> Column:
     """Deterministic engine-portable bucket in [0, n_buckets): first 8
     hex chars of md5(string(col)) as an integer, mod n_buckets. md5 is

@@ -2194,3 +2194,188 @@ def lake_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_constraints_enforce",
+    oracle="""
+    WITH t AS (
+      SELECT user_id % 2 AS half, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), ok AS (
+      SELECT * FROM t
+      WHERE event_type <> 'error' AND vc BETWEEN 1 AND 40000
+    )
+    SELECT CAST(2 AS INT) AS n_versions,
+           CAST(1 AS INT) AS n_rejected_txns,
+           CAST((SELECT count(*) FROM t WHERE half = 1
+                 AND NOT (event_type <> 'error'
+                          AND vc BETWEEN 1 AND 40000)) AS BIGINT)
+             AS n_violations_rejected,
+           CAST((SELECT count(*) FROM ok) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(vc) FROM ok) AS BIGINT) AS value_centi_sum
+    """,
+    doc="Write-path CHECK-constraint enforcement on the manifest log — "
+    "the Delta `ALTER TABLE ADD CONSTRAINT CHECK(...)` contract: a "
+    "transaction either satisfies every table constraint on EVERY row "
+    "or commits nothing (val_constraints is the read-side audit; this "
+    "is the gate that keeps bad rows from ever becoming a version). "
+    "Constraints here: event_type <> 'error' AND value_centi in "
+    "[1, 40000]. A pre-cleaned half commits (v0); the raw second half "
+    "carries violating rows, so its append is rejected WHOLE — the "
+    "log stays put, nothing partial lands (the CAS commit makes "
+    "reject-before-publish atomic by construction); the cleaned "
+    "second half then commits (v1). The violation check is ONE "
+    "distributed count-if aggregate over the batch (predicates run "
+    "executor-side next to the scan; only the 1-row violation count "
+    "reaches the driver) — at 100 TB the gate costs one pass over "
+    "the batch being written, never a table scan. Census: versions "
+    "committed, rejected txns, violating rows in the rejected batch, "
+    "and the settled table's row count + checksum, all replayed "
+    "logically by the oracle.",
+    tags=("lakehouse", "validation", "events"),
+)
+def lake_constraints_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 2).alias("half"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    constraint = (F.col("event_type") != "error") & F.col("vc").between(1, 40000)
+
+    def violations(batch: DataFrame) -> int:
+        # one distributed aggregate; only the scalar reaches the driver
+        return int(
+            batch.agg(
+                F.count_if(~constraint).alias("n_bad")
+            ).collect()[0]["n_bad"]
+        )
+
+    base = tempfile.mkdtemp(prefix="crs_constraints_")
+    try:
+        log = TableLog(base)
+        n_rejected = 0
+        n_viol_rejected = 0
+        clean0 = ev.filter(F.col("half") == 0).filter(constraint)
+        assert violations(clean0) == 0
+        log.append(clean0, n_files=4, tag="half0")
+        raw1 = ev.filter(F.col("half") == 1)
+        n_bad = violations(raw1)
+        if n_bad > 0:  # whole-transaction reject: nothing published
+            n_rejected += 1
+            n_viol_rejected += n_bad
+        else:  # pragma: no cover - fixture always carries violations
+            log.append(raw1, n_files=4, tag="half1-raw")
+        clean1 = raw1.filter(constraint)
+        assert violations(clean1) == 0
+        log.append(clean1, n_files=4, tag="half1")
+        n_versions = log.latest_version() + 1
+        settled = log.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        return tables.local_table(
+            spark,
+            [
+                (
+                    int(n_versions),
+                    int(n_rejected),
+                    int(n_viol_rejected),
+                    int(settled["n"]),
+                    int(settled["s"]),
+                )
+            ],
+            [
+                ("n_versions", "int"),
+                ("n_rejected_txns", "int"),
+                ("n_violations_rejected", "bigint"),
+                ("n_rows", "bigint"),
+                ("value_centi_sum", "bigint"),
+            ],
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "sql_merge_evolution",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, 'UPSERTED' AS c_mktsegment,
+             c_acctbal + 100.0 AS c_acctbal,
+             CASE WHEN c_acctbal > 5000.0 THEN 'GOLD'
+                  ELSE 'SILVER' END AS loyalty_tier
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEWROW', 0.0, 'STARTER'
+      FROM customer WHERE c_custkey % 97 = 0
+    ), merged AS (
+      SELECT CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                  ELSE t.c_mktsegment END AS c_mktsegment,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                  ELSE t.c_acctbal END AS c_acctbal,
+             CASE WHEN s.c_custkey IS NOT NULL THEN s.loyalty_tier
+                  ELSE NULL END AS loyalty_tier
+      FROM (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer) t
+      FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    )
+    SELECT coalesce(loyalty_tier, '(none)') AS loyalty_tier,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+    doc="MERGE WITH SCHEMA EVOLUTION (the Spark 4 / Delta "
+    "automatic-evolution clause): the source carries a column the "
+    "target never had (loyalty_tier) — the merge WIDENS the target "
+    "schema in-plan (typed NULL projection; on the manifest-log "
+    "table old files simply lack the column, Parquet schema-merge "
+    "semantics — no data rewrite), pre-existing unmatched rows read "
+    "NULL for it, matched rows take the source's value, and inserts "
+    "land fully populated. Same update/insert key pattern as "
+    "merge_upsert (every 7th customer updates, every 97th inserts) "
+    "so the two queries isolate exactly the evolution delta. Census "
+    "by evolved column: NULL bucket = untouched rows, GOLD/SILVER = "
+    "updated, STARTER = inserted. One full-outer shuffle join on the "
+    "key, like any MERGE.",
+    tags=("lakehouse", "merge", "spark4"),
+)
+def sql_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("UPSERTED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.when(F.col("c_acctbal") > 5000.0, "GOLD")
+        .otherwise("SILVER")
+        .alias("loyalty_tier"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("NEWROW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("STARTER").alias("loyalty_tier"),
+    )
+    merged = maintenance.merge_upsert_evolve(
+        c,
+        updates.unionByName(inserts),
+        key="c_custkey",
+        update_cols=["c_mktsegment", "c_acctbal"],
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("loyalty_tier", F.lit("(none)")).alias("loyalty_tier")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("loyalty_tier")
+    )

@@ -600,3 +600,59 @@ def fn_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sql_exec_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Dynamic SQL the injection-safe way (Spark 4 surface): the "
+    "query TEXT arrives as a session variable, the table name binds "
+    "through IDENTIFIER(:tbl) (catalog-validated identifier, not "
+    "string splicing) and the filter value through a named parameter "
+    "marker :status — EXECUTE IMMEDIATE ... USING supplies both. "
+    "This is the metadata-driven-pipeline primitive (one parameterized "
+    "statement fanned across N tables/filters) without the injection "
+    "surface string-formatted SQL has. Parameters bind in the "
+    "ANALYZED plan, so Catalyst still sees a constant — the filter "
+    "pushes down exactly as if it were literal text. The oracle "
+    "replays the fully-resolved statement.",
+    tags=("spark4", "sql", "orders"),
+)
+def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    view = f"crs_ei_orders_{uuid.uuid4().hex[:8]}"
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        spark.sql("DECLARE OR REPLACE VARIABLE crs_ei_stmt STRING")
+        spark.sql(
+            "SET VARIABLE crs_ei_stmt = "
+            "'SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(o_totalprice), 2) AS total "
+            "FROM IDENTIFIER(:tbl) WHERE o_orderstatus = :status "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority'"
+        )
+        out = spark.sql(
+            "EXECUTE IMMEDIATE crs_ei_stmt USING ? AS tbl, ? AS status",
+            args=[view, "F"],
+        )
+        # materialize before the view is dropped
+        return tables.local_table(
+            spark,
+            [tuple(r) for r in out.collect()],
+            [
+                ("o_orderpriority", "string"),
+                ("n", "bigint"),
+                ("total", "double"),
+            ],
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -1418,3 +1418,152 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drops_subset_ok"),
         (F.count("in_s") >= F.ceil(F.count("in_t") * 0.9)).alias("recall_ok"),
     )
+
+
+@register(
+    "text_bpe_encode",
+    oracle="""
+    WITH w0 AS (
+      SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS rep, freq FROM (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS word
+          FROM documents
+        ) WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word)
+    ),"""
+    + ",".join(_bpe_iter_sql(k) for k in (1, 2, 3))
+    + """
+    , h0 AS (
+      SELECT source, regexp_replace(word, '(.)', '<\\1>', 'g') AS rep,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(strlen(word) AS BIGINT) AS nch
+      FROM (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents WHERE doc_id % 10 = 7
+      ) WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY source, word
+    ), h1 AS (
+      SELECT source, replace(rep, '<' || a || '><' || b || '>',
+                             '<' || a || b || '>') AS rep, freq, nch
+      FROM h0, t1
+    ), h2 AS (
+      SELECT source, replace(rep, '<' || a || '><' || b || '>',
+                             '<' || a || b || '>') AS rep, freq, nch
+      FROM h1, t2
+    ), h3 AS (
+      SELECT source, replace(rep, '<' || a || '><' || b || '>',
+                             '<' || a || b || '>') AS rep, freq, nch
+      FROM h2, t3
+    )
+    SELECT source,
+           CAST(sum(freq) AS BIGINT) AS n_words,
+           CAST(sum(freq * nch) AS BIGINT) AS n_chars,
+           CAST(sum(freq * len(string_split(
+               regexp_replace(rep, '^<|>$', '', 'g'), '><'))) AS BIGINT)
+             AS n_tokens,
+           CAST((sum(freq * len(string_split(
+               regexp_replace(rep, '^<|>$', '', 'g'), '><'))) * 1000000)
+               // sum(freq * nch) AS BIGINT) AS tokens_per_char_e6
+    FROM h3 GROUP BY source ORDER BY source
+    """,
+    doc="BPE tokenizer APPLICATION — the other half of text_bpe_merges: "
+    "the 3 merges trained on the full corpus vocabulary are applied, "
+    "in training order, to a held-out slice (doc_id % 10 = 7), and "
+    "the per-source fertility census (words, characters, tokens, "
+    "tokens-per-char on an exact e6 grid) comes back. This is the "
+    "every-pretraining-pipeline question 'what does the tokenizer do "
+    "to MY data': encode runs at (source, word)-vocabulary "
+    "granularity — the same literal-replace merge rule as training "
+    "(left-to-right non-overlapping in both engines, '<' anchoring "
+    "every match to a symbol start) applied via 1-row broadcast joins "
+    "(one per merge, K=3), so the corpus is never exploded to "
+    "characters and the merge table never shuffles anything. The "
+    "oracle re-derives the SAME merges with the training CTE chain, "
+    "then replays the encode — so a drifted merge order, a "
+    "wrong-order application, or an overlapping-replace divergence "
+    "all hash-mismatch. At 100 TB: train on the vocab once, encode "
+    "is an embarrassingly parallel map with a K-row broadcast — the "
+    "exact production shape.",
+    tags=("training", "text", "documents"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chess_ratings_spark.operators.text import sliding_concat
+
+    d = tables.load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.regexp_replace("word", "(.)", "<$1>").alias("rep"), "freq")
+    )
+    cur = words.localCheckpoint(eager=True)
+    tops = []
+    for _step in (1, 2, 3):
+        syms = F.split(F.regexp_replace("rep", "^<|>$", ""), "><")
+        pairs = cur.select(F.explode(sliding_concat(syms, 2)).alias("pair"), "freq")
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pair")
+            .limit(1)
+            .select(
+                F.split("pair", " ")[0].alias("a"),
+                F.split("pair", " ")[1].alias("b"),
+            )
+            .localCheckpoint(eager=True)  # pin the learned merge (1 row)
+        )
+        tops.append(top)
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                F.expr(
+                    "replace(rep, '<' || a || '><' || b || '>',"
+                    " '<' || a || b || '>')"
+                ).alias("rep"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    held = (
+        d.filter(F.col("doc_id") % 10 == 7)
+        .select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "source",
+            F.regexp_replace("word", "(.)", "<$1>").alias("rep"),
+            "freq",
+            F.length("word").cast("bigint").alias("nch"),
+        )
+    )
+    for top in tops:
+        held = held.crossJoin(F.broadcast(top)).select(
+            "source",
+            F.expr(
+                "replace(rep, '<' || a || '><' || b || '>',"
+                " '<' || a || b || '>')"
+            ).alias("rep"),
+            "freq",
+            "nch",
+        )
+    toks = F.size(F.split(F.regexp_replace("rep", "^<|>$", ""), "><")).cast(
+        "bigint"
+    )
+    return (
+        held.withColumn("ntok", toks)
+        .groupBy("source")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.col("nch")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("freq") * F.col("ntok")).cast("bigint").alias("n_tokens"),
+        )
+        .selectExpr(
+            "source", "n_words", "n_chars", "n_tokens",
+            "CAST((n_tokens * 1000000) div n_chars AS BIGINT)"
+            " AS tokens_per_char_e6",
+        )
+        .orderBy("source")
+    )

@@ -150,6 +150,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     # --- final round-8 session additions (same round-9 queue) ---
     "agg_entropy_gini",
     "win_median_rolling",
+    "ml_normal_equations",
+    "graph_jaccard_neighbors",
+    "lake_constraints_enforce",
+    "sql_merge_evolution",
+    "sql_exec_immediate",
+    "text_bpe_encode",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

@@ -403,3 +403,31 @@ def test_distribution_shape_matches_builtin_moments(spark):
     for flag, row in got.items():
         assert abs(row.skew_g1_e6 - ref[flag].g1 * 1e6) < 1.0, flag
         assert abs(row.kurt_g2_e6 - ref[flag].g2 * 1e6) < 1.0, flag
+
+
+def test_merge_upsert_evolve_widens_and_updates(spark):
+    """WITH SCHEMA EVOLUTION contract: source-only columns are added to
+    the merged schema; untouched target rows read NULL, matched rows
+    take the source value (including explicit NULL), inserts land
+    fully populated."""
+    from chess_ratings_spark.operators import maintenance
+
+    t = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, seg string, bal double",
+    )
+    s = spark.createDataFrame(
+        [(2, "B", 200.0, "GOLD"), (4, "D", 0.0, None)],
+        "k int, seg string, bal double, tier string",
+    )
+    out = maintenance.merge_upsert_evolve(
+        t, s, key="k", update_cols=["seg", "bal"]
+    )
+    assert out.columns == ["k", "seg", "bal", "tier"]
+    rows = {r["k"]: (r["seg"], r["bal"], r["tier"]) for r in out.collect()}
+    assert rows == {
+        1: ("a", 10.0, None),      # untouched: NULL for the new column
+        2: ("B", 200.0, "GOLD"),   # matched: updated incl. evolved col
+        3: ("c", 30.0, None),
+        4: ("D", 0.0, None),       # insert with explicit NULL tier
+    }
