@@ -1316,3 +1316,82 @@ def ml_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
         " / CAST(n AS DOUBLE))) * 1e6) AS BIGINT) AS r2_e6",
     )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS vc,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), d AS (
+      SELECT g, vc, CAST(sum(w) AS BIGINT) AS w FROM t GROUP BY g, vc
+    ), c AS (
+      SELECT g, vc, w,
+             CAST(sum(w) OVER (PARTITION BY g ORDER BY vc
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+             CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS totw
+      FROM d
+    )
+    SELECT g AS l_returnflag, max(totw) AS total_weight,
+           CAST(min(CASE WHEN 2 * cumw >= totw THEN vc END) AS BIGINT)
+             AS wmedian_centi,
+           CAST(min(CASE WHEN 10 * cumw >= 9 * totw THEN vc END) AS BIGINT)
+             AS wp90_centi
+    FROM c GROUP BY g ORDER BY l_returnflag
+    """,
+    doc="Exact WEIGHTED percentiles per group (weight = quantity — the "
+    "'median price per UNIT SOLD, not per order line' question; "
+    "agg_percentiles is the unweighted twin, agg_sketch_quantiles "
+    "the approximate one). Definition: smallest value whose "
+    "cumulative weight reaches q x total — evaluated entirely in "
+    "exact integer arithmetic (2·cumw >= totw and 10·cumw >= 9·totw "
+    "cross-multiplications; no float q, no interpolation, no "
+    "boundary ambiguity). Shape: pre-aggregate to DISTINCT (group, "
+    "value) pairs first — the same value-compression that makes the "
+    "cumulative window linear in distinct prices rather than rows — "
+    "then one cumulative-sum window sharing the groupBy's "
+    "clustering, then a conditional-min fold. Two shuffles total "
+    "(value agg + final group fold) at any scale; mergeable the way "
+    "any rank-pick on pre-compressed value counts is.",
+    tags=("agg", "lineitem"),
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("vc"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    d = t.groupBy("g", "vc").agg(F.sum("w").cast("bigint").alias("w"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.select(
+        "g",
+        "vc",
+        F.sum("w").over(wcum).cast("bigint").alias("cumw"),
+        F.sum("w").over(Window.partitionBy("g")).cast("bigint").alias("totw"),
+    )
+    return (
+        c.groupBy("g")
+        .agg(
+            F.max("totw").alias("total_weight"),
+            F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("vc")))
+            .cast("bigint")
+            .alias("wmedian_centi"),
+            F.min(
+                F.when(10 * F.col("cumw") >= 9 * F.col("totw"), F.col("vc"))
+            )
+            .cast("bigint")
+            .alias("wp90_centi"),
+        )
+        .selectExpr(
+            "g AS l_returnflag", "total_weight", "wmedian_centi", "wp90_centi"
+        )
+        .orderBy("l_returnflag")
+    )

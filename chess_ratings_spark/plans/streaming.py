@@ -963,3 +963,64 @@ def stream_ivm_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stream_state_timeout",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), m AS (SELECT max(us) AS max_us FROM e),
+    s AS (
+      SELECT user_id, us, vc,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 43200000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), g AS (
+      SELECT user_id, us, vc,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), sess AS (
+      SELECT user_id, sid,
+             min(us) AS start_us, max(us) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(vc) AS BIGINT) AS value_centi
+      FROM g GROUP BY user_id, sid
+    ), last AS (
+      SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id
+    )
+    SELECT sess.user_id AS user_id, start_us, end_us, n_events, value_centi
+    FROM sess JOIN last ON sess.user_id = last.user_id, m
+    WHERE sid < last_sid
+       OR (end_us // 1000 + 43200000) < (max_us // 1000 - 3600000)
+    ORDER BY sess.user_id, start_us
+    """,
+    doc="Watermark-closed sessionization — the EventTimeTimeout state "
+    "verb (stream_ops.session_timeout_stream): per-user 12 h-gap "
+    "sessions where a session that stops receiving events is closed "
+    "by the WATERMARK (setTimeoutTimestamp + hasTimedOut on the "
+    "trailing no-data micro-batch), not only by a successor row — "
+    "the abandoned-cart / dead-session emission pattern that "
+    "session_window (stream_session) cannot express because it "
+    "needs per-key custom state plus timer semantics. Emits exactly: "
+    "every session closed by a later event (batch-split independent) "
+    "plus every expired tail session (last_event + gap < final "
+    "watermark = max(ts) - 1 h, compared on the engine's ms clock); "
+    "tail sessions still inside the horizon are withheld — the "
+    "oracle replays that cutoff to the millisecond. Timeout and "
+    "watermark share the engine's LTZ clock while outputs ride the "
+    "zone-proof NTZ-as-UTC micros clock; the constant whole-hour "
+    "session offset cancels through the ms floors, so the emitted "
+    "set and integers are timezone-invariant (hostile-tz sim). "
+    "State: 5 bigints per key.",
+    tags=("streaming", "events", "live", "stateful"),
+)
+def stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.session_timeout_stream(spark, ev).orderBy(
+        "user_id", "start_us"
+    )

@@ -156,6 +156,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sql_merge_evolution",
     "sql_exec_immediate",
     "text_bpe_encode",
+    "stream_state_timeout",
+    "agg_weighted_percentile",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

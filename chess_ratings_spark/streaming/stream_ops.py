@@ -965,3 +965,131 @@ def progress_metrics_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
         ("state_rows", int(state_rows), "bigint"),
         ("progress_seen", bool(len(progresses) > 0), "boolean"),
     )
+
+
+def session_timeout_stream(
+    spark: SparkSession,
+    ev: DataFrame,
+    gap_us: int = 43_200_000_000,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Timeout-driven session emission via applyInPandasWithState +
+    GroupStateTimeout.EventTimeTimeout — the state verb the NoTimeout
+    twins (stateful_stream, tws_stream) never exercise: a session that
+    stops receiving events is CLOSED BY THE WATERMARK, not by a
+    successor row. Per user, events sessionize on a 12 h inactivity
+    gap; a session closes (and emits, append mode) either when a
+    later event arrives beyond the gap (in-batch close — batch-split
+    independent) or when the event-time watermark passes
+    last_event + gap (setTimeoutTimestamp; under availableNow the
+    trailing no-data micro-batch — noDataMicroBatches, on by default —
+    advances the watermark to max(ts) - delay and fires the expiries).
+    Sessions still inside the watermark horizon at end-of-stream are
+    NEVER emitted — that is the semantics being demonstrated, and the
+    oracle replays exactly that cutoff.
+
+    Two clocks ride each row on purpose: ts_us (NTZ-as-UTC micros,
+    zone-proof — the OUTPUT clock) and ts_ltz_us (the engine's LTZ
+    event-time clock — the TIMEOUT clock, same clock the watermark is
+    computed in). Gap math is offset-invariant (both clocks differ by
+    the constant session offset, whole-hour in the hostile sim, so
+    the ms floors cancel exactly), which keeps the emitted set and
+    the reported integers identical in ANY session timezone.
+
+    State is one open session per key: 5 bigints — O(keys), the same
+    footprint contract as the other stateful ops."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_us // 1000
+
+    staged = _stage(ev, reuse=True)
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(staged)
+        .withColumn(
+            "ts_us",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ),
+        )
+        .withColumn("ts_ltz", F.to_timestamp("ts"))
+        .withColumn("ts_ltz_us", F.unix_micros(F.to_timestamp("ts")))
+        .withColumn("vc", F.floor(F.col("value") * 100).cast("bigint"))
+        .withWatermark("ts_ltz", delay)
+    )
+
+    out_schema = (
+        "user_id bigint, start_us bigint, end_us bigint,"
+        " n_events bigint, value_centi bigint"
+    )
+
+    def track(key, pdf_iter, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            s0, e0, _el0, n0, v0 = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "start_us": [s0],
+                    "end_us": [e0],
+                    "n_events": [n0],
+                    "value_centi": [v0],
+                }
+            )
+            return
+        if state.exists:
+            s0, e0, el0, n0, v0 = state.get
+            open_ = True
+        else:
+            s0 = e0 = el0 = n0 = v0 = 0
+            open_ = False
+        closed: list[tuple] = []
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values("ts_us", kind="mergesort")
+        for ts_us, ltz_us, vc in zip(
+            pdf["ts_us"].astype("int64"),
+            pdf["ts_ltz_us"].astype("int64"),
+            pdf["vc"].astype("int64"),
+        ):
+            if open_ and int(ts_us) - e0 > gap_us:
+                closed.append((uid, s0, e0, n0, v0))
+                open_ = False
+            if not open_:
+                s0, e0, el0, n0, v0 = int(ts_us), int(ts_us), int(ltz_us), 1, int(vc)
+                open_ = True
+            else:
+                e0, el0 = int(ts_us), int(ltz_us)
+                n0 += 1
+                v0 += int(vc)
+        state.update((s0, e0, el0, n0, v0))
+        state.setTimeoutTimestamp(el0 // 1000 + gap_ms)
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "start_us", "end_us", "n_events", "value_centi"],
+        ).astype("int64")
+
+    with _state_partitions(spark):
+        name = "snk_" + uuid.uuid4().hex[:12]
+        q = (
+            src.groupBy("user_id")
+            .applyInPandasWithState(
+                track,
+                outputStructType=out_schema,
+                stateStructType=(
+                    "start_us bigint, end_us bigint, end_ltz_us bigint,"
+                    " n bigint, vc bigint"
+                ),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return _snapshot_sink(spark, name)
