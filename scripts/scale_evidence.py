@@ -379,6 +379,60 @@ def run_containment(spark, factor: int) -> dict:
     }
 
 
+def run_jaccard_neighbors(spark, factor: int) -> dict:
+    """Candidate census for graph_jaccard_neighbors: shared-neighbor
+    pair generation is sum-over-witnesses of d(w) choose 2, so the
+    d<=64 witness cap must keep candidate volume linear under
+    prefix-disjoint inflation (copies form disjoint subgraphs — the
+    verified pair graph, its degrees, and hence the capped pair
+    volume all scale 1:1 with copies)."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators import similarity
+
+    d = inflate_documents(
+        tables.load(spark, SF_DIR, "documents").select("doc_id", "text"), factor
+    )
+    t0 = time.perf_counter()
+    pairs = similarity.verified_jaccard_pairs(d, tau=0.8)
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d")).cache()
+    n_edges = e.count()
+    capped_out = deg.filter(F.col("d") > 64).count()
+    hottest = deg.agg(F.max("d")).collect()[0][0] or 0
+    # candidate volume the witness join actually generates
+    adjc = adj.join(deg.filter(F.col("d") <= 64), "node").select("node", "nbr")
+    wit_deg = adjc.groupBy("nbr").agg(F.count(F.lit(1)).alias("dw"))
+    n_cand = int(
+        wit_deg.agg(
+            F.sum(F.col("dw") * (F.col("dw") - 1) / 2).cast("bigint")
+        ).collect()[0][0]
+        or 0
+    )
+    deg.unpersist()
+    t_all = time.perf_counter() - t0
+    return {
+        "op": "graph_jaccard_neighbors",
+        "factor": factor,
+        "edges": int(n_edges),
+        "candidate_pairs": n_cand,
+        "max_degree": int(hottest),
+        "capped_witnesses": int(capped_out),
+        "secs": round(t_all, 2),
+    }
+
+
 def run_countmin(spark, factor: int) -> dict:
     """Sketch-size census for agg_countmin_heavyhitters: inflating
     events factor-x (duplicated rows, same keys -> per-key counts scale
@@ -769,7 +823,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_tablelog_sharded, run_skew_salt, run_ivf, run_semdedup):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_jaccard_neighbors, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_tablelog_sharded, run_skew_salt, run_ivf, run_semdedup):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()
