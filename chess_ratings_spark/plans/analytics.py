@@ -1395,3 +1395,63 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, user_id,
+             min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ), d AS (
+      SELECT event_type, first_day,
+             CAST(count(*) AS BIGINT) AS new_users
+      FROM f GROUP BY event_type, first_day
+    )
+    SELECT event_type, strftime(first_day, '%Y-%m-%d') AS day,
+           new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type
+                                     ORDER BY first_day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM d ORDER BY event_type, day
+    """,
+    doc="Cumulative DISTINCT count over time — the discovery-curve / "
+    "audience-saturation query (how many unique users has each "
+    "event type ever seen, by day). A naive per-day COUNT(DISTINCT "
+    "... ) OVER cumulative frame is a holistic window (no engine "
+    "merges distinct states across frames cheaply); the exact "
+    "linear-cost rewrite is first-occurrence attribution: each "
+    "(type, user) contributes once at its min-date (one hash agg), "
+    "daily new-user counts (second agg, same key prefix), then a "
+    "plain cumulative SUM window — distinct-counting reduced to "
+    "mergeable aggregates + one running total. Day boundaries on "
+    "the NTZ wall-clock date (zone-proof on both engines). At "
+    "100 TB this is two shuffles on (type, user) / (type, day) and "
+    "a tiny windowed frame — the same plan any retention system "
+    "ships.",
+    tags=("window", "agg", "events"),
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "events")
+    f = e.groupBy("event_type", "user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    d = f.groupBy("event_type", "first_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.select(
+            "event_type",
+            F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+        )
+        .orderBy("event_type", "day")
+    )

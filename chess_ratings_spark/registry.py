@@ -158,6 +158,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_bpe_encode",
     "stream_state_timeout",
     "agg_weighted_percentile",
+    "win_cumulative_distinct",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---
