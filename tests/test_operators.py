@@ -431,3 +431,61 @@ def test_merge_upsert_evolve_widens_and_updates(spark):
         3: ("c", 30.0, None),
         4: ("D", 0.0, None),       # insert with explicit NULL tier
     }
+
+
+def test_normal_equations_match_numpy_lstsq(spark):
+    """The Cramer-determinant solve must agree with an independent
+    numpy least-squares fit on the same fixture — guards against a
+    shared formula error the Spark/DuckDB textual-twin oracle cannot
+    see (both engines would be identically wrong)."""
+    import numpy as np
+
+    from chess_ratings_spark.plans.analytics import ml_normal_equations
+    from .conftest import SF_SMOKE
+
+    row = ml_normal_equations(spark, SF_SMOKE).collect()[0]
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    ).toPandas()
+    x1 = li["l_quantity"].to_numpy(dtype=np.float64)
+    x2 = np.floor(li["l_discount"].to_numpy(dtype=np.float64) * 100)
+    y = np.floor(li["l_extendedprice"].to_numpy(dtype=np.float64))
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    got = np.array(
+        [row["beta0_e6"], row["beta1_e6"], row["beta2_e6"]], dtype=np.float64
+    ) / 1e6
+    # truncating e6 grid => within 1e-6 absolute of the float solve
+    # plus the lstsq solver's own tolerance on this conditioning
+    assert np.allclose(got, beta, atol=1e-4), (got, beta)
+    resid = y - X @ beta
+    sst = float(((y - y.mean()) ** 2).sum())
+    r2 = 1.0 - float((resid**2).sum()) / sst
+    assert abs(row["r2_e6"] / 1e6 - r2) < 1e-4
+
+
+def test_rolling_median_matches_pandas(spark):
+    """win_median_rolling vs pandas' rolling median on the same
+    fixture: med2 must equal 2x the rolling(7, min_periods=1) median
+    of the centi values for every row of a sampled user."""
+    import numpy as np
+
+    from chess_ratings_spark.plans.analytics import win_median_rolling
+    from .conftest import SF_SMOKE
+
+    out = win_median_rolling(spark, SF_SMOKE).toPandas()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev["vc"] = np.floor(ev["value"] * 100).astype("int64")
+    for uid in sorted(ev["user_id"].unique())[:5]:
+        g = ev[ev["user_id"] == uid].sort_values(["ts", "event_id"])
+        exp = (
+            g["vc"].rolling(7, min_periods=1).median() * 2
+        ).to_numpy()
+        got = (
+            out[out["user_id"] == uid]
+            .sort_values("event_id")
+            .set_index("event_id")
+            .loc[g["event_id"]]["med2_centi"]
+            .to_numpy()
+        )
+        assert np.array_equal(got.astype("float64"), exp), uid
