@@ -1,0 +1,257 @@
+"""Independent-reference cross-checks for round-8 analytics queries.
+
+The registry's DuckDB oracles are textual twins of the Spark plans —
+they prove both engines compute the SAME thing, not that the thing is
+RIGHT. These tests recompute each result with an unrelated
+implementation (numpy expansion, pandas brute force, pure-Python BPE)
+so a shared derivation error would be caught. Same pattern as
+test_normal_equations_match_numpy_lstsq / test_rolling_median_matches_pandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from chess_ratings_spark import tables
+
+from .conftest import SF_SMOKE
+
+
+def test_weighted_percentile_matches_numpy_inverted_cdf(spark):
+    """agg_weighted_percentile's cumulative-threshold picks must equal
+    numpy's inverted-CDF percentiles on the weight-EXPANDED value list
+    (each value repeated l_quantity times) — a definitionally different
+    route to the same lower weighted median / p90."""
+    from chess_ratings_spark.plans.analytics import agg_weighted_percentile
+
+    out = {
+        r["l_returnflag"]: r
+        for r in agg_weighted_percentile(spark, SF_SMOKE).collect()
+    }
+    li = (
+        tables.load(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    li["vc"] = np.floor(li["l_extendedprice"].astype(float) * 100).astype(
+        "int64"
+    )
+    li["w"] = li["l_quantity"].astype("int64")
+    assert set(out) == set(li["l_returnflag"].unique())
+    for flag, g in li.groupby("l_returnflag"):
+        expanded = np.repeat(g["vc"].to_numpy(), g["w"].to_numpy())
+        row = out[flag]
+        assert row["total_weight"] == int(g["w"].sum())
+        assert row["wmedian_centi"] == int(
+            np.percentile(expanded, 50, method="inverted_cdf")
+        ), flag
+        assert row["wp90_centi"] == int(
+            np.percentile(expanded, 90, method="inverted_cdf")
+        ), flag
+
+
+def test_entropy_gini_match_numpy(spark):
+    """agg_entropy_gini vs the textbook definitions computed directly
+    from probabilities: H = -sum(p ln p), Gini-Simpson = 1 - sum(p^2).
+    The plan's algebra (ln n - sum(c ln c)/n; (n^2-sum c^2)/n^2) is a
+    different factorization; floors truncate downward by < ~2e-6."""
+    from chess_ratings_spark.plans.analytics import agg_entropy_gini
+
+    out = {r["source"]: r for r in agg_entropy_gini(spark, SF_SMOKE).collect()}
+    d = (
+        tables.load(spark, SF_SMOKE, "documents")
+        .select("source", "lang")
+        .toPandas()
+    )
+    for source, g in d.groupby("source"):
+        c = g["lang"].value_counts().to_numpy().astype(float)
+        p = c / c.sum()
+        h = float(-(p * np.log(p)).sum())
+        gini = float(1.0 - (p * p).sum())
+        row = out[source]
+        assert row["n_langs"] == len(c)
+        assert row["n"] == int(c.sum())
+        # floor/trunc grids only ever round DOWN (all terms positive);
+        # the float reference itself can sit ~1 ulp below the exact
+        # rational the plan truncates, hence the tiny negative slack
+        assert -1e-9 <= gini - row["gini_e6"] / 1e6 < 2e-6, source
+        assert abs(row["entropy_e6"] / 1e6 - h) < 1e-5, source
+
+
+def test_ohlc_matches_pandas_groupby(spark):
+    """ts_resample_ohlc vs a pandas groupby over the same 6h buckets:
+    open/close picked by idxmin/idxmax over the (ts, event_id) order,
+    high/low/volume/amount as plain per-group reductions."""
+    from chess_ratings_spark.plans.timeseries import _BAR_US, ts_resample_ohlc
+
+    out = ts_resample_ohlc(spark, SF_SMOKE).toPandas()
+    ev = tables.load(spark, SF_SMOKE, "events").toPandas()
+    ev["vc"] = np.floor(ev["value"].astype(float) * 100).astype("int64")
+    ev["bar"] = (
+        ev["ts"].astype("datetime64[us]").astype("int64") // _BAR_US
+    )
+    ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    exp_rows = {}
+    for (et, bar), g in ev.groupby(["event_type", "bar"]):
+        exp_rows[(et, int(bar))] = (
+            int(g["vc"].iloc[0]),
+            int(g["vc"].max()),
+            int(g["vc"].min()),
+            int(g["vc"].iloc[-1]),
+            len(g),
+            int(g["vc"].sum()),
+        )
+    got_rows = {
+        (r.event_type, int(r.bar)): (
+            int(r.open),
+            int(r.high),
+            int(r.low),
+            int(r.close),
+            int(r.volume),
+            int(r.amount),
+        )
+        for r in out.itertuples()
+    }
+    assert got_rows == exp_rows
+
+
+def test_cumulative_distinct_matches_bruteforce_pandas(spark):
+    """win_cumulative_distinct's first-occurrence-attribution rewrite vs
+    the literal definition: for each output (type, day), the number of
+    distinct users seen in events of that type with date <= day."""
+    from chess_ratings_spark.plans.analytics import win_cumulative_distinct
+
+    out = win_cumulative_distinct(spark, SF_SMOKE).toPandas()
+    ev = tables.load(spark, SF_SMOKE, "events").toPandas()
+    ev["day"] = ev["ts"].to_numpy().astype("datetime64[D]")
+    for r in out.itertuples():
+        day = np.datetime64(r.day)
+        sub = ev[ev["event_type"] == r.event_type]
+        assert r.cum_users == sub[sub["day"] <= day]["user_id"].nunique(), (
+            r.event_type,
+            r.day,
+        )
+        prior = sub[sub["day"] < day]["user_id"]
+        assert r.new_users == r.cum_users - prior.nunique()
+
+
+def test_gapfill_interpolation_matches_numpy_interp(spark):
+    """ts_gapfill_interpolate: observed days must carry the raw daily
+    sums untouched; interpolated days must sit within one centi of the
+    float np.interp line between their observed neighbors (the plan's
+    integer truncating division is the only divergence source)."""
+    from chess_ratings_spark.plans.timeseries import ts_gapfill_interpolate
+
+    out = ts_gapfill_interpolate(spark, SF_SMOKE).toPandas()
+    ev = tables.load(spark, SF_SMOKE, "events").toPandas()
+    ev = ev[ev["user_id"] % 97 == 0].copy()
+    ev["vc"] = np.floor(ev["value"].astype(float) * 100).astype("int64")
+    ev["day"] = ev["ts"].to_numpy().astype("datetime64[D]").astype(str)
+    per = ev.groupby(["event_type", "day"])["vc"].sum()
+    n_interp_checked = 0
+    for et, g in out.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        days = g["day"].to_numpy().astype("datetime64[D]").astype("int64")
+        # spine is a dense daily calendar between observed endpoints
+        assert (np.diff(days) == 1).all(), et
+        obs_mask = ~g["interpolated"].to_numpy()
+        assert not g["interpolated"].iloc[0] and not g["interpolated"].iloc[-1]
+        for r in g[obs_mask].itertuples():
+            assert r.value_centi == int(per[(et, r.day)]), (et, r.day)
+        line = np.interp(
+            days, days[obs_mask], g["value_centi"].to_numpy()[obs_mask]
+        )
+        diff = np.abs(g["value_centi"].to_numpy() - line)
+        assert (diff[~obs_mask] < 1.0 + 1e-9).all(), et
+        n_interp_checked += int((~obs_mask).sum())
+    assert n_interp_checked > 0  # the %97 slice must actually have holes
+
+
+def _python_bpe(words: dict[str, int], k: int) -> list[tuple[str, str]]:
+    """Train k BPE merges with plain dicts: count OVERLAPPING adjacent
+    symbol pairs weighted by word frequency, take (count desc, pair
+    string 'a b' asc), merge greedily left-to-right (non-overlapping)."""
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + f
+        best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[0]
+        merges.append(best)
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    """text_bpe_encode vs a dict-based pure-Python BPE: train the same
+    3 merges on the full corpus vocabulary, apply them in order to the
+    held-out slice, compare the per-source fertility census."""
+    import re
+
+    from chess_ratings_spark.plans.training import text_bpe_encode
+
+    out = {r["source"]: r for r in text_bpe_encode(spark, SF_SMOKE).collect()}
+    d = (
+        tables.load(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source", "text")
+        .toPandas()
+    )
+    word_re = re.compile(r"^[a-z]+$")
+    freq: dict[str, int] = {}
+    for t in d["text"]:
+        for w in t.lower().split(" "):
+            if word_re.match(w):
+                freq[w] = freq.get(w, 0) + 1
+    merges = _python_bpe(freq, 3)
+
+    held = d[d["doc_id"] % 10 == 7]
+    exp: dict[str, list[int]] = {}
+    for r in held.itertuples():
+        for w in r.text.lower().split(" "):
+            if not word_re.match(w):
+                continue
+            syms = list(w)
+            for a, b in merges:
+                out_syms: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out_syms.append(a + b)
+                        i += 2
+                    else:
+                        out_syms.append(syms[i])
+                        i += 1
+                syms = out_syms
+            acc = exp.setdefault(r.source, [0, 0, 0])
+            acc[0] += 1
+            acc[1] += len(w)
+            acc[2] += len(syms)
+    assert set(out) == set(exp)
+    for source, (n_words, n_chars, n_tokens) in exp.items():
+        row = out[source]
+        assert (
+            row["n_words"],
+            row["n_chars"],
+            row["n_tokens"],
+        ) == (n_words, n_chars, n_tokens), source
+        assert row["tokens_per_char_e6"] == n_tokens * 1_000_000 // n_chars
