@@ -345,3 +345,64 @@ def label_propagation(edges: DataFrame, iters: int = 3, shuffle_parts: int = 16)
             if prev is not None and prev.is_cached:
                 prev.unpersist()
         return labels
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Synchronous k-core peeling for a fixed number of rounds.
+
+    Round r: degrees over the surviving edge set e_{r-1}, keep nodes
+    with degree >= k, keep edges with BOTH endpoints kept. Returns one
+    row per round: (round, n_nodes, n_edges) — the census of the
+    surviving subgraph, which is constant once the peel reaches its
+    fixpoint (the k-core). Fixed-round synchronous peeling is the
+    deterministic, oracle-replayable form: each round is one degree
+    aggregation plus two semi-joins, all keyed on node ids — the same
+    per-round shuffle budget as PageRank, with the edge frame SHRINKING
+    monotonically. State hygiene matches the other fixed-point loops:
+    eager localCheckpoint per round cuts lineage, superseded frames are
+    unpersisted immediately."""
+    with _loop_shuffle_partitions(edges):
+        cur = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        out = None
+        for r in range(1, rounds + 1):
+            deg = (
+                cur.select(F.col("a").alias("node"))
+                .union(cur.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            alive = (
+                deg.filter(F.col("deg") >= k)
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
+            nxt = (
+                cur.join(alive.withColumnRenamed("node", "a"), "a", "semi")
+                .join(alive.withColumnRenamed("node", "b"), "b", "semi")
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            census = alive.agg(
+                F.lit(r).cast("int").alias("round"),
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            ).crossJoin(
+                F.broadcast(
+                    nxt.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+                )
+            )
+            out = census if out is None else out.unionByName(census)
+            # only the PREDECESSOR edge frame is safe to drop here: the
+            # census rows are lazy and still reference this round's
+            # checkpointed `alive`/`nxt` blocks until the caller
+            # materializes the result; those frames are O(nodes) id
+            # lists, bounded and shrinking, so holding them is cheap
+            cur.unpersist()
+            cur = nxt
+        assert out is not None
+        return out.orderBy("round")

@@ -1455,3 +1455,172 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "agg_ks_test",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS vc,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), g AS (
+      SELECT vc, sum(ia) AS ca, sum(1 - ia) AS cb FROM t GROUP BY vc
+    ), c AS (
+      SELECT vc,
+             sum(ca) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS cuma,
+             sum(cb) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING) AS cumb
+      FROM g
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b FROM g
+    ), d AS (
+      SELECT vc, abs(cuma * n_b - cumb * n_a) AS dd FROM c, tot
+    ), mx AS (SELECT max(dd) AS ks_num FROM d)
+    SELECT tot.n_a, tot.n_b,
+           CAST((mx.ks_num * 1000000) // (tot.n_a * tot.n_b) AS BIGINT)
+             AS ks_e6,
+           (SELECT CAST(min(vc) AS BIGINT) FROM d, mx
+            WHERE d.dd = mx.ks_num) AS ks_at_centi
+    FROM tot, mx
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov distance between the "
+    "click and purchase value distributions — the distribution-drift "
+    "test statisticians actually quote (val_distribution_drift's PSI "
+    "is binned; KS is the sup-norm over the EXACT empirical CDFs). "
+    "All integer: values on the centi grid, per-value counts for each "
+    "side in ONE hash aggregation (conditional sums — no second "
+    "scan), cumulative counts by one ordered window over the DISTINCT "
+    "value domain (bounded by the grid, NOT by row count — at 100 TB "
+    "the raw table shuffles once into per-value counts and the "
+    "window runs over <=10^6 domain rows), and the statistic as the "
+    "max of |cuma*n_b - cumb*n_a| — the cross-multiplied form that "
+    "avoids any fraction until the final e6 truncating division "
+    "(Spark div == DuckDB //, verified bridge). Emits the argmax "
+    "value too (min such value: deterministic under plateau ties). "
+    "Totals/max/argmax are all in-plan 1-row broadcasts, nothing is "
+    "collected.",
+    tags=("agg", "statistics", "events"),
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    t = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+        (F.col("event_type") == "click").cast("bigint").alias("ia"),
+    )
+    g = t.groupBy("vc").agg(
+        F.sum("ia").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("ia")).cast("bigint").alias("cb"),
+    )
+    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "vc",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    tot = g.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "vc",
+        F.abs(F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a")).alias("dd"),
+    )
+    mx = d.agg(F.max("dd").alias("ks_num"))
+    arg = (
+        d.crossJoin(F.broadcast(mx))
+        .filter(F.col("dd") == F.col("ks_num"))
+        .agg(F.min("vc").cast("bigint").alias("ks_at_centi"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(arg))
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "CAST((ks_num * 1000000) div (n_a * n_b) AS BIGINT) AS ks_e6",
+            "ks_at_centi",
+        )
+    )
+
+
+@register(
+    "agg_autocorr",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), st AS (
+      SELECT event_type, ts, event_id, vc,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(vc) OVER (PARTITION BY event_type) AS s1
+      FROM base
+    ), nu AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST(n * vc - s1 AS HUGEINT) AS nu,
+             lag(CAST(n * vc - s1 AS HUGEINT), 1) OVER w AS nu1,
+             lag(CAST(n * vc - s1 AS HUGEINT), 7) OVER w AS nu7
+      FROM st
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, n,
+           CAST((sum(nu * nu1) * 1000000) // sum(nu * nu) AS BIGINT)
+             AS acf1_e6,
+           CAST((sum(nu * nu7) * 1000000) // sum(nu * nu) AS BIGINT)
+             AS acf7_e6
+    FROM nu GROUP BY event_type, n ORDER BY event_type
+    """,
+    doc="Exact lag-1 / lag-7 autocorrelation of each event_type's "
+    "value series in (ts, event_id) order. The mean-centered products "
+    "are made integer by working with nu_t = n*x_t - sum(x) (the "
+    "deviation scaled by n): acf_k = sum(nu_t * nu_{t-k}) / "
+    "sum(nu_t^2) is the textbook estimator with the n^2 scale "
+    "cancelling, computed entirely in DECIMAL(38,0)/HUGEINT (nu ~ "
+    "1e11, products ~1e22, sums ~1e26 — exact in both engines' "
+    "wide-integer types) and floored to e6 by the verified truncating "
+    "division bridge. Plan: one window partition per event_type "
+    "computes n and s1 (unbounded frame) and the two lags over the "
+    "SAME (event_type) clustering — a single Exchange feeds all "
+    "window operators and the final aggregation. Lag nulls at series "
+    "heads drop out of the sums identically in both engines.",
+    tags=("agg", "statistics", "timeseries", "events"),
+)
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w_full = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nu_expr = (
+        F.count(F.lit(1)).over(w_full) * F.col("vc")
+        - F.sum("vc").over(w_full)
+    ).cast("decimal(38,0)")
+    nu = base.select(
+        "event_type",
+        F.count(F.lit(1)).over(w_full).cast("bigint").alias("n"),
+        nu_expr.alias("nu"),
+        F.lag(nu_expr, 1).over(w_ord).alias("nu1"),
+        F.lag(nu_expr, 7).over(w_ord).alias("nu7"),
+    )
+    return (
+        nu.groupBy("event_type", "n")
+        .agg(
+            F.sum(F.col("nu") * F.col("nu1")).alias("num1"),
+            F.sum(F.col("nu") * F.col("nu7")).alias("num7"),
+            F.sum(F.col("nu") * F.col("nu")).alias("den"),
+        )
+        .selectExpr(
+            "event_type",
+            "n",
+            "CAST((num1 * 1000000) div den AS BIGINT) AS acf1_e6",
+            "CAST((num7 * 1000000) div den AS BIGINT) AS acf7_e6",
+        )
+        .orderBy("event_type")
+    )

@@ -159,6 +159,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_state_timeout",
     "agg_weighted_percentile",
     "win_cumulative_distinct",
+    "agg_ks_test",
+    "agg_autocorr",
+    "graph_kcore",
+    "ts_seasonal_decompose",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

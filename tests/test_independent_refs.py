@@ -255,3 +255,151 @@ def test_bpe_encode_matches_pure_python(spark):
             row["n_tokens"],
         ) == (n_words, n_chars, n_tokens), source
         assert row["tokens_per_char_e6"] == n_tokens * 1_000_000 // n_chars
+
+
+def test_ks_test_matches_numpy_ecdf(spark):
+    """agg_ks_test vs the ECDF route: sorted per-side samples,
+    searchsorted step functions over the union grid, sup-norm of the
+    cross-multiplied difference. The plan derives the same statistic
+    through grouped counts + a cumulative window — a shared derivation
+    error (off-by-one in the CDF step side, wrong argmax tie rule)
+    would show up here."""
+    from chess_ratings_spark.plans.analytics import agg_ks_test
+
+    row = agg_ks_test(spark, SF_SMOKE).collect()[0]
+    ev = (
+        tables.load(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    a = np.sort(
+        np.floor(
+            ev.loc[ev["event_type"] == "click", "value"].to_numpy() * 100
+        ).astype("int64")
+    )
+    b = np.sort(
+        np.floor(
+            ev.loc[ev["event_type"] == "purchase", "value"].to_numpy() * 100
+        ).astype("int64")
+    )
+    grid = np.union1d(a, b)
+    fa = np.searchsorted(a, grid, side="right").astype("int64")
+    fb = np.searchsorted(b, grid, side="right").astype("int64")
+    diff = np.abs(fa * len(b) - fb * len(a))
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert row["ks_e6"] == int(diff.max()) * 1_000_000 // (len(a) * len(b))
+    # grid ascends, argmax returns the FIRST max -> the minimal value,
+    # matching the oracle's min(vc) plateau tie rule
+    assert row["ks_at_centi"] == int(grid[int(np.argmax(diff))])
+
+
+def test_autocorr_matches_numpy(spark):
+    """agg_autocorr vs the float-space textbook estimator: mean-center
+    in numpy, acf_k = sum(d[k:]*d[:-k]) / sum(d*d). The plan works in
+    scaled integers (nu = n*x - s1) where the n^2 cancels; agreement
+    within the e6 truncation proves the integerization is faithful."""
+    from chess_ratings_spark.plans.analytics import agg_autocorr
+
+    out = {r["event_type"]: r for r in agg_autocorr(spark, SF_SMOKE).collect()}
+    ev = (
+        tables.load(spark, SF_SMOKE, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+    )
+    ev["vc"] = np.floor(ev["value"].astype(float) * 100).astype("int64")
+    assert set(out) == set(ev["event_type"].unique())
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts", "event_id"])
+        x = g["vc"].to_numpy(dtype=float)
+        d = x - x.mean()
+        den = float((d * d).sum())
+        row = out[et]
+        assert row["n"] == len(x)
+        for k, col in ((1, "acf1_e6"), (7, "acf7_e6")):
+            approx = float((d[k:] * d[:-k]).sum()) / den * 1e6
+            assert abs(row[col] - approx) <= 2, (et, k, row[col], approx)
+
+
+def test_kcore_matches_python_peel(spark):
+    """graph_kcore vs an imperative Counter-based peel over the same
+    bipartite edge set — set/dict machinery instead of joins, so a
+    relational slip (semi-join on one endpoint only, degree counted
+    per-multiedge) cannot pass both routes."""
+    from collections import Counter
+
+    from chess_ratings_spark.plans.corpus import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        graph_kcore,
+    )
+
+    out = {r["round"]: r for r in graph_kcore(spark, SF_SMOKE).collect()}
+    assert set(out) == set(range(1, _KCORE_ROUNDS + 1))
+    o = (
+        tables.load(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_custkey")
+        .toPandas()
+    )
+    li = (
+        tables.load(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+        .toPandas()
+    )
+    li = li[li["l_quantity"] <= 2]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    edges = set(
+        zip((j["o_custkey"] * 2).tolist(), (j["l_suppkey"] * 2 + 1).tolist())
+    )
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg: Counter = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        alive = {n for n, c in deg.items() if c >= _KCORE_K}
+        edges = {(a, b) for a, b in edges if a in alive and b in alive}
+        assert (out[r]["n_nodes"], out[r]["n_edges"]) == (
+            len(alive),
+            len(edges),
+        ), r
+
+
+def test_seasonal_decompose_matches_pandas_rolling(spark):
+    """ts_seasonal_decompose vs pandas reindex + rolling(center=True):
+    a different spine construction (date_range reindex vs sequence
+    explode) and a different trend engine (pandas rolling vs a Spark
+    window frame). Checks counts, exact integer det sums, and the
+    toward-zero e3 division."""
+    from chess_ratings_spark.plans.timeseries import ts_seasonal_decompose
+
+    out = {
+        (r["event_type"], r["dow"]): r
+        for r in ts_seasonal_decompose(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        tables.load(spark, SF_SMOKE, "events")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.normalize()
+    ev["vc"] = np.floor(ev["value"].astype(float) * 100).astype("int64")
+    got: set = set()
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("d")["vc"].sum()
+        idx = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+        daily = daily.reindex(idx, fill_value=0)
+        trend7 = daily.rolling(7, center=True).sum()
+        mask = trend7.notna()
+        det = (7 * daily[mask] - trend7[mask].astype("int64")).to_numpy()
+        dow = (
+            (daily.index[mask] - pd.Timestamp("1970-01-01")).days % 7
+        ).to_numpy()
+        for dw in np.unique(dow):
+            s = int(det[dow == dw].sum())
+            n = int((dow == dw).sum())
+            row = out[(et, int(dw))]
+            got.add((et, int(dw)))
+            assert row["n_days"] == n
+            assert row["det_sum"] == s
+            q = abs(s) * 1000 // (7 * n)
+            assert row["seasonal_centi_e3"] == (q if s >= 0 else -q)
+    assert set(out) == got
