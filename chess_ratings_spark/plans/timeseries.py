@@ -310,3 +310,94 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@register(
+    "ts_changepoint",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vs
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), c AS (
+      SELECT event_type, d, vs,
+             sum(vs) OVER w AS prefix,
+             row_number() OVER w AS t,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(vs) OVER (PARTITION BY event_type) AS s
+      FROM per
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS UNBOUNDED PRECEDING)
+    ), scored AS (
+      SELECT event_type, d, t, n, s, prefix,
+             abs(n * prefix - t * s) AS score
+      FROM c WHERE t < n
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY score DESC, d) AS rk
+      FROM scored
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           d AS cp_day,
+           CAST(t AS BIGINT) AS cp_index,
+           CAST(score AS BIGINT) AS cusum_abs,
+           CAST((prefix * 1000) // t AS BIGINT) AS mean_before_e3,
+           CAST(((s - prefix) * 1000) // (n - t) AS BIGINT) AS mean_after_e3
+    FROM best WHERE rk = 1 ORDER BY event_type
+    """,
+    doc="CUSUM changepoint localization per series — WHERE did the "
+    "level shift, the follow-up question to val_distribution_drift's "
+    "and agg_ks_test's DID it shift. Exact integers end-to-end: daily "
+    "centi-sums, the scaled cumulative deviation C_t = n*prefix_t - "
+    "t*S (the textbook CUSUM of (x_i - mean) times n, which clears "
+    "the division), changepoint = argmax |C_t| over interior split "
+    "points (t < n; ties to the earliest day), and before/after level "
+    "means by exact e3 truncating division. Plan: one (type, day) "
+    "aggregation, then ONE window clustering per type feeds the "
+    "cumulative sum, the row index, n, S, and the final argmax pick — "
+    "a single Exchange after the daily rollup; at 100 TB the raw scan "
+    "reduces to ~365 rows per type-year before any window runs. "
+    "Cross-checked against numpy cumsum/argmax in "
+    "tests/test_independent_refs.py.",
+    tags=("timeseries", "statistics", "events"),
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("vs"))
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_full = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = per.select(
+        "event_type",
+        "d",
+        F.sum("vs").over(w_ord).alias("prefix"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("d")).alias("t"),
+        F.count(F.lit(1)).over(w_full).alias("n"),
+        F.sum("vs").over(w_full).alias("s"),
+    ).filter(F.col("t") < F.col("n"))
+    scored = c.withColumn(
+        "score", F.abs(F.col("n") * F.col("prefix") - F.col("t") * F.col("s"))
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("score"), "d")
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_days",
+        "d AS cp_day",
+        "CAST(t AS BIGINT) AS cp_index",
+        "CAST(score AS BIGINT) AS cusum_abs",
+        "CAST((prefix * 1000) div t AS BIGINT) AS mean_before_e3",
+        "CAST(((s - prefix) * 1000) div (n - t) AS BIGINT) AS mean_after_e3",
+    ).orderBy("event_type")

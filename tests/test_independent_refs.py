@@ -475,3 +475,41 @@ def test_pq_adc_matches_numpy_pq(spark):
     assert row["codes_fingerprint"] == fingerprint
     assert row["n_codes"] == len(X) * m
     assert row["recall_e6"] >= 850_000  # measured 0.94-0.96; floor w/ margin
+
+
+def test_changepoint_matches_numpy_cusum(spark):
+    """ts_changepoint vs numpy: daily sums via pandas groupby, CUSUM
+    via np.cumsum, split point via argmax over |n*prefix - t*S| at
+    interior t (first index on ties), level means via integer
+    division."""
+    from chess_ratings_spark.plans.timeseries import ts_changepoint
+
+    out = {r["event_type"]: r for r in ts_changepoint(spark, SF_SMOKE).collect()}
+    ev = (
+        tables.load(spark, SF_SMOKE, "events")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.normalize()
+    ev["vc"] = np.floor(ev["value"].astype(float) * 100).astype("int64")
+    assert set(out) == set(ev["event_type"].unique())
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("d")["vc"].sum().sort_index()
+        vs = daily.to_numpy()
+        n = len(vs)
+        s = int(vs.sum())
+        prefix = np.cumsum(vs)
+        t = np.arange(1, n + 1)
+        score = np.abs(n * prefix - t * s)[: n - 1]
+        i = int(np.argmax(score))  # first max = earliest day on ties
+        row = out[et]
+        assert row["n_days"] == n
+        assert str(row["cp_day"]) == str(daily.index[i].date())
+        assert row["cp_index"] == i + 1
+        assert row["cusum_abs"] == int(score[i])
+        pb, cp = int(prefix[i]), i + 1
+        qb = abs(pb) * 1000 // cp
+        assert row["mean_before_e3"] == (qb if pb >= 0 else -qb)
+        pa = s - pb
+        qa = abs(pa) * 1000 // (n - cp)
+        assert row["mean_after_e3"] == (qa if pa >= 0 else -qa)
