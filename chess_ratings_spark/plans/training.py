@@ -1567,3 +1567,154 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_KMED_ORACLE = """
+    WITH el AS MATERIALIZED (
+      SELECT vec_id, u.i AS i,
+             CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS ve6
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) AS u
+    ), a0 AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN ve6 >= 0 THEN
+               CASE i WHEN 1 THEN 4 WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 0 END
+             ELSE 0 END) AS INT) AS c
+      FROM el GROUP BY vec_id
+    ), {rounds}
+    SELECT * FROM ({census}) ORDER BY round
+"""
+
+
+def _kmed_round_sql(r: int) -> str:
+    return f"""cent{r} AS MATERIALIZED (
+      SELECT c, i, ve6 AS ce6 FROM (
+        SELECT a.c, el.i, el.ve6,
+               row_number() OVER (PARTITION BY a.c, el.i
+                                  ORDER BY el.ve6, el.vec_id) AS rn,
+               count(*) OVER (PARTITION BY a.c, el.i) AS cnt
+        FROM el JOIN a{r - 1} a USING (vec_id)
+      ) WHERE rn * 2 = cnt + (cnt % 2)
+    ), a{r} AS MATERIALIZED (
+      SELECT vec_id, c, dist FROM (
+        SELECT el.vec_id, cc.c,
+               sum((el.ve6 - cc.ce6) * (el.ve6 - cc.ce6)) AS dist,
+               row_number() OVER (PARTITION BY el.vec_id
+                 ORDER BY sum((el.ve6 - cc.ce6) * (el.ve6 - cc.ce6)),
+                          cc.c) AS rn
+        FROM el JOIN cent{r} cc ON el.i = cc.i
+        GROUP BY el.vec_id, cc.c
+      ) WHERE rn = 1
+    )"""
+
+
+def _kmed_census_sql(r: int) -> str:
+    return f"""
+      SELECT CAST({r} AS INT) AS round,
+             CAST(count(DISTINCT c) AS BIGINT) AS n_clusters,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(dist) AS BIGINT) AS inertia,
+             CAST(sum(vec_id * (c + 1)) AS BIGINT) AS assign_fp
+      FROM a{r}"""
+
+
+_KMED_ROUNDS = 2
+
+
+@register(
+    "ml_kmedians_embed",
+    oracle=_KMED_ORACLE.format(
+        rounds=", ".join(_kmed_round_sql(r) for r in range(1, _KMED_ROUNDS + 1)),
+        census=" UNION ALL ".join(
+            _kmed_census_sql(r) for r in range(1, _KMED_ROUNDS + 1)
+        ),
+    ),
+    doc="Iterative k-medians clustering over the full 64-dim "
+    "embeddings — the distributed Lloyd loop made engine-exact: "
+    "deterministic sign-bit seeding (dims 1-3 -> 8 clusters), then "
+    "per round a per-(cluster, dim) lower-median centroid (exact "
+    "integer rank pick on the e6 grid — the float-mean centroid is "
+    "the one step of real k-means that cannot be replayed across "
+    "engines, and k-MEDIANS is the standard robust variant that can) "
+    "and an exact integer L2^2 argmin reassignment (ties to the "
+    "smaller cluster id). Emits the per-round census: non-empty "
+    "clusters, total inertia (decreasing 476e12 -> 472e12 on the "
+    "fixture), and an assignment fingerprint pinning every label. "
+    "Plan per round: one (vec_id)-keyed join + one (cluster, dim) "
+    "window for centroids, one broadcast of the <=512-row codebook "
+    "for reassignment — the same loop hygiene (eager localCheckpoint, "
+    "unpersist) as the graph fixed-point family. The oracle unrolls "
+    "rounds as MATERIALIZED chained CTEs (same pattern as "
+    "graph_kcore). Complements ml_gd_classifier (iterative on "
+    "scalars) and sim_pq_adc (one-shot median codebooks per "
+    "subspace).",
+    tags=("ml", "embeddings", "similarity"),
+)
+def ml_kmedians_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = tables.load(spark, sf_dir, "embeddings")
+    el = (
+        e.select("vec_id", F.posexplode("embedding").alias("p", "vf"))
+        .select(
+            "vec_id",
+            (F.col("p") + 1).cast("int").alias("i"),
+            F.floor(F.col("vf").cast("double") * 1000000)
+            .cast("bigint")
+            .alias("ve6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bit = F.expr(
+        "CASE WHEN ve6 >= 0 THEN"
+        " CASE i WHEN 1 THEN 4 WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 0 END"
+        " ELSE 0 END"
+    )
+    assign = el.groupBy("vec_id").agg(F.sum(bit).cast("int").alias("c"))
+    w_med = Window.partitionBy("c", "i").orderBy("ve6", "vec_id")
+    w_cnt = Window.partitionBy("c", "i")
+    w_arg = Window.partitionBy("vec_id").orderBy("dist", "cc")
+    out = None
+    for r in range(1, _KMED_ROUNDS + 1):
+        cent = (
+            el.join(assign, "vec_id")
+            .select(
+                "c",
+                "i",
+                "ve6",
+                F.row_number().over(w_med).alias("rn"),
+                F.count(F.lit(1)).over(w_cnt).alias("cnt"),
+            )
+            .filter(F.col("rn") * 2 == F.col("cnt") + F.col("cnt") % 2)
+            .select(
+                F.col("c").alias("cc"),
+                F.col("i").alias("ci"),
+                F.col("ve6").alias("ce6"),
+            )
+        )
+        sq = (F.col("ve6") - F.col("ce6")) * (F.col("ve6") - F.col("ce6"))
+        nxt = (
+            el.join(F.broadcast(cent), F.col("i") == F.col("ci"))
+            .select("vec_id", "cc", sq.alias("sq"))
+            .groupBy("vec_id", "cc")
+            .agg(F.sum("sq").alias("dist"))
+            .withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cc").alias("c"), "dist")
+            .localCheckpoint(eager=True)
+        )
+        census = nxt.agg(
+            F.lit(r).cast("int").alias("round"),
+            F.countDistinct("c").cast("bigint").alias("n_clusters"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+            F.sum(F.col("vec_id") * (F.col("c") + 1))
+            .cast("bigint")
+            .alias("assign_fp"),
+        )
+        out = census if out is None else out.unionByName(census)
+        if assign is not el and assign.is_cached:
+            assign.unpersist()
+        assign = nxt
+    assert out is not None
+    return out.orderBy("round")

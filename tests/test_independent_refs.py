@@ -513,3 +513,49 @@ def test_changepoint_matches_numpy_cusum(spark):
         pa = s - pb
         qa = abs(pa) * 1000 // (n - cp)
         assert row["mean_after_e3"] == (qa if pa >= 0 else -qa)
+
+
+def test_kmedians_matches_numpy(spark):
+    """ml_kmedians_embed vs a numpy Lloyd loop: sign-bit seed,
+    per-dim lower-median centroids over each cluster's members, exact
+    integer L2^2 argmin with smaller-cluster ties — array reductions
+    instead of joins/windows. Asserts the full per-round census
+    including the assignment fingerprint."""
+    from chess_ratings_spark.plans.training import (
+        _KMED_ROUNDS,
+        ml_kmedians_embed,
+    )
+
+    out = {r["round"]: r for r in ml_kmedians_embed(spark, SF_SMOKE).collect()}
+    assert set(out) == set(range(1, _KMED_ROUNDS + 1))
+    emb = (
+        tables.load(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = emb["vec_id"].to_numpy()
+    X = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1e6
+    ).astype(np.int64)
+    c = (X[:, 0] >= 0) * 4 + (X[:, 1] >= 0) * 2 + (X[:, 2] >= 0) * 1
+    for r in range(1, _KMED_ROUNDS + 1):
+        cents = {}
+        for j in np.unique(c):
+            rows_j = X[c == j]
+            cents[int(j)] = np.sort(rows_j, axis=0)[(len(rows_j) + 1) // 2 - 1]
+        dists = np.full(len(X), np.iinfo(np.int64).max)
+        newc = np.zeros(len(X), dtype=np.int64)
+        for j in sorted(cents):
+            dj = ((X - cents[j]) ** 2).sum(axis=1)
+            better = dj < dists  # strict: ties keep the smaller j
+            newc[better] = j
+            dists[better] = dj[better]
+        c = newc
+        row = out[r]
+        assert row["n_clusters"] == len(np.unique(c))
+        assert row["n_vecs"] == len(X)
+        assert row["inertia"] == int(dists.sum())
+        assert row["assign_fp"] == int((ids * (c + 1)).sum())
+    # Lloyd monotonicity sanity on this fixture: refining helped
+    assert out[_KMED_ROUNDS]["inertia"] <= out[1]["inertia"]
