@@ -656,3 +656,71 @@ def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "sql_scripting",
+    oracle="""
+    WITH ks AS (SELECT unnest(range(0, 40)) AS k),
+    cnt AS (
+      SELECT ks.k, CAST(CAST(1 AS BIGINT) << ks.k AS BIGINT) AS th,
+             (SELECT count(*) FROM orders o
+              WHERE o.o_totalprice > (CAST(1 AS BIGINT) << ks.k)) AS n
+      FROM ks
+    ), pick AS (
+      SELECT * FROM cnt WHERE n < 10 ORDER BY k LIMIT 1
+    )
+    SELECT CAST(k AS INT) AS iterations,
+           CAST(th AS BIGINT) AS threshold,
+           CAST(n AS BIGINT) AS n_above
+    FROM pick
+    """,
+    doc="Spark 4 SQL scripting (SPARK-48338, compound statements): a "
+    "BEGIN..END block with DECLAREd variables and a WHILE loop whose "
+    "condition is a scalar subquery over data — the threshold doubles "
+    "until fewer than 10 orders exceed it (an exponential-search "
+    "probe, the canonical procedural-SQL shape that previously "
+    "required a driver-language loop). Engine-side control flow: "
+    "each iteration is one tiny aggregate job, state lives in session "
+    "variables, nothing round-trips through Python. The oracle "
+    "replays the loop DECLARATIVELY: the smallest k in 0..39 with "
+    "count(price > 2^k) < 10 — a generate_series probe of the same "
+    "exact integer thresholds (1<<k is bit-identical in both "
+    "engines), which also documents the semantics the loop must "
+    "satisfy (first crossing, not any crossing).",
+    tags=("sql", "spark4", "orders"),
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    view = f"crs_scr_orders_{uuid.uuid4().hex[:8]}"
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        out = spark.sql(
+            f"""
+            BEGIN
+              DECLARE k INT DEFAULT 0;
+              DECLARE th BIGINT DEFAULT 1;
+              WHILE (SELECT count(*) FROM {view}
+                     WHERE o_totalprice > th) >= 10 DO
+                SET th = th * 2;
+                SET k = k + 1;
+              END WHILE;
+              SELECT CAST(k AS INT) AS iterations,
+                     CAST(th AS BIGINT) AS threshold,
+                     (SELECT CAST(count(*) AS BIGINT) FROM {view}
+                      WHERE o_totalprice > th) AS n_above;
+            END
+            """
+        )
+        return tables.local_table(
+            spark,
+            [tuple(r) for r in out.collect()],
+            [
+                ("iterations", "int"),
+                ("threshold", "bigint"),
+                ("n_above", "bigint"),
+            ],
+        )
+    finally:
+        spark.catalog.dropTempView(view)

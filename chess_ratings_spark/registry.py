@@ -166,6 +166,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sim_pq_adc",
     "ts_changepoint",
     "ml_kmedians_embed",
+    "sql_scripting",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---
