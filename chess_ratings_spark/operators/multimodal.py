@@ -410,3 +410,76 @@ def video_frame_diffs(media: DataFrame) -> DataFrame:
     return media.filter(F.col("media_type") == "video").mapInPandas(
         run, schema=VIDEO_DIFF_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash)
+# ---------------------------------------------------------------------------
+
+PHASH_W, PHASH_H = 18, 16  # source image; downsamples 2x2 to a 9x8 grid
+
+
+def phash_pixel_plane(base: int, gen: int) -> np.ndarray:
+    """The (H, W, 3) uint8 test image for (base, gen) — a deterministic
+    integer texture, chosen (measured over the fixture id space) so
+    same-base generations sit at dHash hamming ~3 (85% <= 6) while
+    cross-base pairs average ~32 (0% <= 6). The formula is plain
+    integer arithmetic so the DuckDB oracle replays the exact pixels:
+      p(x,y,c) = ((3+base%7)x + (5+base%11)y
+                  + ((base*31+7)%97)*((x*y+base)%11)*23
+                  + 11c + gen*((x+y)%3)) % 256
+    """
+    x = np.arange(PHASH_W, dtype=np.int64)[None, :, None]
+    y = np.arange(PHASH_H, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    v = (
+        (3 + base % 7) * x
+        + (5 + base % 11) * y
+        + ((base * 31 + 7) % 97) * ((x * y + base) % 11) * 23
+        + 11 * c
+        + gen * ((x + y) % 3)
+    ) % 256
+    return v.astype(np.uint8)
+
+
+def dhash64(img: np.ndarray) -> tuple[int, int]:
+    """dHash of an (H, W, 3) image: 2x2 box-downsample of the r+g+b
+    luma (exact integer sums), then bit(Y*8+X) = cell(X+1,Y) >
+    cell(X,Y) over the 9x8 grid — 64 bits returned as two unsigned
+    32-bit halves (lo = bits 0..31) so BIGINT sign never enters the
+    cross-engine bridge."""
+    h, w, _ = img.shape
+    luma = img.astype(np.int64).sum(axis=2)
+    ds = luma.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+    bits = (ds[:, 1:] > ds[:, :-1]).astype(np.int64).flatten()
+    lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+    hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+    return lo, hi
+
+
+def phash_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, h_lo, h_hi): synthesize each doc's test image as a REAL
+    P6 PPM payload (bytes on the wire), decode it with the production
+    decoder, and dHash the decoded pixels — the full binary-column
+    round trip, Arrow-batched. Driver sees nothing; the hash lands as
+    two BIGINT columns ready for banded self-join."""
+
+    @F.pandas_udf("h_lo bigint, h_hi bigint")
+    def hash_udf(doc_id: pd.Series) -> pd.DataFrame:
+        los, his = [], []
+        for did in doc_id:
+            did = int(did)
+            payload = _ppm_bytes(
+                PHASH_W,
+                PHASH_H,
+                phash_pixel_plane(did % 50, did // 50).reshape(-1),
+            )
+            img, _ = decode_ppm(payload)
+            lo, hi = dhash64(img)
+            los.append(lo)
+            his.append(hi)
+        return pd.DataFrame({"h_lo": los, "h_hi": his})
+
+    return docs.select("doc_id", hash_udf("doc_id").alias("h")).select(
+        "doc_id", "h.h_lo", "h.h_hi"
+    )

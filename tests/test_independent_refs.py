@@ -559,3 +559,56 @@ def test_kmedians_matches_numpy(spark):
         assert row["assign_fp"] == int((ids * (c + 1)).sum())
     # Lloyd monotonicity sanity on this fixture: refining helped
     assert out[_KMED_ROUNDS]["inertia"] <= out[1]["inertia"]
+
+
+def test_phash_near_dup_matches_numpy(spark):
+    """mm_phash_near_dup vs an independent numpy dHash + dict-bucket
+    band join: the Spark side goes PPM-bytes -> production decoder ->
+    hash; this reference skips the codec entirely (pixel plane ->
+    hash), so an encode/decode slip changes the Spark result but not
+    this one."""
+    from chess_ratings_spark.operators.multimodal import (
+        dhash64,
+        phash_pixel_plane,
+    )
+    from chess_ratings_spark.plans.extras import mm_phash_near_dup
+
+    row = mm_phash_near_dup(spark, SF_SMOKE).collect()[0]
+    ids = [
+        r["doc_id"]
+        for r in tables.load(spark, SF_SMOKE, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    hs = {d: dhash64(phash_pixel_plane(d % 50, d // 50)) for d in ids}
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for d, (lo, hi) in hs.items():
+        for k in range(8):
+            h = lo if k < 4 else hi
+            buckets[(k, (h >> (8 * (k % 4))) & 255)].append(d)
+    cand = set()
+    for bucket in buckets.values():
+        bucket = sorted(bucket)
+        for i in range(len(bucket)):
+            for j in range(i + 1, len(bucket)):
+                cand.add((bucket[i], bucket[j]))
+    n_pairs = n_same = ham_tot = 0
+    for a, b in cand:
+        ham = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(
+            hs[a][1] ^ hs[b][1]
+        ).count("1")
+        if ham <= 6:
+            n_pairs += 1
+            ham_tot += ham
+            n_same += a % 50 == b % 50
+    assert row["n_images"] == len(ids)
+    assert row["sum_h_lo"] == sum(v[0] for v in hs.values())
+    assert row["sum_h_hi"] == sum(v[1] for v in hs.values())
+    assert (row["n_pairs"], row["n_same_base"], row["hamming_total"]) == (
+        n_pairs,
+        n_same,
+        ham_tot,
+    )
+    assert row["n_pairs"] > 0 and row["n_same_base"] == row["n_pairs"]
