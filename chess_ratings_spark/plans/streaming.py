@@ -1024,3 +1024,29 @@ def stream_state_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_ops.session_timeout_stream(spark, ev).orderBy(
         "user_id", "start_us"
     )
+
+
+@register(
+    "stream_semi_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = p.user_id
+          AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+      )
+    """,
+    doc="Stream-stream LEFT SEMI interval join (SPARK-32862): each "
+    "purchase emits once iff the same user viewed in the prior hour — "
+    "existence semantics, so state and output stay bounded by the "
+    "left side where the inner join's output is bounded by the match "
+    "product (a 40-view purchase emits 1 row, not 40). Same "
+    "watermark + range-condition state-cleanup contract as the outer "
+    "join. The batch EXISTS is the exact oracle.",
+    tags=("streaming", "events", "live", "join"),
+)
+def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.semi_join_stream(spark, ev)

@@ -168,6 +168,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ml_kmedians_embed",
     "sql_scripting",
     "mm_phash_near_dup",
+    "stream_semi_join",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

@@ -1093,3 +1093,42 @@ def session_timeout_stream(
         )
         q.awaitTermination()
     return _snapshot_sink(spark, name)
+
+
+def semi_join_stream(
+    spark: SparkSession, ev: DataFrame, lookback: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join (SPARK-32862, 3.1+): each
+    purchase emits ONCE iff the same user viewed within `lookback`
+    before it — existence, not enumeration, so a purchase with 40
+    matching views emits one row where the inner join emits 40. Same
+    watermark/range-condition contract as the outer join (the engine
+    must know when a purchase can stop waiting for a view); state stays
+    range-bounded. Emits purchase ids only; the batch EXISTS is the
+    exact oracle."""
+    staged = _stage(ev, reuse=True)
+
+    def side(name: str, ts_alias: str, id_alias: str) -> DataFrame:
+        src = _with_event_time(
+            spark.readStream.schema(EVENT_SCHEMA).parquet(staged)
+        )
+        return (
+            src.filter(F.col("event_type") == name)
+            .withWatermark("ts", "35 days")
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(f"{id_alias}_user"),
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    p = side("purchase", "p_ts", "purchase_id")
+    v = side("view", "v_ts", "view_id")
+    joined = p.join(
+        v,
+        (F.col("purchase_id_user") == F.col("view_id_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_semi",
+    ).select("purchase_id")
+    return _drain(spark, joined, "append")
