@@ -301,3 +301,18 @@ def test_semdedup_never_goes_quadratic(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "FlatMapGroupsInPandas" in p  # per-cell bounded matmul
+
+
+@pytest.mark.parametrize("name", ["sim_pq_adc", "mm_phash_near_dup"])
+def test_new_similarity_family_stays_equi_joined(spark, name):
+    """PQ encode/ADC and the phash band join are equi-joins by design;
+    the only nested-loop shape allowed is the single 1-row
+    scalar-broadcast crossJoin that stitches the final census row."""
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+    assert p.count("BroadcastNestedLoopJoin") <= 2  # census-row stitches
