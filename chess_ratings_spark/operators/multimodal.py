@@ -457,22 +457,22 @@ def dhash64(img: np.ndarray) -> tuple[int, int]:
     return lo, hi
 
 
-def phash_images(docs: DataFrame) -> DataFrame:
-    """(doc_id, h_lo, h_hi): synthesize each doc's test image as a REAL
-    P6 PPM payload (bytes on the wire), decode it with the production
-    decoder, and dHash the decoded pixels — the full binary-column
-    round trip, Arrow-batched. Driver sees nothing; the hash lands as
-    two BIGINT columns ready for banded self-join."""
+def phash_hashes(df: DataFrame) -> DataFrame:
+    """(doc_id, h_lo, h_hi) from a frame carrying (doc_id, base, gen):
+    synthesize each row's test image as a REAL P6 PPM payload (bytes
+    on the wire), decode it with the production decoder, and dHash
+    the decoded pixels — the full binary-column round trip,
+    Arrow-batched. Driver sees nothing; the hash lands as two BIGINT
+    columns ready for banded self-join."""
 
     @F.pandas_udf("h_lo bigint, h_hi bigint")
-    def hash_udf(doc_id: pd.Series) -> pd.DataFrame:
+    def hash_udf(base: pd.Series, gen: pd.Series) -> pd.DataFrame:
         los, his = [], []
-        for did in doc_id:
-            did = int(did)
+        for b, g in zip(base, gen):
             payload = _ppm_bytes(
                 PHASH_W,
                 PHASH_H,
-                phash_pixel_plane(did % 50, did // 50).reshape(-1),
+                phash_pixel_plane(int(b), int(g)).reshape(-1),
             )
             img, _ = decode_ppm(payload)
             lo, hi = dhash64(img)
@@ -480,6 +480,18 @@ def phash_images(docs: DataFrame) -> DataFrame:
             his.append(hi)
         return pd.DataFrame({"h_lo": los, "h_hi": his})
 
-    return docs.select("doc_id", hash_udf("doc_id").alias("h")).select(
+    return df.select("doc_id", hash_udf("base", "gen").alias("h")).select(
         "doc_id", "h.h_lo", "h.h_hi"
+    )
+
+
+def phash_images(docs: DataFrame) -> DataFrame:
+    """phash_hashes over the registered base/gen derivation
+    (base = doc_id % 50, gen = doc_id // 50)."""
+    return phash_hashes(
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 50).cast("bigint").alias("base"),
+            F.expr("doc_id div 50").cast("bigint").alias("gen"),
+        )
     )

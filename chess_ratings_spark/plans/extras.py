@@ -829,31 +829,34 @@ WITH d AS MATERIALIZED (
                   THEN bit * (CAST(1 AS BIGINT) << (gy * 8 + gx - 32))
                   ELSE 0 END) AS BIGINT) AS h_hi
   FROM bits GROUP BY doc_id, base
-), chunks AS MATERIALIZED (
-  SELECT doc_id, h_lo, h_hi, base, k.k AS chunk_id,
-         ((CASE WHEN k.k < 4 THEN h_lo ELSE h_hi END) >> (8 * (k.k % 4)))
-           & 255 AS chunk
-  FROM hashes, (SELECT unnest(range(0, 8)) AS k) k
-), pairs AS MATERIALIZED (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-         a.h_lo AS alo, a.h_hi AS ahi, b.h_lo AS blo, b.h_hi AS bhi,
-         a.base AS ba, b.base AS bb
-  FROM chunks a JOIN chunks b
-    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
-   AND a.doc_id < b.doc_id
+), hg AS MATERIALIZED (
+  SELECT h_lo, h_hi, base, CAST(count(*) AS BIGINT) AS n
+  FROM hashes GROUP BY h_lo, h_hi, base
+), crossed AS MATERIALIZED (
+  SELECT a.n AS na, b.n AS nb, a.base AS ba, b.base AS bb,
+         bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi))
+           AS hamming
+  FROM hg a JOIN hg b
+    ON (a.h_lo < b.h_lo)
+    OR (a.h_lo = b.h_lo AND a.h_hi < b.h_hi)
+    OR (a.h_lo = b.h_lo AND a.h_hi = b.h_hi AND a.base < b.base)
 ), near AS MATERIALIZED (
-  SELECT *, bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS hamming
-  FROM pairs
+  SELECT * FROM crossed WHERE hamming <= 6
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_images,
+         CAST(sum(n * h_lo) AS BIGINT) AS sum_h_lo,
+         CAST(sum(n * h_hi) AS BIGINT) AS sum_h_hi,
+         CAST(sum(n * (n - 1) // 2) AS BIGINT) AS within_pairs
+  FROM hg
 )
-SELECT CAST((SELECT count(*) FROM hashes) AS BIGINT) AS n_images,
-       CAST((SELECT sum(h_lo) FROM hashes) AS BIGINT) AS sum_h_lo,
-       CAST((SELECT sum(h_hi) FROM hashes) AS BIGINT) AS sum_h_hi,
-       CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(coalesce(sum(CASE WHEN ba = bb THEN 1 ELSE 0 END), 0) AS BIGINT)
-         AS n_same_base,
-       CAST(coalesce(sum(hamming), 0) AS BIGINT) AS hamming_total
-FROM near WHERE hamming <= 6
-
+SELECT tot.n_images, tot.sum_h_lo, tot.sum_h_hi,
+       CAST(tot.within_pairs + coalesce(sum(na * nb), 0) AS BIGINT) AS n_pairs,
+       CAST(tot.within_pairs
+            + coalesce(sum(CASE WHEN ba = bb THEN na * nb ELSE 0 END), 0)
+            AS BIGINT) AS n_same_base,
+       CAST(coalesce(sum(hamming * na * nb), 0) AS BIGINT) AS hamming_total
+FROM tot LEFT JOIN near ON true
+GROUP BY tot.n_images, tot.sum_h_lo, tot.sum_h_hi, tot.within_pairs
     """,
     doc="Image near-duplicate detection by perceptual hash (dHash) — "
     "the image-content counterpart to the text near-dup family "
@@ -885,77 +888,121 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = multimodal.phash_images(d).withColumn(
         "base", (F.col("doc_id") % 50).cast("bigint")
     )
-    chunks = hashes.select(
-        "doc_id",
-        "h_lo",
-        "h_hi",
-        "base",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("chunk_id"),
-                        F.shiftright(
-                            F.col("h_lo") if k < 4 else F.col("h_hi"),
-                            8 * (k % 4),
-                        )
-                        .bitwiseAND(F.lit(255))
-                        .alias("chunk"),
-                    )
-                    for k in range(8)
+    # GROUP-COLLAPSE before banding, then MULTI-INDEX HASHING — both
+    # measured into this design by scripts/scale_evidence.py:
+    #  - per-image banding: candidates grew 88x for 10x images
+    #    (8-bit chunk space birthday-collides once n >> 2048);
+    #  - group collapse alone: distinct textures also grow with the
+    #    corpus, 8-bit buckets still quadratic (35M group candidates
+    #    at 10x).
+    # MIH (Norouzi/Punjani/Fleet 2012): m=4 chunks of 16 bits with
+    # per-chunk search radius floor(6/4)=1 — pigeonhole still gives
+    # EXACT recall for hamming <= 6 (6 diffs over 4 chunks leave some
+    # chunk with <= 1), while the bucket space grows 2^8 -> 2^16. The
+    # query side explodes each chunk to its 17 radius-1 variants; the
+    # index side stays exact — a 17x key fanout buying a ~256x
+    # sparser join.
+    hg = hashes.groupBy("h_lo", "h_hi", "base").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = hg.agg(
+        F.sum("n").cast("bigint").alias("n_images"),
+        F.sum(F.col("n") * F.col("h_lo")).cast("bigint").alias("sum_h_lo"),
+        F.sum(F.col("n") * F.col("h_hi")).cast("bigint").alias("sum_h_hi"),
+        # within-group doc pairs: identical hash + base -> hamming 0
+        # (integer div: n*(n-1) is even, stay off the float path)
+        F.sum(F.expr("n * (n - 1) div 2")).cast("bigint").alias("within_pairs"),
+    )
+
+    def chunk_col(k):
+        src_col = F.col("h_lo") if k < 4 // 2 * 2 and k < 2 else F.col("h_hi")
+        return src_col
+
+    def chunks_of(df, with_variants):
+        cols = []
+        for k in range(4):
+            half = F.col("h_lo") if k < 2 else F.col("h_hi")
+            ck = F.shiftright(half, 16 * (k % 2)).bitwiseAND(F.lit(65535))
+            if with_variants:
+                variants = [ck] + [
+                    ck.bitwiseXOR(F.lit(1 << j)) for j in range(16)
                 ]
-            )
-        ).alias("ck"),
-    ).select("doc_id", "h_lo", "h_hi", "base", "ck.chunk_id", "ck.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+                cols.extend(
+                    F.struct(
+                        F.lit(k).alias("chunk_id"), v.alias("chunk")
+                    )
+                    for v in variants
+                )
+            else:
+                cols.append(
+                    F.struct(F.lit(k).alias("chunk_id"), ck.alias("chunk"))
+                )
+        return df.select(
+            "h_lo", "h_hi", "base", "n", F.explode(F.array(*cols)).alias("ck")
+        ).select("h_lo", "h_hi", "base", "n", "ck.chunk_id", "ck.chunk")
+
+    probe = chunks_of(hg, with_variants=True)
+    index = chunks_of(hg, with_variants=False)
+    a, b = probe.alias("a"), index.alias("b")
+    lex_lt = (
+        (F.col("a.h_lo") < F.col("b.h_lo"))
+        | ((F.col("a.h_lo") == F.col("b.h_lo")) & (F.col("a.h_hi") < F.col("b.h_hi")))
+        | (
+            (F.col("a.h_lo") == F.col("b.h_lo"))
+            & (F.col("a.h_hi") == F.col("b.h_hi"))
+            & (F.col("a.base") < F.col("b.base"))
+        )
+    )
+    gpairs = (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & lex_lt,
         )
         .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
             F.col("a.h_lo").alias("alo"),
             F.col("a.h_hi").alias("ahi"),
+            F.col("a.base").alias("ba"),
+            F.col("a.n").alias("na"),
             F.col("b.h_lo").alias("blo"),
             F.col("b.h_hi").alias("bhi"),
-            F.col("a.base").alias("ba"),
             F.col("b.base").alias("bb"),
+            F.col("b.n").alias("nb"),
         )
         .distinct()
     )
-    near = pairs.withColumn(
+    near = gpairs.withColumn(
         "hamming",
         F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
         + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi"))),
     ).filter(F.col("hamming") <= 6)
-    totals = hashes.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_images"),
-        F.sum("h_lo").cast("bigint").alias("sum_h_lo"),
-        F.sum("h_hi").cast("bigint").alias("sum_h_hi"),
+    cross = near.agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("bigint")
+        .alias("cross_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("ba") == F.col("bb"), F.col("na") * F.col("nb")).otherwise(
+                    0
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("cross_same_base"),
+        F.coalesce(F.sum(F.col("hamming") * F.col("na") * F.col("nb")), F.lit(0))
+        .cast("bigint")
+        .alias("cross_hamming"),
     )
     return (
-        near.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.coalesce(
-                F.sum(F.when(F.col("ba") == F.col("bb"), 1).otherwise(0)), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("n_same_base"),
-            F.coalesce(F.sum("hamming"), F.lit(0))
-            .cast("bigint")
-            .alias("hamming_total"),
-        )
-        .crossJoin(F.broadcast(totals))
-        .select(
+        totals.crossJoin(F.broadcast(cross))
+        .selectExpr(
             "n_images",
             "sum_h_lo",
             "sum_h_hi",
-            "n_pairs",
-            "n_same_base",
-            "hamming_total",
+            "within_pairs + cross_pairs AS n_pairs",
+            "within_pairs + cross_same_base AS n_same_base",
+            "cross_hamming AS hamming_total",
         )
     )

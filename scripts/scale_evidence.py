@@ -816,6 +816,263 @@ def run_skew_salt(spark, factor: int) -> dict:
     }
 
 
+
+
+def run_phash(spark, factor: int) -> dict:
+    """Image-phash census under GROUP-COUNT inflation (copy c uses
+    base' = base + 50*c: disjoint texture families — the web-scale
+    regime where the corpus grows by NEW images).
+
+    Measures the shipped design: group-collapse to DISTINCT
+    (hash, base) + multi-index hashing (4 chunks x 16 bits, radius-1
+    probe variants — exact recall for hamming <= 6 by pigeonhole).
+    History, falsified by this harness: per-image 8-bit banding grew
+    88x for 10x images (916k -> 80.2M candidates); group collapse
+    with 8-bit chunks still 92x (380k -> 35.1M; distinct textures
+    also grow with the corpus). MIH's 2^16 bucket space is the fix —
+    the claim here is group candidates ~linear in copies and the
+    hottest bucket bounded by texture-family structure."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators.multimodal import phash_hashes
+
+    d = tables.load(spark, SF_DIR, "documents").select("doc_id")
+    copies = [
+        d.select((F.col("doc_id") + c * 100_000_000).alias("doc_id"))
+        for c in range(factor)
+    ]
+    ids = copies[0]
+    for c in copies[1:]:
+        ids = ids.unionByName(c)
+    t0 = time.time()
+    with_grp = ids.select(
+        "doc_id",
+        ((F.col("doc_id") % 100_000_000) % 50
+         + 50 * F.expr("doc_id div 100000000")).cast("bigint").alias("base"),
+        F.expr("(doc_id % 100000000) div 50").cast("bigint").alias("gen"),
+    )
+    hashes = (
+        phash_hashes(with_grp)
+        .join(with_grp.select("doc_id", "base"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    hg = hashes.groupBy("h_lo", "h_hi", "base").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint(eager=True)
+
+    def chunks_of(df, with_variants):
+        cols = []
+        for k in range(4):
+            half = F.col("h_lo") if k < 2 else F.col("h_hi")
+            ck = F.shiftright(half, 16 * (k % 2)).bitwiseAND(F.lit(65535))
+            if with_variants:
+                variants = [ck] + [
+                    ck.bitwiseXOR(F.lit(1 << j)) for j in range(16)
+                ]
+                cols.extend(
+                    F.struct(F.lit(k).alias("chunk_id"), v.alias("chunk"))
+                    for v in variants
+                )
+            else:
+                cols.append(
+                    F.struct(F.lit(k).alias("chunk_id"), ck.alias("chunk"))
+                )
+        return df.select(
+            "h_lo", "h_hi", "base", "n",
+            F.explode(F.array(*cols)).alias("ck"),
+        ).select("h_lo", "h_hi", "base", "n", "ck.chunk_id", "ck.chunk")
+
+    index = chunks_of(hg, with_variants=False)
+    probe = chunks_of(hg, with_variants=True)
+    hot = (
+        index.groupBy("chunk_id", "chunk")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    a, b = probe.alias("a"), index.alias("b")
+    lex_lt = (
+        (F.col("a.h_lo") < F.col("b.h_lo"))
+        | ((F.col("a.h_lo") == F.col("b.h_lo"))
+           & (F.col("a.h_hi") < F.col("b.h_hi")))
+        | ((F.col("a.h_lo") == F.col("b.h_lo"))
+           & (F.col("a.h_hi") == F.col("b.h_hi"))
+           & (F.col("a.base") < F.col("b.base")))
+    )
+    gpairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & lex_lt,
+        )
+        .select(
+            F.col("a.h_lo").alias("alo"),
+            F.col("a.h_hi").alias("ahi"),
+            F.col("a.base").alias("ba"),
+            F.col("a.n").alias("na"),
+            F.col("b.h_lo").alias("blo"),
+            F.col("b.h_hi").alias("bhi"),
+            F.col("b.base").alias("bb"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    stats = gpairs.agg(
+        F.count(F.lit(1)).alias("g_cand"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+                    + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+                    <= 6,
+                    F.col("na") * F.col("nb"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("cross_doc_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (
+                        F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+                        + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+                        <= 6
+                    )
+                    & (F.col("ba") == F.col("bb")),
+                    F.col("na") * F.col("nb"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("cross_same_grp"),
+    ).collect()[0]
+    n = hashes.count()
+    n_groups = hg.count()
+    hashes.unpersist()
+    hg.unpersist()
+    return {
+        "op": "phash_mih",
+        "factor": factor,
+        "n_images": n,
+        "n_hash_groups": n_groups,
+        "hottest_bucket": int(hot),
+        "group_candidates": int(stats["g_cand"]),
+        "cross_doc_pairs_le6": int(stats["cross_doc_pairs"]),
+        "cross_same_group": int(stats["cross_same_grp"]),
+        "secs": round(time.time() - t0, 1),
+    }
+
+
+def run_pq(spark, factor: int) -> dict:
+    """PQ-ADC census under inflation with a FIXED copy-0 query set
+    (same protocol as run_ivf): encode rows, ADC scan volume
+    (n_queries x n codes summed per pair), and shortlist size. The
+    claim: every stage is linear in n at fixed query count — encode is
+    a per-vector map against a broadcast codebook, the ADC scan reads
+    one 16-byte code row per (query, vector)."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.plans.llm_tier import sim_pq_adc  # noqa: F401
+
+    e = tables.load(spark, SF_DIR, "embeddings")
+    inflated = inflate_embeddings(e, factor)
+    t0 = time.time()
+    el = inflated.select(
+        "vec_id", F.posexplode("embedding").alias("p", "vf")
+    ).select(
+        "vec_id",
+        (F.col("p") / 4).cast("int").alias("s"),
+        (F.col("p") % 4).cast("int").alias("d"),
+        F.floor(F.col("vf").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("ve6"),
+    )
+    bit = F.expr(
+        "CASE WHEN ve6 >= 0 THEN"
+        " CASE d WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END"
+        " ELSE 0 END"
+    )
+    from pyspark.sql import Window
+
+    buck = el.groupBy("vec_id", "s").agg(F.sum(bit).cast("int").alias("b"))
+    memb = el.join(buck, ["vec_id", "s"])
+    w_med = Window.partitionBy("s", "b", "d").orderBy("ve6", "vec_id")
+    w_cnt = Window.partitionBy("s", "b", "d")
+    cent = (
+        memb.select(
+            "s", "b", "d", "ve6",
+            F.row_number().over(w_med).alias("rn"),
+            F.count(F.lit(1)).over(w_cnt).alias("cnt"),
+        )
+        .filter(F.col("rn") * 2 == F.col("cnt") + F.col("cnt") % 2)
+        .select(
+            F.col("s").alias("cs"),
+            F.col("b").alias("cb"),
+            F.col("d").alias("cd"),
+            F.col("ve6").alias("ce6"),
+        )
+    )
+    sq = (F.col("ve6") - F.col("ce6")) * (F.col("ve6") - F.col("ce6"))
+    w_enc = Window.partitionBy("vec_id", "s").orderBy("dist", "cb")
+    code = (
+        memb.join(
+            F.broadcast(cent),
+            (F.col("s") == F.col("cs")) & (F.col("d") == F.col("cd")),
+        )
+        .select("vec_id", "s", "cb", sq.alias("sq"))
+        .groupBy("vec_id", "s", "cb")
+        .agg(F.sum("sq").alias("dist"))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cb").alias("code"))
+        .localCheckpoint(eager=True)
+    )
+    n_codes = code.count()
+    q = el.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100_000_000)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("s").alias("qs"),
+        F.col("d").alias("qd"),
+        F.col("ve6").alias("qe6"),
+    )
+    qsq = (F.col("qe6") - F.col("ce6")) * (F.col("qe6") - F.col("ce6"))
+    lut = (
+        q.join(
+            F.broadcast(cent),
+            (F.col("qs") == F.col("cs")) & (F.col("qd") == F.col("cd")),
+        )
+        .select("qid", "qs", "cb", qsq.alias("sq"))
+        .groupBy("qid", "qs", "cb")
+        .agg(F.sum("sq").alias("pd"))
+        .select("qid", F.col("qs").alias("ls"), F.col("cb").alias("lb"), "pd")
+    )
+    adc = (
+        code.join(
+            F.broadcast(lut),
+            (F.col("s") == F.col("ls")) & (F.col("code") == F.col("lb")),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.count(F.lit(1)).alias("nsub"))
+        .filter(F.col("nsub") == 16)
+    )
+    n_adc = adc.count()
+    nq = q.select("qid").distinct().count()
+    code.unpersist()
+    return {
+        "op": "pq_adc",
+        "factor": factor,
+        "n_vecs": n_codes // 16,
+        "n_queries": nq,
+        "encode_rows": n_codes,
+        "adc_scored_pairs": n_adc,
+        "secs": round(time.time() - t0, 1),
+    }
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
     from chess_ratings_spark.session import get_spark
@@ -823,7 +1080,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_jaccard_neighbors, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_tablelog_sharded, run_skew_salt, run_ivf, run_semdedup):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_jaccard_neighbors, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_tablelog_sharded, run_skew_salt, run_ivf, run_semdedup, run_phash, run_pq):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()

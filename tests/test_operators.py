@@ -489,3 +489,40 @@ def test_rolling_median_matches_pandas(spark):
             .to_numpy()
         )
         assert np.array_equal(got.astype("float64"), exp), uid
+
+
+def test_kcore_peel_total_collapse(spark):
+    """kcore_peel must survive the fixpoint degenerating to EMPTY: a k
+    above every degree peels everything in round 1 and every later
+    round runs degree/semi-joins over zero-row frames."""
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators.graph import kcore_peel
+
+    edges = tables.local_table(
+        spark,
+        [(1, 2), (2, 3), (3, 4)],  # a path: max degree 2
+        [("src", "bigint"), ("dst", "bigint")],
+    )
+    out = {r["round"]: r for r in kcore_peel(edges, k=3, rounds=3).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in (1, 2, 3):
+        assert (out[r]["n_nodes"], out[r]["n_edges"]) == (0, 0), r
+
+
+def test_kcore_peel_stable_core(spark):
+    """A clique IS its own k-core for k = size-1: nothing peels and
+    the census is constant from round 1."""
+    from itertools import combinations
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators.graph import kcore_peel
+
+    nodes = list(range(1, 6))
+    edges = tables.local_table(
+        spark,
+        list(combinations(nodes, 2)),
+        [("src", "bigint"), ("dst", "bigint")],
+    )
+    out = kcore_peel(edges, k=4, rounds=2).collect()
+    for r in out:
+        assert (r["n_nodes"], r["n_edges"]) == (5, 10)
