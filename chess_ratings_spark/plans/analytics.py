@@ -1624,3 +1624,118 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "win_skyline_2d",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_centi,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT) AS n_dup
+      FROM lineitem GROUP BY 1, 2, 3
+    ), sc AS (
+      SELECT grp, price_centi, qty, n_dup,
+             max(qty) OVER (PARTITION BY grp ORDER BY price_centi
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS best_cheaper,
+             max(qty) OVER (PARTITION BY grp, price_centi) AS best_equal
+      FROM pts
+    )
+    SELECT grp, price_centi, qty, n_dup
+    FROM sc
+    WHERE (best_cheaper IS NULL OR qty > best_cheaper) AND qty = best_equal
+    ORDER BY grp, price_centi
+    """,
+    doc="2-D skyline (Pareto frontier) — the classic non-dominated-"
+    "points operator from the DB literature (Borzsony/Kossmann/"
+    "Stocker 2001), here per returnflag minimizing price and "
+    "maximizing quantity: a point survives iff nothing is both "
+    "cheaper-or-equal and bigger-or-equal with one strict. The naive "
+    "formulation is a quadratic NOT EXISTS self-join; the 2-D case "
+    "collapses to ONE window pass over distinct points: on the "
+    "frontier iff qty exceeds the best qty at any strictly lower "
+    "price (a value-RANGE frame ending at 1 PRECEDING — frame "
+    "semantics identical in both engines) and qty is the best among "
+    "its own exact price (equal-price duplicates dominate each "
+    "other). Pre-compression to distinct (group, price, qty) with "
+    "counts keeps the window input bounded by the value grid, and "
+    "the whole plan is one shuffle on the group key. Cross-checked "
+    "against a quadratic brute-force dominance scan in pytest.",
+    tags=("window", "analytics", "lineitem"),
+)
+def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    pts = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("price_centi"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_dup"))
+    w_cheaper = (
+        Window.partitionBy("grp")
+        .orderBy("price_centi")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("grp", "price_centi")
+    sc = pts.select(
+        "grp",
+        "price_centi",
+        "qty",
+        "n_dup",
+        F.max("qty").over(w_cheaper).alias("best_cheaper"),
+        F.max("qty").over(w_equal).alias("best_equal"),
+    )
+    return (
+        sc.filter(
+            (F.col("best_cheaper").isNull() | (F.col("qty") > F.col("best_cheaper")))
+            & (F.col("qty") == F.col("best_equal"))
+        )
+        .select("grp", "price_centi", "qty", "n_dup")
+        .orderBy("grp", "price_centi")
+    )
+
+
+@register(
+    "fn_hash_suite",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT
+                 ('0x' || substr(md5(text), 1, 8))::UBIGINT % 64)
+                AS BIGINT) AS md5_buckets,
+           CAST(sum(('0x' || substr(md5(text), 1, 8))::UBIGINT)
+                AS BIGINT) AS md5_head_sum,
+           CAST(sum(('0x' || substr(sha256(text), 1, 8))::UBIGINT)
+                AS BIGINT) AS sha256_head_sum
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Cryptographic-hash surface pin: md5 and sha-256 are "
+    "BIT-EQUAL across Spark and DuckDB (lowercase hex of the standard "
+    "digest), and the first-8-hex-digits -> BIGINT bridge "
+    "(Spark conv(substring(hex,1,8),16,10) == DuckDB "
+    "('0x'||substr(hex,1,8))::UBIGINT) is the exact integer the "
+    "repo's entire salted-sampling family rides on — this query "
+    "makes that bridge a first-class driver-checked fact rather "
+    "than an implicit dependency of 20 other queries. Per source: "
+    "distinct md5 buckets mod 64 (occupancy), plus head sums for "
+    "both digests. Everything per-row deterministic; the sums are "
+    "exact BIGINT (500 x 2^32 max ~ 2e12).",
+    tags=("fn", "documents"),
+)
+def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    md5_head = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    sha_head = F.conv(
+        F.substring(F.sha2(F.col("text"), 256), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct(md5_head % 64).cast("bigint").alias("md5_buckets"),
+            F.sum(md5_head).cast("bigint").alias("md5_head_sum"),
+            F.sum(sha_head).cast("bigint").alias("sha256_head_sum"),
+        )
+        .orderBy("source")
+    )

@@ -169,6 +169,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sql_scripting",
     "mm_phash_near_dup",
     "stream_semi_join",
+    "win_skyline_2d",
+    "fn_hash_suite",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

@@ -612,3 +612,36 @@ def test_phash_near_dup_matches_numpy(spark):
         ham_tot,
     )
     assert row["n_pairs"] > 0 and row["n_same_base"] == row["n_pairs"]
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """win_skyline_2d vs the quadratic dominance definition applied
+    literally over distinct points: survive iff no other point is
+    cheaper-or-equal AND bigger-or-equal with one strict."""
+    from chess_ratings_spark.plans.analytics import win_skyline_2d
+
+    out = {
+        (r["grp"], r["price_centi"], r["qty"]): r["n_dup"]
+        for r in win_skyline_2d(spark, SF_SMOKE).collect()
+    }
+    li = (
+        tables.load(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    li["p"] = np.floor(li["l_extendedprice"].astype(float) * 100).astype(
+        "int64"
+    )
+    li["q"] = li["l_quantity"].astype("int64")
+    expected = {}
+    for grp, g in li.groupby("l_returnflag"):
+        counts = g.groupby(["p", "q"]).size()
+        pts = list(counts.index)
+        for p, q in pts:
+            dominated = any(
+                p2 <= p and q2 >= q and (p2 < p or q2 > q) for p2, q2 in pts
+            )
+            if not dominated:
+                expected[(grp, p, q)] = int(counts[(p, q)])
+    assert out == expected
+    assert len(out) > 0
