@@ -1526,20 +1526,22 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vc",
         F.abs(F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a")).alias("dd"),
     )
-    mx = d.agg(F.max("dd").alias("ks_num"))
-    arg = (
-        d.crossJoin(F.broadcast(mx))
-        .filter(F.col("dd") == F.col("ks_num"))
-        .agg(F.min("vc").cast("bigint").alias("ks_at_centi"))
+    # max + plateau-argmax in ONE aggregation: struct max orders by dd
+    # then by -vc, so the winner carries the SMALLEST vc among ties —
+    # the separate max-then-filter-then-min formulation recomputed the
+    # grouped/windowed chain twice (measured 20 Exchanges in the plan)
+    best = d.agg(
+        F.max(
+            F.struct(F.col("dd").alias("dd"), (-F.col("vc")).alias("nvc"))
+        ).alias("m")
     )
     return (
-        tot.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(arg))
+        tot.crossJoin(F.broadcast(best))
         .selectExpr(
             "n_a",
             "n_b",
-            "CAST((ks_num * 1000000) div (n_a * n_b) AS BIGINT) AS ks_e6",
-            "ks_at_centi",
+            "CAST((m.dd * 1000000) div (n_a * n_b) AS BIGINT) AS ks_e6",
+            "CAST(-m.nvc AS BIGINT) AS ks_at_centi",
         )
     )
 
