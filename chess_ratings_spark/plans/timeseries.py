@@ -401,3 +401,113 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((prefix * 1000) div t AS BIGINT) AS mean_before_e3",
         "CAST(((s - prefix) * 1000) div (n - t) AS BIGINT) AS mean_after_e3",
     ).orderBy("event_type")
+
+
+_LTOB_BUCKETS = 24
+
+
+@register(
+    "ts_downsample_ltob",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) AS x,
+             CAST(floor(value * 100) AS BIGINT) AS y
+      FROM events
+    ), ordered AS (
+      SELECT event_type, event_id, x, y,
+             row_number() OVER w AS t,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             lag(x) OVER w AS xp, lag(y) OVER w AS yp,
+             lead(x) OVER w AS xn, lead(y) OVER w AS yn
+      FROM pts
+      WINDOW w AS (PARTITION BY event_type ORDER BY x, event_id)
+    ), area AS (
+      SELECT event_type, event_id, x, y,
+             CAST(((t - 1) * {_LTOB_BUCKETS}) // n AS INT) AS bucket,
+             abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp)) AS a2
+      FROM ordered WHERE xp IS NOT NULL AND xn IS NOT NULL
+    ), pick AS (
+      SELECT event_type, bucket, x, y, a2,
+             row_number() OVER (PARTITION BY event_type, bucket
+                                ORDER BY a2 DESC, x, event_id) AS rk
+      FROM area
+    )
+    SELECT event_type, bucket, CAST(x AS BIGINT) AS epoch_us,
+           y AS value_centi, CAST(a2 AS BIGINT) AS area2
+    FROM pick WHERE rk = 1 ORDER BY event_type, bucket
+    """,
+    doc="LTOB time-series downsampling (largest-triangle-one-bucket, "
+    "Steinarsson 2013 — the standard visualization downsampler family "
+    "LTTB belongs to): each series is split into equal-COUNT buckets "
+    "and each bucket keeps the point with the largest triangle area "
+    "against its immediate neighbors — the point whose removal would "
+    "deform the rendered line most. LTOB rather than LTTB "
+    "deliberately: LTTB's triangle uses the PREVIOUSLY SELECTED "
+    "point, a sequential dependency that cannot distribute; LTOB's "
+    "fixed-neighbor triangle is one window pass, embarrassingly "
+    "parallel, and is the documented practical fallback at scale. "
+    "Exact integers: x = epoch microseconds (timestampdiff bridge), "
+    "y on the centi grid, area as the |cross product| of BIGINTs "
+    "(doubled area — no halving, stays integral), ties broken by "
+    "(x, event_id). One window clustering per series computes the "
+    "row index, the series length, both neighbors, and the bucket "
+    "assignment ((t-1)*B div n: equal-count, engine-portable); the "
+    "per-bucket argmax shares the same partitioning.",
+    tags=("timeseries", "window", "events"),
+)
+def ts_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " cast('1970-01-01 00:00:00' as timestamp_ntz), ts)"
+        ).alias("x"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "event_id")
+    w_full = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ordered = pts.select(
+        "event_type",
+        "event_id",
+        "x",
+        "y",
+        F.row_number().over(w).alias("t"),
+        F.count(F.lit(1)).over(w_full).alias("n"),
+        F.lag("x").over(w).alias("xp"),
+        F.lag("y").over(w).alias("yp"),
+        F.lead("x").over(w).alias("xn"),
+        F.lead("y").over(w).alias("yn"),
+    )
+    area = ordered.filter(
+        F.col("xp").isNotNull() & F.col("xn").isNotNull()
+    ).select(
+        "event_type",
+        "event_id",
+        "x",
+        "y",
+        F.expr(f"CAST(((t - 1) * {_LTOB_BUCKETS}) div n AS INT)").alias("bucket"),
+        F.abs(
+            (F.col("xp") - F.col("xn")) * (F.col("y") - F.col("yp"))
+            - (F.col("xp") - F.col("x")) * (F.col("yn") - F.col("yp"))
+        ).alias("a2"),
+    )
+    w_pick = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("a2"), "x", "event_id"
+    )
+    return (
+        area.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "bucket",
+            F.col("x").cast("bigint").alias("epoch_us"),
+            F.col("y").alias("value_centi"),
+            F.col("a2").cast("bigint").alias("area2"),
+        )
+        .orderBy("event_type", "bucket")
+    )

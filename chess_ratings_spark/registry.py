@@ -171,6 +171,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_semi_join",
     "win_skyline_2d",
     "fn_hash_suite",
+    "ts_downsample_ltob",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

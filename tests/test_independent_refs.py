@@ -645,3 +645,53 @@ def test_skyline_matches_bruteforce_dominance(spark):
                 expected[(grp, p, q)] = int(counts[(p, q)])
     assert out == expected
     assert len(out) > 0
+
+
+def test_ltob_matches_numpy(spark):
+    """ts_downsample_ltob vs a direct numpy LTOB: sort, bucket by
+    (t-1)*B//n, triangle areas from array slices, per-bucket argmax
+    with (area desc, x, event_id) ties."""
+    from chess_ratings_spark.plans.timeseries import (
+        _LTOB_BUCKETS,
+        ts_downsample_ltob,
+    )
+
+    out = {
+        (r["event_type"], r["bucket"]): (
+            r["epoch_us"],
+            r["value_centi"],
+            r["area2"],
+        )
+        for r in ts_downsample_ltob(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        tables.load(spark, SF_SMOKE, "events")
+        .selectExpr(
+            "event_type",
+            "event_id",
+            "timestampdiff(MICROSECOND,"
+            " cast('1970-01-01 00:00:00' as timestamp_ntz), ts) AS x",
+            "CAST(floor(value * 100) AS BIGINT) AS y",
+        )
+        .toPandas()
+    )
+    expected = {}
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["x", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        best: dict = {}
+        for i in range(1, n - 1):
+            a2 = abs(
+                (x[i - 1] - x[i + 1]) * (y[i] - y[i - 1])
+                - (x[i - 1] - x[i]) * (y[i + 1] - y[i - 1])
+            )
+            b = (i * _LTOB_BUCKETS) // n  # t-1 == i (0-based interior)
+            key = (-a2, x[i], eid[i])
+            if b not in best or key < best[b][0]:
+                best[b] = (key, (int(x[i]), int(y[i]), int(a2)))
+        for b, (_, val) in best.items():
+            expected[(et, int(b))] = val
+    assert out == expected
