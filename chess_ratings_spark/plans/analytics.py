@@ -1741,3 +1741,151 @@ def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "agg_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), tot AS (
+      SELECT prev_type, sum(n) AS row_total FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           CAST((t.n * 1000000) // o.row_total AS BIGINT) AS p_e6
+    FROM trans t JOIN tot o USING (prev_type)
+    ORDER BY t.prev_type, t.next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences — the user-behavior model every funnel/churn analysis "
+    "starts from: lag() over the (user, ts, event_id) total order "
+    "pairs each event with its predecessor, one hash aggregation "
+    "counts (prev, next) cells, and row-normalized probabilities "
+    "land exactly on an e6 grid by the truncating-division bridge. "
+    "Plan: the lag window and nothing else touches raw rows (one "
+    "user-key shuffle); the matrix is |types|^2 <= 25 cells, so the "
+    "normalizing join is broadcast-sized. The event-level census "
+    "(win_event_pattern) answers 'does this PATTERN occur'; this "
+    "answers 'what happens NEXT from each state'.",
+    tags=("agg", "statistics", "events"),
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .selectExpr(
+            "prev_type",
+            "next_type",
+            "n",
+            "CAST((n * 1000000) div row_total AS BIGINT) AS p_e6",
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+#: floor(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed ONCE in
+#: Python and embedded as literals in BOTH engines' texts — no
+#: transcendental evaluated inside either engine.
+_BENFORD_E6 = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
+#: leading digit of a positive BIGINT via magnitude bands — pure
+#: integer CASE, identical text in Spark and DuckDB (no log10, no
+#: string formatting, both of which differ across engines)
+_LEAD_DIGIT_SQL = """CASE
+  WHEN pc < 10 THEN pc
+  WHEN pc < 100 THEN pc // 10
+  WHEN pc < 1000 THEN pc // 100
+  WHEN pc < 10000 THEN pc // 1000
+  WHEN pc < 100000 THEN pc // 10000
+  WHEN pc < 1000000 THEN pc // 100000
+  WHEN pc < 10000000 THEN pc // 1000000
+  WHEN pc < 100000000 THEN pc // 10000000
+  WHEN pc < 1000000000 THEN pc // 100000000
+  ELSE pc // 1000000000 END"""
+
+
+@register(
+    "agg_benford_deviation",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+      FROM orders WHERE o_totalprice > 0
+    ), d AS (
+      SELECT CAST({_LEAD_DIGIT_SQL} AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1
+    ), e AS (
+      SELECT unnest(range(1, 10)) AS digit,
+             unnest({list(_BENFORD_E6)}) AS expected_e6
+    ), tot AS (SELECT sum(n) AS total FROM d)
+    SELECT e.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+           CAST((coalesce(d.n, 0) * 1000000) // tot.total AS BIGINT)
+             AS observed_e6,
+           CAST(e.expected_e6 AS BIGINT) AS expected_e6,
+           CAST(abs((coalesce(d.n, 0) * 1000000) // tot.total
+                    - e.expected_e6) AS BIGINT) AS abs_dev_e6
+    FROM e LEFT JOIN d ON e.digit = d.digit, tot
+    ORDER BY e.digit
+    """,
+    doc="Benford's-law first-digit audit over order totals — the "
+    "classic fabricated-data / data-quality screen: leading-digit "
+    "frequencies vs log10(1 + 1/d). Engine-exact by construction: "
+    "the leading digit comes from pure-integer magnitude bands on "
+    "the centi grid (no per-row log10 or float formatting, both of "
+    "which can differ across engines), observed shares land on the "
+    "e6 grid by the truncating-division bridge, and the expected "
+    "Benford proportions are PRECOMPUTED e6 literals embedded in "
+    "both texts — no transcendental evaluated in either engine (the "
+    "same discipline as the ln/pow floor-grid family). One hash "
+    "aggregation over the scan; the 9-digit expected table is a "
+    "literal dimension. TPC-H prices are uniform-ish, so large "
+    "deviations are EXPECTED here — the query reports the deviation "
+    "profile, it does not assert conformance.",
+    tags=("agg", "statistics", "validation", "orders"),
+)
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    lead_digit = _LEAD_DIGIT_SQL.replace("//", "div")
+    d = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("pc"))
+        .selectExpr(f"CAST({lead_digit} AS INT) AS digit")
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    e = tables.local_table(
+        spark,
+        [(i + 1, exp) for i, exp in enumerate(_BENFORD_E6)],
+        [("digit", "int"), ("expected_e6", "bigint")],
+    )
+    tot = d.agg(F.sum("n").alias("total"))
+    return (
+        e.join(d, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "digit",
+            "CAST(coalesce(n, 0) AS BIGINT) AS n",
+            "CAST((coalesce(n, 0) * 1000000) div total AS BIGINT)"
+            " AS observed_e6",
+            "expected_e6",
+            "CAST(abs((coalesce(n, 0) * 1000000) div total - expected_e6)"
+            " AS BIGINT) AS abs_dev_e6",
+        )
+        .orderBy("digit")
+    )

@@ -172,6 +172,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_skyline_2d",
     "fn_hash_suite",
     "ts_downsample_ltob",
+    "agg_markov_transitions",
+    "agg_benford_deviation",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---
