@@ -1889,3 +1889,154 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def _pca_round_sql(r: int) -> str:
+    """One power-iteration round: w = C' v, renormalize to the e6 grid
+    by the max-|entry| truncating division."""
+    return f"""w{r} AS MATERIALIZED (
+      SELECT cov.i, sum(cov.c * v{r - 1}.v) AS w
+      FROM cov JOIN v{r - 1} ON cov.j = v{r - 1}.i
+      GROUP BY cov.i
+    ), m{r} AS MATERIALIZED (
+      SELECT max(abs(w)) AS m FROM w{r}
+    ), v{r} AS MATERIALIZED (
+      SELECT w{r}.i, (w{r}.w * 1000000) // m{r}.m AS v
+      FROM w{r}, m{r}
+    )"""
+
+
+def _pca_census_sql(r: int) -> str:
+    return f"""
+      SELECT CAST({r} AS INT) AS round,
+             CAST((SELECT i FROM v{r}
+                   ORDER BY abs(v) DESC, i LIMIT 1) AS INT) AS top_dim,
+             CAST((SELECT v FROM v{r}
+                   ORDER BY abs(v) DESC, i LIMIT 1) AS BIGINT) AS top_val_e6,
+             CAST((SELECT sum(v * i) FROM v{r}) AS BIGINT) AS fp"""
+
+
+_PCA_ROUNDS = 3
+
+
+@register(
+    "ml_pca_power",
+    oracle="""
+    WITH el AS MATERIALIZED (
+      SELECT vec_id, u.i AS i,
+             CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS ve6
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) AS u
+    ), dims AS MATERIALIZED (
+      SELECT i, sum(ve6) AS s, count(*) AS n FROM el GROUP BY i
+    ), nu AS MATERIALIZED (
+      SELECT el.vec_id, el.i,
+             CAST(dims.n * el.ve6 - dims.s AS HUGEINT) AS nu
+      FROM el JOIN dims ON el.i = dims.i
+    ), cov AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, sum(a.nu * b.nu) AS c
+      FROM nu a JOIN nu b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ), v0 AS MATERIALIZED (
+      SELECT unnest(range(1, 65)) AS i, CAST(1000000 AS HUGEINT) AS v
+    ), """
+    + ", ".join(_pca_round_sql(r) for r in range(1, _PCA_ROUNDS + 1))
+    + """
+    SELECT * FROM ("""
+    + " UNION ALL ".join(_pca_census_sql(r) for r in range(1, _PCA_ROUNDS + 1))
+    + """
+    ) ORDER BY round
+    """,
+    doc="PCA by power iteration — the dimensionality-reduction member "
+    "of the ML family (regression: ml_normal_equations, "
+    "classification: ml_gd_classifier, clustering: "
+    "ml_kmedians_embed), made engine-exact end-to-end: the scaled "
+    "deviations nu = n*x - S clear the mean division (the autocorr "
+    "trick), the Gram aggregation C' = nu^T nu is ONE mergeable "
+    "(i, j)-keyed sum over a vec_id-keyed self-join (the classic "
+    "one-pass covariance job; C' = n^2 * Cov, and scale factors "
+    "cancel in the eigenvector), and each of 3 power rounds is a "
+    "64x64 broadcast matrix-vector product renormalized to the e6 "
+    "grid by max-|entry| truncating division — all in "
+    "decimal(38,0)/HUGEINT (measured magnitudes: |C'| <= 1.4e20, "
+    "|w| <= 1.8e26, rescale product <= 1.8e32 — 6 digits of "
+    "headroom). Emits per round the dominant dimension, its e6 "
+    "loading, and the full-vector fingerprint sum(v_i * i): the "
+    "census shows the iterate settling (top_dim stabilizes by round "
+    "2 on the fixture). Rounds unroll as MATERIALIZED CTEs in the "
+    "oracle (the kcore lesson); numpy object-integer power iteration "
+    "cross-checks in pytest.",
+    tags=("ml", "embeddings", "statistics"),
+)
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "embeddings")
+    el = e.select(
+        "vec_id", F.posexplode("embedding").alias("p", "vf")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).cast("int").alias("i"),
+        F.floor(F.col("vf").cast("double") * 1000000).cast("bigint").alias("ve6"),
+    )
+    dims = el.groupBy("i").agg(
+        F.sum("ve6").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    nu = el.join(
+        F.broadcast(dims.withColumnRenamed("i", "di")),
+        F.col("i") == F.col("di"),
+    ).select(
+        "vec_id",
+        "i",
+        (F.col("n") * F.col("ve6") - F.col("s")).cast("decimal(38,0)").alias("nu"),
+    )
+    a = nu.select("vec_id", F.col("i").alias("ai"), F.col("nu").alias("anu"))
+    b = nu.select("vec_id", F.col("i").alias("bj"), F.col("nu").alias("bnu"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(F.sum(F.col("anu") * F.col("bnu")).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    v = tables.local_table(
+        spark,
+        [(i, 1_000_000) for i in range(1, 65)],
+        [("vi", "int"), ("v", "decimal(38,0)")],
+    )
+    out = None
+    for r in range(1, _PCA_ROUNDS + 1):
+        w = (
+            cov.join(F.broadcast(v), F.col("j") == F.col("vi"))
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .selectExpr(
+                "i AS vi",
+                "CAST((w * 1000000) div m AS decimal(38,0)) AS v",
+            )
+            .localCheckpoint(eager=True)
+        )
+        top = (
+            v.orderBy(F.abs(F.col("v")).desc(), "vi")
+            .limit(1)
+            .select(
+                F.col("vi").cast("int").alias("top_dim"),
+                F.col("v").cast("bigint").alias("top_val_e6"),
+            )
+        )
+        census = (
+            v.agg(
+                F.sum(F.col("v") * F.col("vi")).cast("bigint").alias("fp")
+            )
+            .crossJoin(F.broadcast(top))
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "top_dim",
+                "top_val_e6",
+                "fp",
+            )
+        )
+        out = census if out is None else out.unionByName(census)
+    assert out is not None
+    return out.orderBy("round")

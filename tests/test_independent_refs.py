@@ -695,3 +695,43 @@ def test_ltob_matches_numpy(spark):
         for b, (_, val) in best.items():
             expected[(et, int(b))] = val
     assert out == expected
+
+
+def test_pca_power_matches_python_bigints(spark):
+    """ml_pca_power vs arbitrary-precision Python-int power iteration:
+    exact Gram matrix from scaled deviations, three rounds of C@v with
+    toward-zero e6 renormalization — no engine arithmetic shared."""
+    from chess_ratings_spark.plans.analytics import _PCA_ROUNDS, ml_pca_power
+
+    out = {r["round"]: r for r in ml_pca_power(spark, SF_SMOKE).collect()}
+    emb = (
+        tables.load(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    Xf = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1e6
+    ).astype(np.int64)
+    X = [[int(v) for v in row] for row in Xf]
+    n, d = len(X), 64
+    S = [sum(row[i] for row in X) for i in range(d)]
+    NU = [[n * row[i] - S[i] for i in range(d)] for row in X]
+    C = [
+        [sum(r[i] * r[j] for r in NU) for j in range(d)] for i in range(d)
+    ]
+    v = [10**6] * d
+
+    def tdiv(x, y):  # toward-zero division, matching div/'//' bridge
+        q = abs(x) * 10**6 // y
+        return q if x >= 0 else -q
+
+    for rnd in range(1, _PCA_ROUNDS + 1):
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        v = [tdiv(x, mx) for x in w]
+        top = min(range(d), key=lambda i: (-abs(v[i]), i))
+        row = out[rnd]
+        assert row["top_dim"] == top + 1
+        assert row["top_val_e6"] == v[top]
+        assert row["fp"] == sum(v[i] * (i + 1) for i in range(d))
