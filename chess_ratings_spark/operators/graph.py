@@ -406,3 +406,57 @@ def kcore_peel(
             cur = nxt
         assert out is not None
         return out.orderBy("round")
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge set for a fixed number
+    of frontier expansions: returns one row per distance layer
+    (dist, n_nodes) — nodes FIRST reached at that distance (dist 0 =
+    the seed set). Each round is one frontier-to-edges equi-join, a
+    DISTINCT, and an anti-join against the visited set — all keyed on
+    node ids; the frontier shrinks once the reachable set saturates.
+    Same loop hygiene as the other fixed-point operators (eager
+    localCheckpoint, predecessor unpersist). `seeds` must carry a
+    single `node` column."""
+    with _loop_shuffle_partitions(edges):
+        und = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        frontier = seeds.select("node").distinct().localCheckpoint(eager=True)
+        visited = frontier
+        out = frontier.groupBy().agg(
+            F.lit(0).cast("int").alias("dist"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        )
+        for d in range(1, rounds + 1):
+            nxt = (
+                und.join(
+                    frontier.withColumnRenamed("node", "a"), "a", "semi"
+                )
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .join(visited, "node", "anti")
+                .localCheckpoint(eager=True)
+            )
+            census = nxt.groupBy().agg(
+                F.lit(d).cast("int").alias("dist"),
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            )
+            out = out.unionByName(census)
+            new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            if visited is not frontier and visited.is_cached:
+                visited.unpersist()
+            visited = new_visited
+            frontier = nxt
+        return out.orderBy("dist")

@@ -175,6 +175,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_markov_transitions",
     "agg_benford_deviation",
     "ml_pca_power",
+    "graph_bfs_layers",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

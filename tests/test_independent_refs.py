@@ -735,3 +735,43 @@ def test_pca_power_matches_python_bigints(spark):
         assert row["top_dim"] == top + 1
         assert row["top_val_e6"] == v[top]
         assert row["fp"] == sum(v[i] * (i + 1) for i in range(d))
+
+
+def test_bfs_layers_matches_python_sets(spark):
+    """graph_bfs_layers vs an imperative set-based BFS over the same
+    sparsified bipartite edges and seed rule."""
+    from chess_ratings_spark.plans.corpus import _BFS_ROUNDS, graph_bfs_layers
+
+    out = {r["dist"]: r["n_nodes"] for r in graph_bfs_layers(spark, SF_SMOKE).collect()}
+    o = (
+        tables.load(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_custkey")
+        .toPandas()
+    )
+    li = (
+        tables.load(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+        .toPandas()
+    )
+    li = li[li["l_quantity"] <= 2]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    edges = set(
+        zip((j["o_custkey"] * 2).tolist(), (j["l_suppkey"] * 2 + 1).tolist())
+    )
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    frontier = {a for a, _ in edges if (a // 2) % 40 == 0}
+    visited = set(frontier)
+    expected = {0: len(frontier)}
+    for d in range(1, _BFS_ROUNDS + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set())
+        nxt -= visited
+        expected[d] = len(nxt)
+        visited |= nxt
+        frontier = nxt
+    assert out == expected
+    assert expected[0] > 0 and max(expected.values()) > expected[0]
