@@ -2062,3 +2062,68 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = census if out is None else out.unionByName(census)
     assert out is not None
     return out.orderBy("round")
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, o_custkey) AS rk,
+             count(*) OVER () AS n,
+             sum(rev) OVER () AS tot
+      FROM per
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(tot) AS BIGINT) AS total_rev_centi,
+           CAST((2 * sum(CAST(rk AS HUGEINT) * rev) * 1000000)
+                // (CAST(max(n) AS HUGEINT) * max(tot))
+                - ((max(n) + 1) * 1000000) // max(n)
+                AS BIGINT) AS gini_e6
+    FROM ranked
+    """,
+    doc="Gini coefficient of revenue concentration across customers — "
+    "the Lorenz-curve inequality metric (who earns the revenue), "
+    "distinct from agg_entropy_gini's Gini IMPURITY (how mixed are "
+    "labels). Exact rank formulation G = 2*sum(i*x_(i))/(n*sum(x)) - "
+    "(n+1)/n over the (rev, custkey) total order: one per-customer "
+    "rollup, one global rank window, one aggregation; both divisions "
+    "land on the e6 grid by the truncating bridge applied to the SAME "
+    "cross-multiplied integers in both engines (HUGEINT/decimal(38,0) "
+    "for rank*rev sums ~ 1e17 and the n*tot product). At 100 TB the "
+    "global rank is the one total-order step — the standard "
+    "range-partitioned sort, over per-customer rollups, not raw rows.",
+    tags=("agg", "statistics", "orders"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("rev")
+    )
+    w_rank = Window.orderBy("rev", "o_custkey")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per.select(
+        "rev",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("rev").over(w_all).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.max("tot").cast("bigint").alias("total_rev_centi"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("rev")).alias("rksum"),
+    ).selectExpr(
+        "n_customers",
+        "total_rev_centi",
+        "CAST((2 * rksum * 1000000)"
+        " div (CAST(n_customers AS decimal(38,0)) * total_rev_centi)"
+        " - ((n_customers + 1) * 1000000) div n_customers AS BIGINT)"
+        " AS gini_e6",
+    )

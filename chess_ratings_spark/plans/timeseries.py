@@ -511,3 +511,87 @@ def ts_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "ts_max_drawdown",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), dd AS (
+      SELECT event_type, ts, event_id, vc,
+             max(vc) OVER w AS peak,
+             max(vc) OVER w - vc AS drawdown
+      FROM seq
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), best AS (
+      SELECT event_type, peak, drawdown, vc AS trough,
+             epoch_us(ts) AS at_epoch_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY drawdown DESC, ts, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dd
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           CAST(drawdown AS BIGINT) AS max_drawdown_centi,
+           CAST(peak AS BIGINT) AS peak_centi,
+           CAST(trough AS BIGINT) AS trough_centi,
+           CAST(at_epoch_us AS BIGINT) AS at_epoch_us
+    FROM best WHERE rk = 1 ORDER BY event_type
+    """,
+    doc="Maximum drawdown per series — the risk metric every "
+    "monitoring/finance pipeline wants from a value stream: the "
+    "largest peak-to-trough fall in (ts, event_id) order. One window "
+    "clustering per series: a running max (cumulative frame) gives "
+    "the peak-so-far, drawdown = peak - value, and the per-series "
+    "argmax row pick (earliest on ties) shares the same "
+    "partitioning. All integers on the centi grid; the trough "
+    "timestamp rides out as epoch micros via the verified "
+    "timestampdiff/epoch_us bridge.",
+    tags=("timeseries", "window", "statistics", "events"),
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_full = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dd = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "vc",
+        F.max("vc").over(w).alias("peak"),
+        (F.max("vc").over(w) - F.col("vc")).alias("drawdown"),
+        F.count(F.lit(1)).over(w_full).alias("n"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc("drawdown"), "ts", "event_id"
+    )
+    return (
+        dd.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n_points",
+            "CAST(drawdown AS BIGINT) AS max_drawdown_centi",
+            "CAST(peak AS BIGINT) AS peak_centi",
+            "CAST(vc AS BIGINT) AS trough_centi",
+            "timestampdiff(MICROSECOND,"
+            " cast('1970-01-01 00:00:00' as timestamp_ntz), ts)"
+            " AS at_epoch_us",
+        )
+        .orderBy("event_type")
+    )

@@ -176,6 +176,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_benford_deviation",
     "ml_pca_power",
     "graph_bfs_layers",
+    "ts_max_drawdown",
+    "agg_gini_concentration",
     # --- previously-fronted names, evidence r4-r7, all current-green
     #     (the three TableLog-reworked queries lead: outputs unchanged and
     #     locally re-verified, their r7 driver rows remain accurate) ---

@@ -775,3 +775,58 @@ def test_bfs_layers_matches_python_sets(spark):
         frontier = nxt
     assert out == expected
     assert expected[0] > 0 and max(expected.values()) > expected[0]
+
+
+def test_max_drawdown_matches_numpy(spark):
+    """ts_max_drawdown vs numpy cummax: drawdown series, argmax with
+    earliest-row ties."""
+    from chess_ratings_spark.plans.timeseries import ts_max_drawdown
+
+    out = {r["event_type"]: r for r in ts_max_drawdown(spark, SF_SMOKE).collect()}
+    ev = (
+        tables.load(spark, SF_SMOKE, "events")
+        .selectExpr(
+            "event_type",
+            "event_id",
+            "timestampdiff(MICROSECOND,"
+            " cast('1970-01-01 00:00:00' as timestamp_ntz), ts) AS x",
+            "CAST(floor(value * 100) AS BIGINT) AS vc",
+        )
+        .toPandas()
+    )
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["x", "event_id"]).reset_index(drop=True)
+        vc = g["vc"].to_numpy()
+        peak = np.maximum.accumulate(vc)
+        dd = peak - vc
+        i = int(np.argmax(dd))  # first max = earliest
+        row = out[et]
+        assert row["n_points"] == len(g)
+        assert row["max_drawdown_centi"] == int(dd[i])
+        assert row["peak_centi"] == int(peak[i])
+        assert row["trough_centi"] == int(vc[i])
+        assert row["at_epoch_us"] == int(g["x"].iloc[i])
+
+
+def test_gini_concentration_matches_float_formula(spark):
+    """agg_gini_concentration vs the float Lorenz formula on sorted
+    per-customer revenues (within the two e6 truncations)."""
+    from chess_ratings_spark.plans.analytics import agg_gini_concentration
+
+    row = agg_gini_concentration(spark, SF_SMOKE).collect()[0]
+    o = (
+        tables.load(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_totalprice")
+        .toPandas()
+    )
+    o["rc"] = np.floor(o["o_totalprice"].astype(float) * 100).astype("int64")
+    per = o.groupby("o_custkey")["rc"].sum().sort_values(kind="stable")
+    x = per.to_numpy(dtype=float)
+    n = len(x)
+    gini = 2.0 * ((np.arange(1, n + 1) * x).sum()) / (n * x.sum()) - (
+        n + 1
+    ) / n
+    assert row["n_customers"] == n
+    assert row["total_rev_centi"] == int(per.sum())
+    assert abs(row["gini_e6"] / 1e6 - gini) < 3e-6
+    assert 0 <= row["gini_e6"] <= 1_000_000
