@@ -40,25 +40,103 @@ REGISTRY: dict[str, Query] = {}
 
 #: Driver-facing emission order. Two rounds of evidence fixed the cap:
 #: the driver oracle-checks exactly the FIRST 50 names in ``queries()``
-#: iteration order (a fixed 50, not proportional). Round-8 rotation
-#: (the r7 verdict's top_next): 5 slots for this round's new/changed
-#: queries (the CDF read, the integer-gridded distribution shape, and
-#: the three queries most affected by the TableLog commit-protocol
-#: rework), then ALL 45 names whose newest driver oracle row still
-#: dated to round 1 or 2 (core joins/aggs/set-ops/windows, the §2.3
-#: scalar functions, format round-trips, the text-analysis quartet) —
-#: 5 + 45 = exactly the window, clearing the rotation debt in one
-#: round: after this round no name's driver evidence predates r5.
+#: iteration order (a fixed 50, not proportional). Round-9 rotation
+#: (the r8 verdict's single mandate): round 8 left 67 names with no
+#: driver CORRECTNESS row ever (all round-8 additions, former slots
+#: 51-117). The round-9 window fronts the OLDEST 50 of that queue in
+#: original registration order; the remaining 17 sit at slots 51-67 so
+#: they lead round 10's window, leaving ~33 round-10 slots for new
+#: work. Round 9 registers (almost) nothing new by design.
+#:
+#: Rotation-freshness policy (adopted round 9, after the queue clears):
+#: no §2 operator's latest driver row may be older than 4 rounds —
+#: once the never-checked queue is empty, each round's spare slots
+#: front the names with the oldest driver evidence (r8 cleared all
+#: r1/r2 debt this way; post-r9 the oldest evidence is r5×14, r6×37).
 #: Names here must exist in REGISTRY once plans are imported —
 #: ``queries()`` raises on a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
-    # --- round-8 new / plan-or-oracle-changed (need fresh driver rows) ---
+    # --- round-9 window: the oldest 50 never-driver-checked names
+    #     (16 mid-round-8 + 21 late-round-8 + the first 13 of the
+    #     final round-8 session), all locally sim-verified at
+    #     sf0.01 AND sf0.001 under the hostile session ---
+    "lake_clone_shallow",
+    "join_aqe_skew",
+    "ml_gd_classifier",
+    "sink_pyds_twophase",
+    "stream_cdf_source",
+    "stream_replicate_tablelog",
+    "stream_ivm_groupby",
+    "lake_bloom_prune",
+    "train_pack_sequences",
+    "lake_manifest_shard",
+    "src_tablelog_format",
+    "sql_udf_create_function",
+    "scan_pyds_pushdown",
+    "join_asof_nearest",
+    "sample_epoch_reshuffle",
+    "train_collate_batches",
+    "ts_resample_ohlc",
+    "ts_gapfill_interpolate",
+    "fn_xml_parse",
+    "sql_session_variables",
+    "src_binaryfile",
+    "stream_stateful_rocksdb",
+    "lake_branch_wap",
+    "dedup_semdedup",
+    "lake_table_history",
+    "lake_restore_version",
+    "join_lateral_topk",
+    "fn_interval_arith",
+    "sql_ctas_insert",
+    "sql_analyze_cbo",
+    "plan_cache_reuse",
+    "stream_static_join",
+    "udf_arrow_scalar",
+    "stream_join_then_window",
+    "sink_overwrite_dynamic",
+    "agg_bitmap_distinct",
+    "fn_tz_convert",
+    "agg_entropy_gini",
+    "win_median_rolling",
+    "ml_normal_equations",
+    "graph_jaccard_neighbors",
+    "lake_constraints_enforce",
+    "sql_merge_evolution",
+    "sql_exec_immediate",
+    "text_bpe_encode",
+    "stream_state_timeout",
+    "agg_weighted_percentile",
+    "win_cumulative_distinct",
+    "agg_ks_test",
+    "agg_autocorr",
+    # --- slots 51-67: the 17 remaining never-driver-checked names.
+    #     ROUND-10 CONTRACT: these lead the round-10 window (the
+    #     contract test pins them at the queue head), leaving ~33
+    #     slots for round-10 new/changed queries behind them. ---
+    "graph_kcore",
+    "ts_seasonal_decompose",
+    "sim_pq_adc",
+    "ts_changepoint",
+    "ml_kmedians_embed",
+    "sql_scripting",
+    "mm_phash_near_dup",
+    "stream_semi_join",
+    "win_skyline_2d",
+    "fn_hash_suite",
+    "ts_downsample_ltob",
+    "agg_markov_transitions",
+    "agg_benford_deviation",
+    "ml_pca_power",
+    "graph_bfs_layers",
+    "ts_max_drawdown",
+    "agg_gini_concentration",
+    # --- the round-8 window head: all 50 driver-green in r8 ---
     "lake_changes_between",
     "agg_distribution_shape",
     "lake_merge_cdf",
     "agg_hll_setops",
     "scan_metadata_columns",
-    # --- the 45 r1/r2-evidence names: rotation debt cleared this round ---
     "agg_distinct",
     "agg_hash_group",
     "agg_percentiles",
@@ -104,83 +182,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_ntile_rank",
     "win_rank_topk",
     "win_running",
-    # --- 50+: the window is exactly full (5 new/changed + the 45-name
-    #     rotation-debt clearance), so the rest of round 8's new
-    #     queries queue here, all locally sim-verified (full registry
-    #     == ALL MATCH at sf0.01 AND sf0.001); FRONT THESE 37 (16 here
-    #     + the 21 late-round-8 additions below) in the round-9 window ---
-    "lake_clone_shallow",
-    "join_aqe_skew",
-    "ml_gd_classifier",
-    "sink_pyds_twophase",
-    "stream_cdf_source",
-    "stream_replicate_tablelog",
-    "stream_ivm_groupby",
-    "lake_bloom_prune",
-    "train_pack_sequences",
-    "lake_manifest_shard",
-    "src_tablelog_format",
-    "sql_udf_create_function",
-    "scan_pyds_pushdown",
-    "join_asof_nearest",
-    "sample_epoch_reshuffle",
-    "train_collate_batches",
-    # --- late-round-8 additions (same queue: driver rows in round 9) ---
-    "ts_resample_ohlc",
-    "ts_gapfill_interpolate",
-    "fn_xml_parse",
-    "sql_session_variables",
-    "src_binaryfile",
-    "stream_stateful_rocksdb",
-    "lake_branch_wap",
-    "dedup_semdedup",
-    "lake_table_history",
-    "lake_restore_version",
-    "join_lateral_topk",
-    "fn_interval_arith",
-    "sql_ctas_insert",
-    "sql_analyze_cbo",
-    "plan_cache_reuse",
-    "stream_static_join",
-    "udf_arrow_scalar",
-    "stream_join_then_window",
-    "sink_overwrite_dynamic",
-    "agg_bitmap_distinct",
-    "fn_tz_convert",
-    # --- final round-8 session additions (same round-9 queue) ---
-    "agg_entropy_gini",
-    "win_median_rolling",
-    "ml_normal_equations",
-    "graph_jaccard_neighbors",
-    "lake_constraints_enforce",
-    "sql_merge_evolution",
-    "sql_exec_immediate",
-    "text_bpe_encode",
-    "stream_state_timeout",
-    "agg_weighted_percentile",
-    "win_cumulative_distinct",
-    "agg_ks_test",
-    "agg_autocorr",
-    "graph_kcore",
-    "ts_seasonal_decompose",
-    "sim_pq_adc",
-    "ts_changepoint",
-    "ml_kmedians_embed",
-    "sql_scripting",
-    "mm_phash_near_dup",
-    "stream_semi_join",
-    "win_skyline_2d",
-    "fn_hash_suite",
-    "ts_downsample_ltob",
-    "agg_markov_transitions",
-    "agg_benford_deviation",
-    "ml_pca_power",
-    "graph_bfs_layers",
-    "ts_max_drawdown",
-    "agg_gini_concentration",
-    # --- previously-fronted names, evidence r4-r7, all current-green
-    #     (the three TableLog-reworked queries lead: outputs unchanged and
-    #     locally re-verified, their r7 driver rows remain accurate) ---
+    # --- previously-fronted names, evidence r4-r8, all current-green
+    #     (win_percent_cume's round-9 rewrite is plan-only: outputs
+    #     unchanged, locally re-verified, its driver row stays valid) ---
     "lake_partition_evolution",
     "lake_delete_mor",
     "stream_sink_tablelog",

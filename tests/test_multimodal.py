@@ -115,24 +115,43 @@ def test_driver_order_contract():
         "CORRECTNESS_r05.json",
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
+        "CORRECTNESS_r08.json",
     ):
         p = root / rn
         if p.exists():
             for name, row in json.loads(p.read_text()).items():
                 if row.get("hash_match"):
                     current_green.add(name)
-    # round-8 new entries / plan-or-oracle changes needing fresh rows
-    # despite green history (the remaining 45 slots hold the r1/r2
-    # rotation debt, none of which is current-fixture green)
-    rewritten_r8 = {
-        "lake_changes_between",  # new: CDF incremental read
-        "agg_distribution_shape",  # rewritten: e6 integer grid from exact power sums
-        "lake_merge_cdf",  # new: CDF-driven replica sync
-        "agg_hll_setops",  # new: HLL union/intersection set algebra
-        "scan_metadata_columns",  # new: hidden _metadata scan columns
-    }
-    wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r8]
+    # round-9 plan-or-oracle changes needing fresh rows despite green
+    # history (none: round 9 is a pure queue-burn round — all 50 front
+    # slots hold names that have NEVER had a driver CORRECTNESS row)
+    rewritten_r9: set[str] = set()
+    wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r9]
     assert not wasted, f"driver window wasted on already-verified: {wasted}"
+    # Round-10 contract (r8 verdict item 2): the 17 names still lacking
+    # driver evidence after round 9's 50-slot window sit at slots 51-67,
+    # provably leading the round-10 window with ~33 slots to spare.
+    round10_head = (
+        "graph_kcore",
+        "ts_seasonal_decompose",
+        "sim_pq_adc",
+        "ts_changepoint",
+        "ml_kmedians_embed",
+        "sql_scripting",
+        "mm_phash_near_dup",
+        "stream_semi_join",
+        "win_skyline_2d",
+        "fn_hash_suite",
+        "ts_downsample_ltob",
+        "agg_markov_transitions",
+        "agg_benford_deviation",
+        "ml_pca_power",
+        "graph_bfs_layers",
+        "ts_max_drawdown",
+        "agg_gini_concentration",
+    )
+    assert tuple(names[50:67]) == round10_head
+    assert not (set(round10_head) & current_green)
 
 
 def test_image_resize_roundtrip(spark):
