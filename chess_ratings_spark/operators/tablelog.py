@@ -213,10 +213,20 @@ class TableLog:
         metadata (delete_vectors, file_stats) is CARRIED FORWARD from
         the previous manifest — an append must never resurrect
         MOR-deleted rows or orphan recorded stats (Delta carries DVs
-        across appends; only OPTIMIZE consumes them)."""
+        across appends; only OPTIMIZE consumes them). Refuses a table
+        whose latest manifest is sharded-protocol: a full-list rebase
+        only carries its own payload shape forward, so mixing the two
+        protocols on one table would silently drop the other
+        protocol's file references (enforced both ways; see
+        :meth:`append_manifest_sharded`)."""
         new = self._land(df, n_files, tag)
 
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            if prev is not None and prev.get("sharded"):
+                raise ValueError(
+                    "protocol mix: table's latest manifest is sharded —"
+                    " use append_manifest_sharded(), not append()"
+                )
             files = (prev["files"] if prev is not None else []) + new
             carry = {
                 k: prev[k]
@@ -243,10 +253,26 @@ class TableLog:
         compacted files REPLACE exactly the files this optimize read;
         any files a concurrent append committed in between are disjoint
         from that read set and are carried forward untouched, as is any
-        delete vector a concurrent commit attached after our read."""
+        delete vector a concurrent commit attached after our read.
+
+        OPTIMIZE-vs-OPTIMIZE does NOT commute and the loser must FAIL
+        (Delta fails the second OPTIMIZE the same way): if the rebase
+        finds any file of our read set already gone from the latest
+        manifest, the snapshot we compacted was itself rewritten —
+        silently merging would keep the winner's compacted files as
+        'survivors' AND add our own compacted copy of the same rows,
+        duplicating every row. The rebase raises
+        :class:`CommitConflict` instead (propagates to the caller; the
+        commit loop never swallows a conflict raised by ``build``)."""
         from pyspark.sql import functions as F
 
         read_manifest = self.read_manifest()
+        if read_manifest.get("sharded"):
+            raise ValueError(
+                "optimize() reads full-list manifests; run compact_shards()"
+                " on sharded-protocol tables (file compaction for the"
+                " sharded protocol is not implemented)"
+            )
         read_set = set(read_manifest["files"])
         consumed_dvs = set(read_manifest.get("delete_vectors", []))
         df = spark.read.parquet(*read_manifest["files"])
@@ -258,6 +284,14 @@ class TableLog:
         new = self._land(df, n_out, tag=f"optimize-v{read_manifest['version'] + 1}")
 
         def rebase(prev: dict | None) -> tuple[list[str], dict | None]:
+            pfiles = set(prev["files"]) if prev is not None else set()
+            rewritten = sorted(read_set - pfiles)
+            if rewritten:
+                raise CommitConflict(
+                    "concurrent commit rewrote files this OPTIMIZE read"
+                    f" (e.g. {rewritten[0]}); re-run OPTIMIZE on the new"
+                    " snapshot"
+                )
             survivors = [
                 f for f in (prev["files"] if prev is not None else [])
                 if f not in read_set
@@ -295,9 +329,13 @@ class TableLog:
         resolves shard references when diffing versions, so sharded
         tables feed incrementally too (tests/test_streaming.py);
         rewrite_manifests compactions are data_change=false and
-        contribute zero feed rows. Don't mix full-list appends and
-        sharded appends on ONE table — each protocol's rebase only
-        carries its own payload shape forward."""
+        contribute zero feed rows. Full-list appends and sharded
+        appends must not mix on ONE table — each protocol's rebase
+        only carries its own payload shape forward — and the rebase
+        ENFORCES it: committing onto a full-list manifest raises
+        (and :meth:`append` refuses the converse), so a protocol mix
+        fails loudly at write time instead of a later diff silently
+        missing files."""
         files = self._land(df, n_files, tag)
         shard_dir = self.log_dir / "shards"
         shard_dir.mkdir(exist_ok=True)
@@ -306,6 +344,11 @@ class TableLog:
             fh.write(json.dumps({"files": sorted(files)}))
 
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            if prev is not None and not prev.get("sharded"):
+                raise ValueError(
+                    "protocol mix: table's latest manifest is full-list —"
+                    " use append(), not append_manifest_sharded()"
+                )
             shards = prev.get("manifest_shards", []) if prev is not None else []
             carry = {"manifest_shards": shards + [str(shard)], "sharded": True}
             if prev is not None and "delete_vectors" in prev:
@@ -358,34 +401,56 @@ class TableLog:
 
         return self.commit(op="rewrite-manifests", build=rebase)
 
-    def resolve_files(self, version: int | None = None) -> list[str]:
-        """The file list behind a manifest, whichever protocol wrote
-        it: full-list manifests carry it inline; sharded manifests
-        reference immutable shard files holding O(delta) entries
-        each."""
-        m = self.read_manifest(version)
+    @staticmethod
+    def manifest_files(m: dict) -> list[str]:
+        """The file list behind a manifest DICT, whichever protocol
+        wrote it: full-list manifests carry it inline; sharded
+        manifests reference immutable shard files holding O(delta)
+        entries each (tiny local JSON — metadata, same cost class as
+        the manifest). Every file-level consumer (snapshot, change
+        feed, vacuum, the streaming CDF source's ``_files_of`` twin)
+        goes through this so the two protocols diff identically."""
         if not m.get("sharded"):
-            return m["files"]
+            return sorted(m["files"])
         out: list[str] = []
-        for s in m["manifest_shards"]:
+        for s in m.get("manifest_shards", []):
             out.extend(json.loads(Path(s).read_text())["files"])
         return sorted(out)
+
+    def resolve_files(self, version: int | None = None) -> list[str]:
+        """The file list behind a manifest version (see
+        :meth:`manifest_files`)."""
+        return self.manifest_files(self.read_manifest(version))
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION (Delta RESTORE / Iceberg
         rollback): commit the OLD snapshot's exact content — file list
-        plus its sidecar metadata (delete vectors, stats) — as the NEXT
-        version. History is never rewritten (the bad versions stay
-        time-travelable for forensics); the restore is itself an
-        auditable, CAS-published commit, and it is a data change: the
-        change feed replays it as deletes of the rows the bad versions
-        added and inserts of any rows they had removed."""
+        plus its sidecar metadata (delete vectors, stats, shard refs)
+        — as the NEXT version. History is never rewritten (the bad
+        versions stay time-travelable for forensics); the restore is
+        itself an auditable, CAS-published commit, and it is a data
+        change: the change feed replays it as deletes of the rows the
+        bad versions added and inserts of any rows they had removed.
+
+        Concurrency (Delta RESTORE conflicts with concurrent txns the
+        same way): the old snapshot is republished verbatim, so any
+        commit that lands after the latest version captured HERE would
+        be silently erased by a retry — the rebase callback therefore
+        raises :class:`CommitConflict` when the log has advanced past
+        the entry snapshot instead of publishing a lost update."""
         old = self.read_manifest(version)
+        entry_latest = self.latest_version()
 
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            prev_v = -1 if prev is None else int(prev["version"])
+            if prev_v != entry_latest:
+                raise CommitConflict(
+                    f"log advanced to v{prev_v} past v{entry_latest} during"
+                    " restore; re-run restore against the new snapshot"
+                )
             carry = {
                 k: old[k]
-                for k in ("delete_vectors", "file_stats")
+                for k in ("delete_vectors", "file_stats", "manifest_shards", "sharded")
                 if k in old
             }
             carry["restored_from"] = int(old["version"])
@@ -410,7 +475,9 @@ class TableLog:
         m = self.read_manifest(version)
         br = TableLog(self.base, log_subdir=f"_branches/{name}/_log")
         carry = {
-            k: m[k] for k in ("delete_vectors", "file_stats") if k in m
+            k: m[k]
+            for k in ("delete_vectors", "file_stats", "manifest_shards", "sharded")
+            if k in m
         }
         carry["forked_from"] = int(m["version"])
         br.try_commit(
@@ -444,7 +511,7 @@ class TableLog:
                 )
             carry = {
                 k: head[k]
-                for k in ("delete_vectors", "file_stats")
+                for k in ("delete_vectors", "file_stats", "manifest_shards", "sharded")
                 if k in head
             }
             carry["published_branch"] = name
@@ -467,8 +534,9 @@ class TableLog:
         an incremental consumer must not re-process.
 
         - inserts at v = scan of the files v added over v-1 (file-level
-          diff of the full-list manifests; appends never rewrite, so a
-          new file IS new rows);
+          manifest diff — shard references are resolved first, so
+          sharded-protocol tables feed identically; appends never
+          rewrite, so a new file IS new rows);
         - deletes at v = the v-1 snapshot semi-joined to the delete
           vectors v added (the full deleted rows, as Delta CDF emits
           them, not just keys).
@@ -482,17 +550,19 @@ class TableLog:
 
         feeds: list[DataFrame] = []
         prev = self.read_manifest(v_from)
+        prev_files = set(self.manifest_files(prev))
         for v in range(v_from + 1, v_to + 1):
             m = self.read_manifest(v)
+            m_files = set(self.manifest_files(m))
             if m.get("data_change", True):
-                added = sorted(set(m["files"]) - set(prev["files"]))
+                added = sorted(m_files - prev_files)
                 if added:
                     feeds.append(
                         spark.read.parquet(*added)
                         .withColumn("_change_type", F.lit("insert"))
                         .withColumn("_commit_version", F.lit(v).cast("int"))
                     )
-                removed = sorted(set(prev["files"]) - set(m["files"]))
+                removed = sorted(prev_files - m_files)
                 if removed:
                     # a data-change commit that DROPS files (RESTORE /
                     # overwrite) logically deletes their rows — emit
@@ -511,13 +581,13 @@ class TableLog:
                 for dv in dv_added:
                     keys = spark.read.parquet(dv)
                     deleted = (
-                        spark.read.parquet(*prev["files"])
+                        spark.read.parquet(*sorted(prev_files))
                         .join(F.broadcast(keys), keys.columns, "left_semi")
                         .withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v).cast("int"))
                     )
                     feeds.append(deleted)
-            prev = m
+            prev, prev_files = m, m_files
         if not feeds:
             raise ValueError(f"no data-change commits in ({v_from}, {v_to}]")
         return reduce(lambda a, b: a.unionByName(b), feeds)
@@ -580,6 +650,11 @@ class TableLog:
                 shutil.rmtree(scratch, ignore_errors=True)
 
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            if prev is not None and prev.get("sharded"):
+                raise ValueError(
+                    "protocol mix: table's latest manifest is sharded —"
+                    " full-list append_range_bucketed() cannot commit onto it"
+                )
             pfiles = prev["files"] if prev is not None else []
             pstats = prev.get("file_stats", []) if prev is not None else []
             carry = {"file_stats": pstats + entries}
@@ -615,7 +690,17 @@ class TableLog:
         ``retain_versions`` manifests (their log entries stay, so
         history is auditable even when no longer readable — Delta's
         VACUUM semantics). Returns a census dict. Pure metadata diff +
-        unlink loop; no data moves."""
+        unlink loop; no data moves.
+
+        Branches share this table's data directory (a branch is only a
+        separate commit log), so the live set UNIONS every sibling log
+        under the table base — main's ``_log`` and every
+        ``_branches/*/_log`` — each at the same retention depth: a
+        vacuum on main must not destroy files referenced only by an
+        unpublished WAP branch's staged commits. Shallow CLONES are a
+        different hazard (a clone lives under a DIFFERENT base whose
+        log this walk cannot see) and remain the documented
+        vacuum-breaks-clones caveat in :func:`plans.lakehouse`."""
         import os
 
         versions = self.versions()
@@ -623,6 +708,21 @@ class TableLog:
         live: set[str] = set()
         for v in keep_vs:
             live.update(self.resolve_files(v))
+        for sibling in sorted(self.base.glob("_branches/*/_log")):
+            if sibling == self.log_dir:
+                continue
+            br_vs = sorted(int(p.stem) for p in sibling.glob("*.json"))
+            for v in br_vs[-retain_versions:]:
+                m = json.loads((sibling / f"{v:020d}.json").read_text())
+                live.update(self.manifest_files(m))
+        if self.log_dir != self.base / "_log" and (self.base / "_log").exists():
+            # vacuum called on a branch handle: main's snapshots are live
+            main_vs = sorted(
+                int(p.stem) for p in (self.base / "_log").glob("*.json")
+            )
+            for v in main_vs[-retain_versions:]:
+                m = json.loads((self.base / "_log" / f"{v:020d}.json").read_text())
+                live.update(self.manifest_files(m))
         all_files = {str(p) for p in self.data_dir.glob("*.parquet")}
         dead = sorted(all_files - live)
         for p in dead:

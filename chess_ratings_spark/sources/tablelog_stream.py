@@ -113,6 +113,15 @@ class TableLogCdfReader(DataSourceStreamReader):
             if m.get("data_change", True):
                 for f in sorted(files - prev_files):
                     parts.append(CdfPartition(v, "insert", f, None))
+                for f in sorted(prev_files - files):
+                    # a data-change commit that DROPS files (RESTORE /
+                    # overwrite) logically deletes their rows: plan a
+                    # whole-file delete partition (dv_file=None), matching
+                    # changes_between's removed-file branch — without
+                    # this, a streaming replica silently diverges from
+                    # the source across a RESTORE. (OPTIMIZE also drops
+                    # files but is data_change=false.)
+                    parts.append(CdfPartition(v, "delete", f, None))
                 for dv in sorted(dvs - prev_dvs):
                     for f in sorted(prev_files):
                         parts.append(CdfPartition(v, "delete", f, dv))
@@ -139,7 +148,10 @@ class TableLogCdfReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.data_file)
-        if partition.kind == "delete":
+        if partition.kind == "delete" and partition.dv_file is not None:
+            # DV-delete: only the file's rows matching the delete-vector
+            # keys; a removed-file delete (dv_file=None) emits the whole
+            # file as deletes.
             import pyarrow.compute as pc
 
             keys = pq.read_table(partition.dv_file)[self.key_col]

@@ -405,3 +405,166 @@ def test_restore_preserves_history_and_feeds_deletes(spark, tmp_path):
     v2 = log.restore(1)
     cdf2 = log.changes_between(spark, v, v2)
     assert cdf2.filter(F.col("_change_type") == "insert").count() == 60
+
+
+def test_optimize_vs_optimize_conflict_no_duplication(base, spark):
+    """Two concurrent OPTIMIZEs must NOT both succeed (Delta fails the
+    second): the loser's read snapshot was itself rewritten, so a
+    silent merge would keep the winner's compacted files as survivors
+    AND add the loser's compacted copy of the same rows — duplicating
+    every row. The loser raises CommitConflict and the table stays
+    exact."""
+    log = TableLog(base)
+    for t in range(2):
+        log.append(_tiny(spark, n=20, tag=t), n_files=2, tag=f"t{t}")
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racy_try_commit(version, files, op, extra=None):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent OPTIMIZE wins the race: compacts the same
+            # snapshot and commits first
+            winner = log._land(log.snapshot(spark), n_files=1, tag="winner-opt")
+            orig(version, winner, "optimize")
+        return orig(version, files, op, extra)
+
+    log.try_commit = racy_try_commit
+    with pytest.raises(CommitConflict, match="rewrote files"):
+        log.optimize(spark, target_rows_per_file=1_000)
+    # the winner's compacted snapshot is intact and NOT duplicated
+    assert log.snapshot(spark).count() == 40
+    assert len(log.read_manifest()["files"]) == 1
+
+
+def test_restore_conflicts_with_concurrent_commit(base, spark):
+    """RESTORE republishes an old snapshot verbatim, so a commit landing
+    during the retry window would be silently erased by a blind retry —
+    the lost-update class build-mode exists to prevent. Delta RESTORE
+    conflicts with concurrent transactions; so does ours."""
+    log = TableLog(base)
+    log.append(_tiny(spark, n=10, tag=0), n_files=1, tag="good")
+    log.append(_tiny(spark, n=10, tag=1), n_files=1, tag="bad")
+    sneak = log._land(_tiny(spark, n=10, tag=2), n_files=1, tag="sneak")
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racy_try_commit(version, files, op, extra=None):
+        if not state["raced"]:
+            state["raced"] = True
+            orig(version, log.read_manifest()["files"] + sneak, "append")
+        return orig(version, files, op, extra)
+
+    log.try_commit = racy_try_commit
+    with pytest.raises(CommitConflict, match="advanced"):
+        log.restore(0)
+    # the concurrent append survived; no restore was published
+    assert log.snapshot(spark).count() == 30
+    assert not any(
+        m.startswith("restore") for m in
+        (log.read_manifest(v)["op"] for v in log.versions())
+    )
+
+
+def test_changes_between_resolves_sharded_manifests(base, spark):
+    """CDF over a sharded-protocol table: changes_between must resolve
+    shard references per version (like the streaming source's
+    _files_of) instead of diffing the always-empty inline 'files'
+    list — which emitted nothing for real appends."""
+    log = TableLog(base)
+    df = spark.range(60).select(F.col("id").alias("k"))
+    for i in range(3):
+        log.append_manifest_sharded(
+            df.filter(F.col("id") % 3 == i), n_files=2, tag=f"l{i}"
+        )
+    log.compact_shards()  # v3: metadata only, zero feed rows
+    ch = log.changes_between(spark, 0, 3)
+    counts = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in ch.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {(1, "insert"): 20, (2, "insert"): 20}
+
+
+def test_protocol_mix_refused_at_write_time(base, spark):
+    """Full-list and sharded manifests must not mix on one table: each
+    protocol's rebase only carries its own payload shape, so the seam
+    is enforced with a loud write-time error in BOTH directions (and
+    for the stats-carrying full-list append)."""
+    df = _tiny(spark, n=10, tag=1)
+    full = TableLog(Path(base) / "full")
+    full.append(df, n_files=1, tag="a")
+    with pytest.raises(ValueError, match="protocol mix"):
+        full.append_manifest_sharded(df, n_files=1, tag="b")
+    sharded = TableLog(Path(base) / "sharded")
+    sharded.append_manifest_sharded(df, n_files=1, tag="a")
+    with pytest.raises(ValueError, match="protocol mix"):
+        sharded.append(df, n_files=1, tag="b")
+    with pytest.raises(ValueError, match="protocol mix"):
+        sharded.append_range_bucketed(df, "k", width=10, tag="c")
+    with pytest.raises(ValueError, match="sharded"):
+        sharded.optimize(spark)
+    # the failed attempts published nothing
+    assert full.latest_version() == 0
+    assert sharded.latest_version() == 0
+
+
+def test_restore_and_branch_carry_shard_refs(base, spark):
+    """RESTORE / branch verbs on a sharded table must carry the shard
+    references (not just DVs/stats) — dropping them would publish an
+    empty snapshot."""
+    log = TableLog(base)
+    df = spark.range(40).select(F.col("id").alias("k"))
+    log.append_manifest_sharded(df.filter(F.col("k") < 20), n_files=1, tag="a")
+    log.append_manifest_sharded(df.filter(F.col("k") >= 20), n_files=1, tag="b")
+    v = log.restore(0)
+    assert log.snapshot(spark, v).count() == 20  # shard refs survived
+    br = log.create_branch("sb", version=1)
+    assert br.snapshot(spark).count() == 40
+
+
+def test_vacuum_preserves_unpublished_branch_files(base, spark):
+    """Branches share main's data dir; a vacuum on main must union the
+    branch logs into its live set — otherwise it physically deletes
+    files referenced only by unpublished WAP staging commits."""
+    log = TableLog(base)
+    df = spark.range(100).select(F.col("id").alias("k"))
+    log.append(df.filter(F.col("k") < 40), n_files=2, tag="base")
+    br = log.create_branch("wap")
+    br.append(df.filter(F.col("k") >= 40), n_files=2, tag="staged")
+
+    census = log.vacuum(retain_versions=1)
+    assert census["n_removed"] == 0  # staged files are live via the branch
+    assert br.snapshot(spark).count() == 100  # WAP staging intact
+    v = log.fast_forward(br, "wap")  # still publishable
+    assert log.snapshot(spark, v).count() == 100
+
+
+def test_stream_cdf_plans_removed_file_deletes(base, spark):
+    """The streaming CDF source must plan whole-file delete partitions
+    for files REMOVED by a data_change commit (RESTORE/overwrite),
+    matching changes_between's removed-file branch — a streaming
+    replica must not diverge from the source across a RESTORE."""
+    from chess_ratings_spark.sources.tablelog_stream import TableLogCdfReader
+
+    log = TableLog(base)
+    df = spark.range(30).select(F.col("id").alias("k"))
+    log.append(df.filter(F.col("k") < 10), n_files=1, tag="good")  # v0
+    log.append(df.filter(F.col("k") >= 10), n_files=1, tag="bad")  # v1
+    log.restore(0)  # v2: drops the 20 'bad' rows
+    log.optimize(spark, target_rows_per_file=1_000)  # v3: must plan nothing
+
+    rdr = TableLogCdfReader(base, key_col="k", columns=["k"])
+    parts = rdr.partitions({"version": 1}, {"version": 3})
+    kinds = [(p.version, p.kind, p.dv_file) for p in parts]
+    assert kinds == [(2, "delete", None)]
+    rows = list(rdr.read(parts[0]))
+    n = sum(b.num_rows for b in rows)  # arrow-batch path
+    assert n == 20
+    # parity with the batch change feed over the same interval
+    batch = log.changes_between(spark, 1, 3)
+    assert batch.filter(F.col("_change_type") == "delete").count() == 20
