@@ -52,12 +52,64 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = tables.load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    """Range-partitioned exact rewrite of the global distribution
+    window. A naive ``Window.orderBy(...)`` with no partition funnels
+    EVERY row through one reducer for the total sort — the one plan
+    shape that cannot survive a 100x scale-up. Instead:
+
+    1. P-quantile boundaries of the sort value are computed once
+       (map-side-combined sketch aggregate; P-1 scalars to the driver)
+       and embedded as LITERALS in a monotone bucket expression — the
+       partition id is a pure function of the row, NOT of a sampled
+       range shuffle, so every branch that recomputes the lineage
+       derives identical ids (``repartitionByRange`` +
+       ``spark_partition_id`` would re-sample per branch with a
+       different seed and could disagree with its own counts branch);
+    2. ``row_number`` per bucket ranks each partition independently
+       (one hash shuffle, P parallel sorts of ~n/P rows);
+    3. per-bucket counts (a P-row aggregate) become cumulative
+       offsets via a window over that TINY frame, broadcast back;
+    4. global rank = offset + local rank — exact because the
+       (o_totalprice, o_orderkey) tie-break makes the order total, so
+       percent_rank == (rn-1)/(n-1) and cume_dist == rn/n with no
+       plateau corrections, computing the same double division the
+       native functions evaluate. Equal-value rows share a bucket
+       (boundary compare is on the value alone), so bucket order is
+       globally monotone and skewed values cost at worst one hot
+       bucket — the same cost any order-preserving partitioner pays."""
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    qs = [i / nparts for i in range(1, nparts)]
+    row = o.select(
+        F.percentile_approx("o_totalprice", qs, 10_000).alias("b")
+    ).first()
+    bounds = sorted(set(row["b"] or []))
+    pid_expr = F.lit(0)
+    for b in bounds:
+        pid_expr = pid_expr + (F.col("o_totalprice") > F.lit(b)).cast("int")
+    bucketed = o.withColumn("_pid", pid_expr)
+    w_local = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    local = bucketed.withColumn("_lrn", F.row_number().over(w_local))
+    counts = bucketed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    rn = F.col("_off") + F.col("_lrn")
+    return local.join(F.broadcast(offsets), "_pid").select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 9).alias("pr"),
-        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.round(
+            F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                (rn - 1) / (F.col("_n") - 1)
+            ),
+            9,
+        ).alias("pr"),
+        F.round(rn / F.col("_n"), 9).alias("cd"),
     )
 
 

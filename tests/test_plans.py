@@ -316,3 +316,25 @@ def test_new_similarity_family_stays_equi_joined(spark, name):
         or "BroadcastHashJoin" in p
     )
     assert p.count("BroadcastNestedLoopJoin") <= 2  # census-row stitches
+
+
+def test_percent_cume_no_global_single_reducer_sort(spark):
+    """win_percent_cume's rewrite claim: the full orders table is never
+    sorted through one reducer. The only Window over raw rows is
+    partitioned by the bucket id; any Exchange SinglePartition in the
+    plan sits above a HashAggregate (the P-row counts frame), never
+    directly above a scan/projection of table rows."""
+    p = plan_of(spark, "win_percent_cume")
+    assert "percent_rank" not in p and "cume_dist" not in p  # rewritten
+    # the row-level window ranks within _pid partitions
+    row_windows = [
+        l for l in p.splitlines() if "row_number()" in l and "Window" in l
+    ]
+    assert row_windows and all("_pid" in l for l in row_windows)
+    # every single-partition exchange feeds off the aggregated counts
+    lines = p.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "HashAggregate" in below, f"global funnel over raw rows:\n{l}"
+    assert "BroadcastHashJoin" in p  # offsets come back broadcast
