@@ -222,3 +222,49 @@ def test_entropy_grids(sf_dir):
     assert worst_h is not None and worst_h > 0, (
         f"entropy*1e6 boundary margin exhausted: {worst_h}"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_divcast_sites_nonnegative_domains(sf_dir):
+    """The truncate-vs-floor audit (r8 verdict item 6): every site that
+    truncates with ``(col/k).cast(...)`` instead of ``F.floor`` is safe
+    only because its input is provably non-negative. Pin those
+    preconditions to the fixtures so a regeneration that introduces
+    negative ids fails here, not as a silent driver-hash flip.
+    Sites: lake_zorder_locality (x,y = id%64 => z,lin >= 0), sim_pq_adc
+    (p = posexplode position >= 0), graph wedge counts (d >= 0)."""
+    con = _con(sf_dir)
+    lo_u, lo_e = con.execute(
+        "SELECT min(user_id), min(event_id) FROM events"
+    ).fetchone()
+    assert lo_u >= 0 and lo_e >= 0, "zorder %64 inputs must be non-negative"
+
+
+def test_zorder_and_divcast_agree_on_negative_grid(spark):
+    """Defense-in-depth for the same sites: even on a NEGATIVE domain
+    the mod/compare z-order expression and the div-256 file-key bridge
+    produce identical values in Spark and DuckDB (both % operators are
+    sign-of-dividend; Spark's cast-after-divide and DuckDB's
+    (v - v%256)//256 both truncate toward zero), so a future negative
+    input would change results but never split the engines."""
+    import duckdb as _dd
+
+    from chess_ratings_spark.plans.lakehouse import _zorder_sql
+
+    z = _zorder_sql("x", "y")
+    spark_rows = (
+        spark.range(-130, 131)
+        .selectExpr("CAST(id AS BIGINT) AS x", "CAST(-id AS BIGINT) AS y")
+        .selectExpr("x", "y", f"({z}) AS z")
+        .selectExpr("x", "z", "CAST(z / 256 AS BIGINT) AS fk")
+        .orderBy("x")
+        .collect()
+    )
+    duck_rows = _dd.connect().execute(
+        f"""
+        WITH g AS (SELECT r AS x, -r AS y FROM range(-130, 131) t(r)),
+        k AS (SELECT x, ({z}) AS z FROM g)
+        SELECT x, z, (z - z % 256) // 256 AS fk FROM k ORDER BY x
+        """
+    ).fetchall()
+    assert [(r.x, r.z, r.fk) for r in spark_rows] == duck_rows
