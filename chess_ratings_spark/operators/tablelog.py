@@ -683,6 +683,165 @@ class TableLog:
         df = spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
         return df, len(m["files"]), len(keep)
 
+    # -- log checkpoints (metadata-as-data) --------------------------------
+
+    def write_checkpoint(self, spark: SparkSession, version: int | None = None) -> dict:
+        """Materialize a snapshot's RESOLVED file inventory as parquet
+        under ``_log/_checkpoints/{version}`` plus a ``_last_checkpoint``
+        pointer — Delta's checkpoint mechanism, applied to the two
+        places this log's metadata stops being O(1):
+
+        - **sharded protocol**: snapshot resolution reads one JSON per
+          shard reference; after thousands of landings that is
+          thousands of metadata gets. The checkpoint collapses them
+          into ONE columnar read, and :meth:`resolve_files_via_checkpoint`
+          then reads only the shards committed AFTER the checkpoint
+          (O(delta) tail, exactly Delta's checkpoint + tail-JSON replay).
+        - **per-file stats**: at ~1M files the manifest's stats list is
+          itself big data; :meth:`snapshot_pruned` walks it in a driver
+          loop. As parquet, pruning becomes a Spark filter over the
+          checkpoint (executor-side, scan-prunable, see
+          :meth:`snapshot_pruned_ckpt`).
+
+        One row per (path, stat column); files without stats carry one
+        row with a NULL ``stat_col``. The checkpoint is a derived
+        sidecar, never a commit: writing it changes no version, and a
+        reader that ignores it sees identical data (Delta's invariant).
+        The ``_last_checkpoint`` pointer is replaced atomically
+        (write-temp + rename) so a concurrent reader sees the old or
+        the new pointer, never a torn one. This local demo builds the
+        rows driver-side from the manifest (bounded by file count, the
+        same metadata the log already holds); at 1M+ files production
+        would land shard contents as parquet in the first place and
+        checkpoint by compacting those with a distributed write."""
+        import os
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        m = self.read_manifest(version)
+        v = int(m["version"])
+        stats = {e["path"]: e["stats"] for e in m.get("file_stats", [])}
+        rows: list[tuple] = []
+        for p in self.manifest_files(m):
+            if p in stats:
+                for col, (mn, mx) in sorted(stats[p].items()):
+                    rows.append((p, col, int(mn), int(mx)))
+            else:
+                rows.append((p, None, None, None))
+        schema = T.StructType([
+            T.StructField("path", T.StringType(), False),
+            T.StructField("stat_col", T.StringType(), True),
+            T.StructField("mn", T.LongType(), True),
+            T.StructField("mx", T.LongType(), True),
+        ])
+        ckpt_dir = self.log_dir / "_checkpoints" / f"{v:020d}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(ckpt_dir))
+        pointer = {
+            "version": v,
+            "path": str(ckpt_dir),
+            "n_files": len(self.manifest_files(m)),
+            # the shard references this checkpoint subsumes — the tail
+            # reader diffs against these; a later rewrite-manifests /
+            # restore that drops any of them invalidates the checkpoint
+            # (detected, falls back to full resolution)
+            "covered_shards": sorted(m.get("manifest_shards", [])),
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".lc_")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(json.dumps(pointer))
+        os.replace(tmp, self.log_dir / "_last_checkpoint")
+        return pointer
+
+    def last_checkpoint(self) -> dict | None:
+        p = self.log_dir / "_last_checkpoint"
+        return json.loads(p.read_text()) if p.exists() else None
+
+    def resolve_files_via_checkpoint(
+        self, spark: SparkSession, version: int | None = None
+    ) -> tuple[list[str], dict]:
+        """Snapshot file resolution that starts from the newest usable
+        checkpoint instead of re-reading every shard reference —
+        returns ``(files, census)`` where the census records how much
+        metadata the checkpoint saved (``shards_total`` referenced by
+        the manifest vs ``shards_read`` actually fetched). Falls back
+        to :meth:`resolve_files` — correct, just checkpoint-less —
+        when (a) no checkpoint exists, (b) the requested version
+        predates it (time travel behind a checkpoint re-reads the old
+        manifest, as Delta does), or (c) the manifest's shard list no
+        longer contains every shard the checkpoint covered (a
+        rewrite-manifests compaction or restore rewrote the log's
+        shape; Delta handles this by writing a fresh checkpoint after
+        such commits). Full-list manifests are self-contained, so the
+        checkpoint path is a no-op for them (census says so)."""
+        m = self.read_manifest(version)
+        v = int(m["version"])
+        shards = list(m.get("manifest_shards", []))
+        census = {
+            "version": v,
+            "shards_total": len(shards),
+            "shards_read": len(shards),
+            "used_checkpoint": False,
+        }
+        lc = self.last_checkpoint()
+        if (
+            lc is None
+            or v < int(lc["version"])
+            or not m.get("sharded")
+            or not set(lc["covered_shards"]) <= set(shards)
+        ):
+            return self.resolve_files(version), census
+        base = [
+            r["path"]
+            for r in spark.read.parquet(lc["path"]).select("path").distinct().collect()
+        ]
+        tail = [s for s in shards if s not in set(lc["covered_shards"])]
+        out = list(base)
+        for s in tail:
+            out.extend(json.loads(Path(s).read_text())["files"])
+        census.update({"shards_read": len(tail), "used_checkpoint": True})
+        return sorted(out), census
+
+    def snapshot_pruned_ckpt(
+        self, spark: SparkSession, col: str, lo: int, hi: int
+    ) -> tuple[DataFrame, int, int]:
+        """Stats pruning evaluated AS A SPARK FILTER over the
+        checkpoint parquet instead of a driver-side Python loop over
+        the manifest (:meth:`snapshot_pruned`'s shape) — the move that
+        keeps file skipping viable when the file inventory itself is
+        big data. A file is skipped only if it carries a stats row for
+        ``col`` that provably excludes [lo, hi]; files without stats
+        (or with stats only on other columns) are kept — pruning must
+        stay a superset. Only the SURVIVING paths are collected
+        (bounded by predicate selectivity; they feed the scan exactly
+        as resolve_files does). The exact predicate is still applied
+        on top. Requires a checkpoint at the latest version."""
+        from pyspark.sql import functions as F
+
+        lc = self.last_checkpoint()
+        latest = self.latest_version()
+        if lc is None or int(lc["version"]) != latest:
+            raise ValueError(
+                "snapshot_pruned_ckpt needs a checkpoint at the latest"
+                f" version (have {lc and lc['version']}, latest {latest});"
+                " call write_checkpoint() first"
+            )
+        ckpt = spark.read.parquet(lc["path"])
+        prunable = ckpt.filter(
+            (F.col("stat_col") == col)
+            & ~((F.col("mn") <= F.lit(hi)) & (F.col("mx") >= F.lit(lo)))
+        ).select("path")
+        keep = [
+            r["path"]
+            for r in ckpt.select("path").distinct()
+            .join(prunable, "path", "left_anti")
+            .collect()
+        ]
+        df = spark.read.parquet(*sorted(keep)).filter(F.col(col).between(lo, hi))
+        return df, int(lc["n_files"]), len(keep)
+
     # -- retention --------------------------------------------------------
 
     def vacuum(self, retain_versions: int = 1) -> dict:

@@ -2379,3 +2379,87 @@ def sql_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("loyalty_tier")
     )
+
+
+@register(
+    "lake_checkpoint",
+    oracle="""
+    SELECT CAST(8 AS INT) AS shards_total,
+           CAST(2 AS INT) AS shards_read_tail,
+           CAST(12 AS INT) AS ckpt_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           true AS ckpt_equals_full,
+           true AS fallback_after_rewrite
+    FROM events
+    """,
+    doc="Log checkpoint — Delta's checkpoint + tail-JSON replay, "
+    "applied to the sharded-manifest protocol where this log's "
+    "metadata stops being O(1): without it, resolving a snapshot "
+    "after N landings reads N shard files (thousands of metadata "
+    "gets on a long-lived 100 TB table). write_checkpoint "
+    "materializes the resolved file inventory as ONE parquet "
+    "sidecar plus an atomically-replaced _last_checkpoint pointer "
+    "(never a commit: no version changes, readers that ignore it "
+    "see identical data), and resolve_files_via_checkpoint then "
+    "reads checkpoint + only the shards committed AFTER it. Here 6 "
+    "landings are checkpointed, 2 more land, and the checkpointed "
+    "resolution reads 2 of 8 shard references (census replayed by "
+    "the oracle) while returning the exact full-resolution file "
+    "set (ckpt_equals_full pins count + value checksum equality). "
+    "A rewrite-manifests compaction then drops the covered shards; "
+    "the reader detects the stale checkpoint and falls back to "
+    "full resolution (fallback_after_rewrite) — the same "
+    "invalidate-then-rewrite discipline Delta applies after "
+    "metadata-rewriting commits. The checkpoint also moves per-file "
+    "stats pruning from a driver loop to a Spark filter over the "
+    "checkpoint parquet (snapshot_pruned_ckpt; tests/test_tablelog)."
+    " Counts are protocol constants; n_rows is the logical input.",
+    tags=("lakehouse", "metadata", "time-travel", "events"),
+)
+def lake_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_ckpt_")
+    try:
+        log = TableLog(base)
+        for i in range(6):
+            log.append_manifest_sharded(
+                ev.filter(F.col("event_id") % 8 == i), n_files=2, tag=f"l{i}"
+            )
+        lc = log.write_checkpoint(spark)
+        for i in (6, 7):
+            log.append_manifest_sharded(
+                ev.filter(F.col("event_id") % 8 == i), n_files=2, tag=f"l{i}"
+            )
+        files, census = log.resolve_files_via_checkpoint(spark)
+        chk = spark.read.parquet(*files).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        ref = log.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        log.compact_shards()  # rewrites the shard list -> checkpoint stale
+        files2, census2 = log.resolve_files_via_checkpoint(spark)
+        n2 = spark.read.parquet(*files2).count()
+        return tables.local_row(
+            spark,
+            ("shards_total", int(census["shards_total"]), "int"),
+            ("shards_read_tail", int(census["shards_read"]), "int"),
+            ("ckpt_files", int(lc["n_files"]), "int"),
+            ("n_rows", int(chk["n"]), "bigint"),
+            ("ckpt_equals_full",
+             bool(census["used_checkpoint"] and chk["n"] == ref["n"]
+                  and chk["s"] == ref["s"]), "boolean"),
+            ("fallback_after_rewrite",
+             bool((not census2["used_checkpoint"]) and n2 == ref["n"]),
+             "boolean"),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

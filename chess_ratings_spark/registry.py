@@ -131,6 +131,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "graph_bfs_layers",
     "ts_max_drawdown",
     "agg_gini_concentration",
+    # --- round-9 additions: queued directly behind the backlog so the
+    #     round-10 window covers 17 backlog + these + r5-freshness
+    #     refreshes within its 50 slots ---
+    "lake_checkpoint",
     # --- the round-8 window head: all 50 driver-green in r8 ---
     "lake_changes_between",
     "agg_distribution_shape",

@@ -756,6 +756,79 @@ def run_tablelog_sharded(spark, factor: int) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_tablelog_checkpoint(spark, factor: int) -> dict:
+    """Checkpoint vs full-walk snapshot resolution on a long sharded
+    log — the metadata read path lake_checkpoint exists for. Fabricates
+    250*factor landings as pure metadata (shard JSONs referencing 16
+    file paths each; resolution never opens data files), then measures
+    (a) resolve_files: one JSON read per shard, O(landings) metadata
+    GETs; (b) resolve_files_via_checkpoint after checkpointing all but
+    5 tail landings: one parquet read + 5 shard reads, O(delta) GETs.
+    The file inventories must be identical. Honest local-fs finding
+    (DESIGN.md): wall time does NOT show the win locally — a local
+    JSON read is ~40 us while a Spark read pays ~1 s of fixed job
+    cost, so the full walk is FASTER on this machine. The metric that
+    transfers to 100 TB is the GET count (2495 -> 6 at factor 10):
+    on an object store each shard GET is a 10-50 ms round trip, so
+    the full walk is seconds-to-minutes of serialized latency while
+    the checkpoint path is one columnar GET plus the tail."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    landings = 250 * factor
+    base = tempfile.mkdtemp(prefix="crs_scale_ckpt_")
+    try:
+        log = TableLog(base)
+        shard_dir = log.log_dir / "shards"
+        shard_dir.mkdir(exist_ok=True)
+
+        def land(i: int) -> None:
+            shard = shard_dir / f"l{i:06d}.json"
+            shard.write_text(_json.dumps({
+                "files": [
+                    f"{log.data_dir}/l{i:06d}-{j:02d}.parquet" for j in range(16)
+                ]
+            }))
+
+            def rebase(prev, shard=shard):
+                shards = prev.get("manifest_shards", []) if prev else []
+                return [], {"manifest_shards": shards + [str(shard)],
+                            "sharded": True}
+
+            log.commit(op="append-sharded", build=rebase)
+
+        for i in range(landings - 5):
+            land(i)
+        t0 = time.perf_counter()
+        lc = log.write_checkpoint(spark)
+        t_ckpt_write = round(time.perf_counter() - t0, 3)
+        for i in range(landings - 5, landings):
+            land(i)
+        t0 = time.perf_counter()
+        full = log.resolve_files()
+        t_full = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        via, census = log.resolve_files_via_checkpoint(spark)
+        t_via = round(time.perf_counter() - t0, 3)
+        assert via == full and census["used_checkpoint"]
+        return {
+            "op": "tablelog_checkpoint",
+            "factor": factor,
+            "landings": landings,
+            "n_files": len(full),
+            "ckpt_files": lc["n_files"],
+            "shards_read_via_ckpt": census["shards_read"],
+            "resolve_full_secs": t_full,
+            "resolve_via_ckpt_secs": t_via,
+            "ckpt_write_secs": t_ckpt_write,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def run_skew_salt(spark, factor: int) -> dict:
     """Hottest-shuffle-partition census for join_skew_salted
     (plans/scale.py): events' 5-value event_type key hashed into 32
@@ -1080,7 +1153,7 @@ def main() -> None:
     spark = get_spark("chess-ratings-scale-evidence")
     spark.sparkContext.setLogLevel("ERROR")
     for factor in factors:
-        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_jaccard_neighbors, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_tablelog_sharded, run_skew_salt, run_ivf, run_semdedup, run_phash, run_pq):
+        for fn in (run_minhash, run_signbit, run_substr, run_lines, run_containment, run_jaccard_neighbors, run_countmin, run_pagerank, run_perplexity, run_tablelog, run_tablelog_sharded, run_tablelog_checkpoint, run_skew_salt, run_ivf, run_semdedup, run_phash, run_pq):
             row = fn(spark, factor)
             print(json.dumps(row), flush=True)
     spark.stop()

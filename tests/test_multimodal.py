@@ -130,7 +130,10 @@ def test_driver_order_contract():
     assert not wasted, f"driver window wasted on already-verified: {wasted}"
     # Round-10 contract (r8 verdict item 2): the 17 names still lacking
     # driver evidence after round 9's 50-slot window sit at slots 51-67,
-    # provably leading the round-10 window with ~33 slots to spare.
+    # provably leading the round-10 window. Round-9 additions queue
+    # directly behind them (slot 68+), and the window's remaining slots
+    # go to the rotation-freshness floor (oldest driver evidence first:
+    # the 14 r5 names, then r6) per the policy in registry.py.
     round10_head = (
         "graph_kcore",
         "ts_seasonal_decompose",

@@ -568,3 +568,85 @@ def test_stream_cdf_plans_removed_file_deletes(base, spark):
     # parity with the batch change feed over the same interval
     batch = log.changes_between(spark, 1, 3)
     assert batch.filter(F.col("_change_type") == "delete").count() == 20
+
+
+def test_checkpoint_resolves_sharded_tail_only(spark, tmp_path):
+    """Log checkpoint (Delta checkpoint + tail-JSON replay, applied to
+    the sharded protocol): after a checkpoint at v5, resolving the
+    latest snapshot reads ONLY the shards committed after it, and the
+    file set is identical to full resolution."""
+    log = TableLog(tmp_path / "t")
+    df = spark.range(400).select(F.col("id").alias("k"))
+    for i in range(6):
+        log.append_manifest_sharded(
+            df.filter(F.col("id") % 8 == i), n_files=2, tag=f"l{i}"
+        )
+    lc = log.write_checkpoint(spark)
+    assert lc["version"] == 5 and lc["n_files"] == 12
+    for i in (6, 7):
+        log.append_manifest_sharded(
+            df.filter(F.col("id") % 8 == i), n_files=2, tag=f"l{i}"
+        )
+    files, census = log.resolve_files_via_checkpoint(spark)
+    assert census["used_checkpoint"] is True
+    assert census["shards_total"] == 8 and census["shards_read"] == 2
+    assert files == log.resolve_files()  # identical inventory
+    assert spark.read.parquet(*files).count() == 400
+    # time travel BEHIND the checkpoint falls back, still correct
+    old, c_old = log.resolve_files_via_checkpoint(spark, version=3)
+    assert c_old["used_checkpoint"] is False
+    assert old == log.resolve_files(3)
+
+
+def test_checkpoint_invalidated_by_manifest_rewrite(spark, tmp_path):
+    """A rewrite-manifests compaction drops the shard files the
+    checkpoint covered; the checkpoint reader must detect that and
+    fall back to full resolution instead of double-counting."""
+    log = TableLog(tmp_path / "t")
+    df = spark.range(200).select(F.col("id").alias("k"))
+    for i in range(4):
+        log.append_manifest_sharded(
+            df.filter(F.col("id") % 4 == i), n_files=2, tag=f"l{i}"
+        )
+    log.write_checkpoint(spark)
+    log.compact_shards()  # shard list rewritten -> checkpoint stale
+    files, census = log.resolve_files_via_checkpoint(spark)
+    assert census["used_checkpoint"] is False
+    assert files == log.resolve_files()
+    assert spark.read.parquet(*files).count() == 200
+    # a fresh checkpoint over the compacted manifest re-arms the path
+    log.write_checkpoint(spark)
+    log.append_manifest_sharded(
+        df.filter(F.col("id") % 4 == 0), n_files=1, tag="extra"
+    )
+    files2, census2 = log.resolve_files_via_checkpoint(spark)
+    assert census2["used_checkpoint"] is True and census2["shards_read"] == 1
+    assert files2 == log.resolve_files()
+
+
+def test_checkpoint_stats_pruning_superset_and_exact(spark, tmp_path):
+    """snapshot_pruned_ckpt: pruning evaluated as a Spark filter over
+    the checkpoint parquet skips exactly the files the driver-loop
+    pruner skips, keeps files without stats (superset rule), and the
+    pruned read returns exactly the full scan's rows."""
+    log = TableLog(tmp_path / "t")
+    df = spark.range(800).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    log.append_range_bucketed(df, "k", width=100, tag="b")  # 8 files + stats
+    log.append(df.select((F.col("k") + 10_000).alias("k"), "v"),
+               n_files=1, tag="nostats")  # 1 file, no stats rows
+    log.write_checkpoint(spark)
+    pruned, total, scanned = log.snapshot_pruned_ckpt(spark, "k", 150, 349)
+    assert total == 9
+    # buckets [100,200) and [200,300) and [300,400) overlap -> 3 files,
+    # plus the stats-less file is always kept (superset rule)
+    assert scanned == 4
+    assert pruned.count() == 200
+    ref = log.snapshot(spark).filter(F.col("k").between(150, 349))
+    assert pruned.count() == ref.count()
+    # driver-loop pruner agrees on the stats-bearing files
+    _, t2, s2 = log.snapshot_pruned(spark, "k", 150, 349)
+    assert (t2, s2) == (9, 4)
+    # stale checkpoint refused: appending advances the log past it
+    log.append(df.limit(5), n_files=1, tag="later")
+    with pytest.raises(ValueError, match="latest"):
+        log.snapshot_pruned_ckpt(spark, "k", 0, 1)
