@@ -237,3 +237,71 @@ def test_tablelog_branch_restore_matches_model(spark, tmp_path_factory, ops):
         assert {r.k for r in live_df(log, v).collect()} == set(expected), (
             f"main version {v} diverged from model"
         )
+
+
+# checkpoint vocabulary (sharded protocol, where checkpoints matter):
+# appends, rewrite_manifests compactions, RESTOREs to random earlier
+# versions (both rewrite the shard list, invalidating checkpoints),
+# and checkpoint writes at arbitrary points. Invariant after EVERY op:
+# resolve_files_via_checkpoint returns exactly resolve_files' set —
+# used_checkpoint may flip false (stale), correctness never flips.
+_ckpt_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 9)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("restore"), st.integers(0, 9)),
+        st.tuples(st.just("checkpoint"), st.just(0)),
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ckpt_ops)
+def test_checkpoint_resolution_always_matches_full_walk(
+    spark, tmp_path_factory, ops
+):
+    """Model-based check of the round-9 checkpoint path: across random
+    interleavings of sharded appends, rewrite_manifests, RESTOREs and
+    checkpoint writes, checkpointed resolution must return the exact
+    full-walk file inventory at every step (falling back silently when
+    a manifest rewrite staled the checkpoint), and the live snapshot
+    must equal the key-set model — a stale checkpoint may cost shard
+    reads, never rows."""
+    from chess_ratings_spark.operators.tablelog import CommitConflict
+
+    base = tmp_path_factory.mktemp("ckmdl")
+    log = TableLog(base / "t")
+    model: set[int] = set()
+    history: list[tuple[int, frozenset[int]]] = []
+    appended_any = False
+
+    for i, (kind, arg) in enumerate(ops):
+        if kind == "append":
+            lo = arg * 20 + i * 200
+            df = spark.range(lo, lo + 20).select(F.col("id").alias("k"))
+            v = log.append_manifest_sharded(df, n_files=2, tag=f"a{i}")
+            model |= set(range(lo, lo + 20))
+            appended_any = True
+        elif kind == "compact" and appended_any:
+            v = log.compact_shards()
+        elif kind == "restore" and history:
+            v_to, m_to = history[arg % len(history)]
+            v = log.restore(v_to)
+            model = set(m_to)
+        elif kind == "checkpoint" and appended_any:
+            log.write_checkpoint(spark)  # sidecar: no version, no entry
+            continue
+        else:
+            continue
+        history.append((v, frozenset(model)))
+        files, census = log.resolve_files_via_checkpoint(spark)
+        assert files == log.resolve_files(), (
+            f"op {i} ({kind}): checkpointed inventory diverged"
+        )
+        assert {r.k for r in spark.read.parquet(*files).collect()} == model
