@@ -338,3 +338,67 @@ def test_percent_cume_no_global_single_reducer_sort(spark):
             below = "\n".join(lines[i + 1 : i + 3])
             assert "HashAggregate" in below, f"global funnel over raw rows:\n{l}"
     assert "BroadcastHashJoin" in p  # offsets come back broadcast
+
+
+# Late-round-8 / round-9 declarative additions: these build one
+# Catalyst plan (no iterative driver loop), so the cheapest meaningful
+# guard is global — no cartesian product anywhere, and nested-loop
+# joins only as the bounded 1-row census-stitch crossJoins the house
+# style allows. Catches the worst regressions (a lost equi-key turning
+# a join quadratic) without over-pinning plan details that AQE may
+# legitimately reshape.
+_DECLARATIVE_LATE = [
+    "agg_ks_test",
+    "agg_autocorr",
+    "agg_markov_transitions",
+    "agg_benford_deviation",
+    "agg_gini_concentration",
+    "agg_weighted_percentile",
+    "agg_entropy_gini",
+    "win_skyline_2d",
+    "win_cumulative_distinct",
+    "win_median_rolling",
+    "ts_downsample_ltob",
+    "ts_max_drawdown",
+    "ts_changepoint",
+    "ts_seasonal_decompose",
+    "fn_hash_suite",
+    "text_bpe_encode",
+]
+
+
+@pytest.mark.parametrize("name", _DECLARATIVE_LATE)
+def test_late_additions_never_go_quadratic(spark, name):
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 3  # census stitches only
+
+
+@pytest.mark.parametrize(
+    "name", ["ts_downsample_ltob", "ts_max_drawdown", "agg_gini_concentration"]
+)
+def test_late_global_windows_rank_compressed_frames_only(spark, name):
+    """The DESIGN claim for the late global-window queries: any global
+    total order (Exchange SinglePartition) funnels a frame that was
+    already compressed by aggregation — never raw table rows. Same
+    signal as the percent_cume guard: the node(s) directly under every
+    single-partition exchange must include an aggregate (or another
+    exchange of the already-aggregated frame), not a scan-side
+    projection."""
+    p = plan_of(spark, name)
+    lines = p.splitlines()
+    n_global = 0
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            n_global += 1
+            below = "\n".join(lines[i + 1 : i + 4])
+            assert (
+                "HashAggregate" in below
+                or "ObjectHashAggregate" in below
+                or "SortAggregate" in below
+            ), f"{name}: global funnel over raw rows:\n{l}\n{below}"
+    # ltob/drawdown compile to zero single-partition exchanges at all
+    # (their argmax/extrema stages stay key-partitioned); gini's global
+    # rank is the one expected funnel and it must sit over aggregates
+    if name == "agg_gini_concentration":
+        assert n_global >= 1, f"{name}: expected a global stage in the plan"
