@@ -35,9 +35,17 @@ TABLES = (
 ).split()
 
 spark = (
-    SparkSession.builder.master("local[7]")
+    SparkSession.builder.master(
+        f"local[{os.environ.get('SIM_CORES', '7')}]"
+    )
     .appName("driver-sim-r2")
-    .config("spark.sql.session.timeZone", "America/New_York")
+    # SIM_TZ: second-configuration hardening runs use a half-hour-offset
+    # zone (e.g. Asia/Kolkata) — queries must hash-match under ANY
+    # session timezone, not just whole-hour western ones
+    .config(
+        "spark.sql.session.timeZone",
+        os.environ.get("SIM_TZ", "America/New_York"),
+    )
     # SIM_SHUFFLE_PARTITIONS: run the whole registry under an arbitrary
     # exchange layout — with the default-layout run, a green pass here
     # is a FULL-REGISTRY partition-invariance proof (every query equals
