@@ -709,36 +709,43 @@ class TableLog:
         reader that ignores it sees identical data (Delta's invariant).
         The ``_last_checkpoint`` pointer is replaced atomically
         (write-temp + rename) so a concurrent reader sees the old or
-        the new pointer, never a torn one. This local demo builds the
-        rows driver-side from the manifest (bounded by file count, the
-        same metadata the log already holds); at 1M+ files production
-        would land shard contents as parquet in the first place and
-        checkpoint by compacting those with a distributed write."""
+        the new pointer, never a torn one. The parquet itself is
+        written driver-side with pyarrow, NOT via
+        ``spark.createDataFrame`` — the rows are manifest metadata the
+        driver already holds, and an RDD-backed createDataFrame pays a
+        Python-worker round trip per action (~4 s at local[32] for a
+        tiny frame, the anti-pattern tables.local_row documents) where
+        the arrow write is milliseconds. At 1M+ files production would
+        land shard contents as parquet in the first place and
+        checkpoint by compacting those with a distributed write;
+        ``spark`` stays in the signature for that evolution."""
         import os
         import tempfile
 
-        from pyspark.sql import types as T
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
         m = self.read_manifest(version)
         v = int(m["version"])
         stats = {e["path"]: e["stats"] for e in m.get("file_stats", [])}
-        rows: list[tuple] = []
+        cols: dict[str, list] = {"path": [], "stat_col": [], "mn": [], "mx": []}
         for p in self.manifest_files(m):
-            if p in stats:
-                for col, (mn, mx) in sorted(stats[p].items()):
-                    rows.append((p, col, int(mn), int(mx)))
-            else:
-                rows.append((p, None, None, None))
-        schema = T.StructType([
-            T.StructField("path", T.StringType(), False),
-            T.StructField("stat_col", T.StringType(), True),
-            T.StructField("mn", T.LongType(), True),
-            T.StructField("mx", T.LongType(), True),
+            for c, (mn, mx) in (
+                sorted(stats[p].items()) if p in stats else [(None, (None, None))]
+            ):
+                cols["path"].append(p)
+                cols["stat_col"].append(c)
+                cols["mn"].append(None if mn is None else int(mn))
+                cols["mx"].append(None if mx is None else int(mx))
+        schema = pa.schema([
+            pa.field("path", pa.string(), nullable=False),
+            pa.field("stat_col", pa.string()),
+            pa.field("mn", pa.int64()),
+            pa.field("mx", pa.int64()),
         ])
         ckpt_dir = self.log_dir / "_checkpoints" / f"{v:020d}"
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(ckpt_dir))
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(pa.table(cols, schema=schema), ckpt_dir / "part-00000.parquet")
         pointer = {
             "version": v,
             "path": str(ckpt_dir),
