@@ -142,11 +142,39 @@ def _drain(spark: SparkSession, stream_df: DataFrame, output_mode: str) -> DataF
 
 def _with_event_time(src: DataFrame) -> DataFrame:
     """Watermarks require TIMESTAMP (LTZ), not NTZ — convert at the
-    source. The NTZ→LTZ→window→render round trip is wall-clock
-    consistent in any fixed whole-hour-offset session zone (incl. the
-    UTC default); sub-hour-offset zones would shift rendered window
-    boundaries, which only affects display strings, not grouping."""
-    return src.withColumn("ts", F.to_timestamp("ts"))
+    source. The instant is built as the NAIVE WALL INTERPRETED AS UTC
+    via wall-clock arithmetic (timestampdiff against the NTZ epoch →
+    timestamp_micros), never ``to_timestamp``: the session-zone
+    interpretation shifts instants by the session offset, which
+    re-aligns 1-hour tumbling windows onto :30 boundaries under a
+    half-hour-offset zone (Asia/Kolkata — caught by the round-9
+    second-config sim) and splits every wall-clock-hour bucket in two.
+    With wall-as-UTC instants, window alignment, watermark arithmetic
+    and state timeouts are identical in EVERY session timezone, DST
+    zones included (no per-row zone lookup anywhere). Render/export
+    sites must use :func:`_wall_utc` (never a bare cast/date_format,
+    which consult the session zone)."""
+    return src.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ),
+    )
+
+
+def _wall_utc(col: "F.Column | str") -> "F.Column":
+    """The naive wall (TIMESTAMP_NTZ) behind a :func:`_with_event_time`
+    instant, session-zone-proof: the instant IS the wall interpreted
+    as UTC, so round it through ``to_utc_timestamp(·, session)`` —
+    whose offset subtraction cancels exactly against the session
+    offset a cast-to-NTZ applies to the SAME instant — instead of a
+    bare ``cast('timestamp_ntz')`` (session wall, shifted in any
+    non-UTC zone)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_utc_timestamp(c, F.current_timezone()).cast("timestamp_ntz")
 
 
 def tumbling_stream(spark: SparkSession, ev: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -157,7 +185,7 @@ def tumbling_stream(spark: SparkSession, ev: DataFrame, width: str = "1 hour") -
         .groupBy(F.window("ts", width), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format(_wall_utc("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n",
             "total_value",
@@ -210,7 +238,7 @@ def late_data_stream(spark: SparkSession, ev: DataFrame, split_frac: float = 0.5
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format(_wall_utc("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "n",
         )
     )
@@ -411,7 +439,7 @@ def session_stream(spark: SparkSession, ev: DataFrame, gap: str = "30 minutes") 
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
             "user_id",
-            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format(_wall_utc("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
             "n_events",
             "total_value",
         )
@@ -430,7 +458,7 @@ def sliding_stream(
         .groupBy(F.window("ts", width, slide), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format(_wall_utc("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n",
             "total_value",
@@ -538,8 +566,8 @@ def join_then_window_stream(
         joined.groupBy(F.window("p_ts", width))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            F.col("window.end").alias("w_end"),
+            F.date_format(_wall_utc("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            _wall_utc("window.end").alias("w_end"),
             "n_pairs",
         )
     )
@@ -560,7 +588,7 @@ def join_then_window_stream(
     hi = ev.agg(F.max("ts")).collect()[0][0]  # bounded 1-row scalar
     horizon = hi - _dt.timedelta(hours=4)  # delay 2h + lookback 1h + width 1h
     return (
-        out.filter(F.col("w_end").cast("timestamp_ntz") <= _ntz_lit(horizon))
+        out.filter(F.col("w_end") <= _ntz_lit(horizon))
         .select("window_start", "n_pairs")
     )
 
@@ -912,7 +940,7 @@ def outer_interval_join_stream(
     # the original NTZ value in ANY session tz, while an instant
     # comparison against a naive literal shifts by the tz offset
     # (caught by the hostile-tz driver sim).
-    p_ntz = F.col("p_ts").cast("timestamp_ntz")
+    p_ntz = _wall_utc("p_ts")
     return (
         out.filter((p_ntz < _ntz_lit(lo_band)) | (p_ntz > _ntz_lit(hi_band)))
         .select(
