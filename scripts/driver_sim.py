@@ -55,6 +55,13 @@ spark = (
         os.environ.get("SIM_SHUFFLE_PARTITIONS", "200"),
     )
     .config("spark.driver.memory", "8g")
+    # SIM_CODEGEN=off: run the registry on the interpreted expression
+    # path (whole-stage codegen disabled) — results must be identical;
+    # divergence means a query depends on codegen-specific evaluation
+    .config(
+        "spark.sql.codegen.wholeStage",
+        "false" if os.environ.get("SIM_CODEGEN") == "off" else "true",
+    )
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
