@@ -1016,13 +1016,17 @@ def session_timeout_stream(
     NEVER emitted — that is the semantics being demonstrated, and the
     oracle replays exactly that cutoff.
 
-    Two clocks ride each row on purpose: ts_us (NTZ-as-UTC micros,
-    zone-proof — the OUTPUT clock) and ts_ltz_us (the engine's LTZ
-    event-time clock — the TIMEOUT clock, same clock the watermark is
-    computed in). Gap math is offset-invariant (both clocks differ by
-    the constant session offset, whole-hour in the hostile sim, so
-    the ms floors cancel exactly), which keeps the emitted set and
-    the reported integers identical in ANY session timezone.
+    Two clocks ride each row: ts_us (NTZ-as-UTC micros, zone-proof —
+    the OUTPUT clock) and ts_ltz_us (the engine's event-time clock —
+    the TIMEOUT clock, same clock the watermark is computed in).
+    Since the round-9 timezone hardening both are DERIVED FROM THE
+    SAME wall-as-UTC instant (`timestamp_micros(ts_us)`, matching
+    `_with_event_time`) rather than `to_timestamp`'s session-zone
+    interpretation, so they coincide numerically and the emitted set
+    is identical in ANY session timezone with no offset-cancellation
+    argument needed — DST zones included. The dual-clock state shape
+    is kept: it documents that setTimeoutTimestamp must be expressed
+    in the watermark column's timeline, whatever that timeline is.
 
     State is one open session per key: 5 bigints — O(keys), the same
     footprint contract as the other stateful ops."""
@@ -1042,8 +1046,8 @@ def session_timeout_stream(
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
             ),
         )
-        .withColumn("ts_ltz", F.to_timestamp("ts"))
-        .withColumn("ts_ltz_us", F.unix_micros(F.to_timestamp("ts")))
+        .withColumn("ts_ltz", F.timestamp_micros(F.col("ts_us")))
+        .withColumn("ts_ltz_us", F.col("ts_us"))
         .withColumn("vc", F.floor(F.col("value") * 100).cast("bigint"))
         .withWatermark("ts_ltz", delay)
     )
