@@ -132,8 +132,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ts_max_drawdown",
     "agg_gini_concentration",
     # --- round-9 additions: queued directly behind the backlog so the
-    #     round-10 window covers 17 backlog + these + r5-freshness
-    #     refreshes within its 50 slots ---
+    #     round-10 window covers 17 backlog + these + freshness
+    #     refreshes within its 50 slots. Freshness priority for the
+    #     round-10 tail slots: (1) names whose PLAN was rewritten after
+    #     their latest driver row — the round-9 event-time hardening
+    #     rewrote stream_tumbling_live, stream_watermark_late,
+    #     stream_dedup, stream_session_live, stream_sliding_live,
+    #     stream_interval_join, stream_interval_join_outer (their r5/r7
+    #     rows predate the rewrite); then (2) oldest driver evidence
+    #     (the r5 names, then r6) per the standing floor above. ---
     "lake_checkpoint",
     # --- the round-8 window head: all 50 driver-green in r8 ---
     "lake_changes_between",
