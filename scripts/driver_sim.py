@@ -62,6 +62,13 @@ spark = (
         "spark.sql.codegen.wholeStage",
         "false" if os.environ.get("SIM_CODEGEN") == "off" else "true",
     )
+    # SIM_ANSI=off: legacy (non-ANSI) evaluation — overflow wraps and
+    # bad casts null instead of raising. Queries must not silently
+    # depend on either regime's behavior for their results.
+    .config(
+        "spark.sql.ansi.enabled",
+        "false" if os.environ.get("SIM_ANSI") == "off" else "true",
+    )
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
