@@ -760,6 +760,14 @@ class TableLog:
         with os.fdopen(fd, "w") as fh:
             fh.write(json.dumps(pointer))
         os.replace(tmp, self.log_dir / "_last_checkpoint")
+        # vacuum interaction: checkpoints are derived metadata that
+        # vacuum ignores, and no reader ever scans a checkpoint's
+        # paths blind — sharded resolution falls back unless the
+        # manifest still references every covered shard (appends only
+        # grow that set; restore/rewrite shrink it and invalidate),
+        # full-list resolution never consults the checkpoint, and
+        # stats pruning refuses a checkpoint older than the latest
+        # version. A checkpoint can therefore go stale, never wrong.
         return pointer
 
     def last_checkpoint(self) -> dict | None:
