@@ -120,22 +120,38 @@ class TableLog:
         self, version: int, files: list[str], op: str, extra: dict | None = None
     ) -> None:
         """Publish ``version`` or raise :class:`CommitConflict`. The
-        exclusive-create open IS the atomic compare-and-swap, and the
         COMPLETE manifest payload (files + any ``extra`` sidecar
-        metadata) is serialized before the create — each manifest file
-        is written exactly once, so a reader that can resolve the
-        version sees all of it (no write-then-patch window). On an
-        object store the conditional PUT is already all-or-nothing."""
+        metadata) is serialized to an unadvertised temp file first and
+        then atomically HARD-LINKED to the versioned name — link(2)
+        fails with EEXIST if the name is taken, so the link IS the
+        compare-and-swap, and the name appears with its full content
+        in one step. A plain ``open(path, 'x')`` + write is NOT enough:
+        the name becomes visible (empty) at the create, and a
+        concurrent ``read_manifest`` polling ``latest_version`` can
+        read the torn window — caught as a JSONDecodeError by the
+        round-9 concurrent-writer soak. On an object store the
+        conditional PUT is already all-or-nothing, so this is purely
+        the local-filesystem realization of the same primitive."""
+        import os
+        import tempfile
+
         body = {"version": version, "op": op, "data_change": _is_data_change(op),
                 "files": sorted(files)}
         if extra:
             body.update(extra)
         payload = json.dumps(body, indent=0)
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".commit_")
         try:
-            with open(self._manifest_path(version), "x") as fh:
+            with os.fdopen(fd, "w") as fh:
                 fh.write(payload)
-        except FileExistsError:
-            raise CommitConflict(f"version {version} already committed") from None
+            try:
+                os.link(tmp, self._manifest_path(version))
+            except FileExistsError:
+                raise CommitConflict(
+                    f"version {version} already committed"
+                ) from None
+        finally:
+            os.unlink(tmp)
 
     def commit(
         self,

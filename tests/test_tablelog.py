@@ -650,3 +650,43 @@ def test_checkpoint_stats_pruning_superset_and_exact(spark, tmp_path):
     log.append(df.limit(5), n_files=1, tag="later")
     with pytest.raises(ValueError, match="latest"):
         log.snapshot_pruned_ckpt(spark, "k", 0, 1)
+
+
+def test_commit_publish_is_atomic_under_concurrent_reads(base):
+    """Regression (round-9 concurrent soak): the versioned manifest
+    name must appear WITH its full payload in one step. The previous
+    open(path,'x')+write publish exposed an empty file between the
+    create and the write, so a reader polling latest_version() +
+    read_manifest() could hit a JSONDecodeError. Pure-metadata hammer:
+    one thread publishes 300 commits while readers poll continuously —
+    any torn read fails the test."""
+    import threading
+
+    log = TableLog(base)
+    stop = threading.Event()
+    torn: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            v = log.latest_version()
+            if v is None:
+                continue
+            try:
+                m = log.read_manifest(v)
+                assert m["version"] <= log.latest_version()
+            except FileNotFoundError:
+                pass  # racing the glob; acceptable
+            except Exception as e:  # JSONDecodeError = torn publish
+                torn.append(f"v{v}: {type(e).__name__}: {e}")
+                return
+
+    readers = [threading.Thread(target=reader) for _ in range(3)]
+    for t in readers:
+        t.start()
+    for i in range(300):
+        log.commit(files=[f"/data/f{i}.parquet"], op="append")
+    stop.set()
+    for t in readers:
+        t.join()
+    assert not torn, torn[:3]
+    assert log.versions() == list(range(300))
