@@ -759,12 +759,23 @@ class TableLog:
             pa.field("mn", pa.int64()),
             pa.field("mx", pa.int64()),
         ])
-        ckpt_dir = self.log_dir / "_checkpoints" / f"{v:020d}"
-        ckpt_dir.mkdir(parents=True, exist_ok=True)
-        pq.write_table(pa.table(cols, schema=schema), ckpt_dir / "part-00000.parquet")
+        # one IMMUTABLE uniquely-named file per checkpoint write, and
+        # the pointer references that exact file — two racing
+        # checkpointers therefore never rewrite a path a reader may be
+        # following (a parquet write is not atomic; in-place rewrite
+        # of a shared part-00000 would expose a torn file through the
+        # pointer — same race class as the torn manifest publish).
+        # Superseded checkpoint files are orphaned metadata, bytes-
+        # bounded by file count, reclaimable with the log dir.
+        import uuid
+
+        ckpt_root = self.log_dir / "_checkpoints"
+        ckpt_root.mkdir(parents=True, exist_ok=True)
+        ckpt_file = ckpt_root / f"{v:020d}-{uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(pa.table(cols, schema=schema), ckpt_file)
         pointer = {
             "version": v,
-            "path": str(ckpt_dir),
+            "path": str(ckpt_file),
             "n_files": len(self.manifest_files(m)),
             # the shard references this checkpoint subsumes — the tail
             # reader diffs against these; a later rewrite-manifests /
