@@ -14,9 +14,11 @@ two mechanisms that give snapshot isolation):
   complete payload — readers never observe a partially-attached
   manifest (the torn-read / missing-delete-vector window a
   write-then-patch scheme would open).
-- **CAS publish**: a commit is ``open(log_path, "x")`` — POSIX
-  exclusive create. Two writers racing to version N: exactly one
-  syscall succeeds, the loser gets ``FileExistsError``, re-reads the
+- **CAS publish**: a commit serializes its complete payload to an
+  unadvertised temp file and atomically hard-links it to the
+  versioned name (link(2) fails EEXIST if taken — exclusive create
+  WITH content, so no torn-read window). Two writers racing to
+  version N: exactly one link succeeds, the loser re-reads the
   latest snapshot, REBUILDS its file list on top of it (the ``build``
   callback below — a true rebase, so the winner's committed files are
   preserved), and retries at N+1. On a real object store this maps to
@@ -203,18 +205,27 @@ class TableLog:
 
     def _land(self, df: DataFrame, n_files: int, tag: str) -> list[str]:
         """Write ``df`` as exactly ``n_files`` parquet files into the
-        data dir (write to a scratch dir, then hard-link into place
-        under unique names — data files are immutable once named)."""
+        data dir. Destination names carry a per-landing random token on
+        top of the caller's tag: data files must be IMMUTABLE once
+        named, and tag-only names break that under concurrency — two
+        OPTIMIZEs racing the same snapshot derive the same tag, and
+        their concurrent copies would interleave into the path the
+        conflict WINNER then commits (the loser's CommitConflict fires
+        at rebase time, after the bytes are already torn). With unique
+        names each landing owns its paths outright; losers only orphan
+        files, which snapshot isolation already ignores."""
         import shutil
         import tempfile
+        import uuid
 
+        token = uuid.uuid4().hex[:12]
         scratch = Path(tempfile.mkdtemp(prefix="crs_tablelog_"))
         try:
             df.repartition(n_files).write.mode("overwrite").parquet(str(scratch / "w"))
             out: list[str] = []
             parts = sorted((scratch / "w").glob("*.parquet"))
             for i, p in enumerate(parts):
-                dst = self.data_dir / f"{tag}-{i:05d}.parquet"
+                dst = self.data_dir / f"{tag}-{token}-{i:05d}.parquet"
                 shutil.copy(p, dst)
                 out.append(str(dst))
             return out
@@ -352,10 +363,14 @@ class TableLog:
         (and :meth:`append` refuses the converse), so a protocol mix
         fails loudly at write time instead of a later diff silently
         missing files."""
+        import uuid
+
         files = self._land(df, n_files, tag)
         shard_dir = self.log_dir / "shards"
         shard_dir.mkdir(exist_ok=True)
-        shard = shard_dir / f"{tag}.json"
+        # per-landing token: a tag collision must orphan, never crash
+        # or alias — same uniqueness discipline as _land's data files
+        shard = shard_dir / f"{tag}-{uuid.uuid4().hex[:12]}.json"
         with open(shard, "x") as fh:
             fh.write(json.dumps({"files": sorted(files)}))
 
@@ -631,6 +646,7 @@ class TableLog:
         delta (next version = previous snapshot unchanged)."""
         import shutil
         import tempfile
+        import uuid
 
         from pyspark.sql import functions as F
 
@@ -654,10 +670,11 @@ class TableLog:
                     .mode("overwrite")
                     .parquet(str(scratch / "w"))
                 )
+                token = uuid.uuid4().hex[:12]
                 for i in sorted(stats):
                     parts = sorted((scratch / "w" / f"__bucket={i}").glob("*.parquet"))
                     assert len(parts) == 1, f"bucket {i}: {len(parts)} files"
-                    dst = self.data_dir / f"{tag}-b{i:04d}.parquet"
+                    dst = self.data_dir / f"{tag}-{token}-b{i:04d}.parquet"
                     shutil.copy(parts[0], dst)
                     files.append(str(dst))
                     mn, mx = stats[i]
