@@ -75,6 +75,19 @@ def _is_data_change(op: str) -> bool:
     return any(op.startswith(p) for p in _DATA_CHANGE_PREFIXES)
 
 
+def _published_mode() -> int:
+    """Umask-governed mode for published metadata files (manifests,
+    ``_last_checkpoint``). mkstemp temps are created 0600 and both
+    hard-link and rename preserve that, so without an explicit chmod a
+    reader running as a different user gets PermissionError on the log
+    — ``open(path, 'x')`` publishing never had that problem."""
+    import os
+
+    um = os.umask(0)
+    os.umask(um)
+    return 0o666 & ~um
+
+
 class CommitConflict(Exception):
     """Another writer published this version first; retry on the new
     latest snapshot."""
@@ -145,6 +158,11 @@ class TableLog:
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".commit_")
         try:
             with os.fdopen(fd, "w") as fh:
+                # mkstemp temps are 0600; the hard link preserves mode,
+                # so published manifests would be unreadable to other
+                # users. Restore umask-governed permissions (as
+                # open(path, 'x') used to give) before publishing.
+                os.fchmod(fh.fileno(), _published_mode())
                 fh.write(payload)
             try:
                 os.link(tmp, self._manifest_path(version))
@@ -295,10 +313,8 @@ class TableLog:
 
         read_manifest = self.read_manifest()
         if read_manifest.get("sharded"):
-            raise ValueError(
-                "optimize() reads full-list manifests; run compact_shards()"
-                " on sharded-protocol tables (file compaction for the"
-                " sharded protocol is not implemented)"
+            return self._optimize_sharded(
+                spark, read_manifest, target_rows_per_file
             )
         read_set = set(read_manifest["files"])
         consumed_dvs = set(read_manifest.get("delete_vectors", []))
@@ -328,6 +344,97 @@ class TableLog:
                 if d not in consumed_dvs
             ]
             return new + survivors, ({"delete_vectors": dvs} if dvs else None)
+
+        return self.commit(op="optimize", build=rebase)
+
+    def _optimize_sharded(
+        self,
+        spark: SparkSession,
+        read_manifest: dict,
+        target_rows_per_file: int = 50_000,
+        max_entries_per_shard: int = 1024,
+    ) -> int:
+        """Committed OPTIMIZE for the sharded-manifest protocol — the
+        small-file remedy a high-landing-rate stream sink needs (each
+        ``append_manifest_sharded`` lands a few small files; before
+        round 10 only the manifests could be compacted, never the data).
+
+        Same semantics as the full-list :meth:`optimize`: the live
+        snapshot is resolved (shard fan-out), MOR delete vectors are
+        MATERIALIZED by the rewrite (consumed, not carried), and the
+        compacted files replace exactly the read set. The committed
+        manifest carries a FRESH shard set listing compacted files plus
+        any files concurrent appends landed after our read — built
+        inside the rebase so a conflict loser re-chunks against the
+        winner's state, with a per-attempt uuid token so racing
+        attempts never collide on shard names (the manifest CAS stays
+        the only arbiter). OPTIMIZE-vs-OPTIMIZE fails exactly like the
+        full-list path: any read-set file already gone from the latest
+        manifest means our snapshot was itself rewritten —
+        :class:`CommitConflict`, never silent row duplication.
+
+        ``op="optimize"`` is data_change=false, so the CDF source and
+        :meth:`changes_between` ignore it (layout change, not a logical
+        change). Checkpoints covering the replaced shards go stale and
+        fall back to full resolution (stale, never wrong — the standing
+        checkpoint invariant)."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        read_set = set(self.manifest_files(read_manifest))
+        if not read_set:
+            return int(read_manifest["version"])  # empty table: no-op
+        consumed_dvs = set(read_manifest.get("delete_vectors", []))
+        df = spark.read.parquet(*sorted(read_set))
+        for dv in consumed_dvs:
+            keys = spark.read.parquet(dv)
+            df = df.join(F.broadcast(keys), keys.columns, "left_anti")
+        n_rows = df.count()
+        n_out = max(1, math.ceil(n_rows / target_rows_per_file))
+        new = self._land(
+            df, n_out, tag=f"optimize-v{read_manifest['version'] + 1}"
+        )
+        shard_dir = self.log_dir / "shards"
+        shard_dir.mkdir(exist_ok=True)
+
+        def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            if prev is None or not prev.get("sharded"):
+                raise ValueError(
+                    "protocol mix: table's latest manifest is full-list —"
+                    " sharded OPTIMIZE cannot rebase onto it"
+                )
+            pfiles = set(self.manifest_files(prev))
+            rewritten = sorted(read_set - pfiles)
+            if rewritten:
+                raise CommitConflict(
+                    "concurrent commit rewrote files this OPTIMIZE read"
+                    f" (e.g. {rewritten[0]}); re-run OPTIMIZE on the new"
+                    " snapshot"
+                )
+            entries = sorted(set(new) | (pfiles - read_set))
+            token = uuid.uuid4().hex[:12]
+            new_shards: list[str] = []
+            for i in range(0, len(entries), max_entries_per_shard):
+                p = shard_dir / (
+                    f"optimize-{token}-{i // max_entries_per_shard:04d}.json"
+                )
+                with open(p, "x") as fh:
+                    fh.write(
+                        json.dumps(
+                            {"files": entries[i : i + max_entries_per_shard]}
+                        )
+                    )
+                new_shards.append(str(p))
+            carry: dict = {"manifest_shards": new_shards, "sharded": True}
+            dvs = [
+                d
+                for d in (prev.get("delete_vectors", []) if prev else [])
+                if d not in consumed_dvs
+            ]
+            if dvs:
+                carry["delete_vectors"] = dvs
+            return [], carry
 
         return self.commit(op="optimize", build=rebase)
 
@@ -800,10 +907,22 @@ class TableLog:
             # (detected, falls back to full resolution)
             "covered_shards": sorted(m.get("manifest_shards", [])),
         }
+        # try/finally mirrors try_commit: a failure between mkstemp and
+        # replace must not leak a hidden .lc_* temp in the log dir.
+        # fchmod restores umask-governed permissions — mkstemp creates
+        # 0600, which a reader running as a different user can't open.
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".lc_")
-        with os.fdopen(fd, "w") as fh:
-            fh.write(json.dumps(pointer))
-        os.replace(tmp, self.log_dir / "_last_checkpoint")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                os.fchmod(fh.fileno(), _published_mode())
+                fh.write(json.dumps(pointer))
+            os.replace(tmp, self.log_dir / "_last_checkpoint")
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         # vacuum interaction: checkpoints are derived metadata that
         # vacuum ignores, and no reader ever scans a checkpoint's
         # paths blind — sharded resolution falls back unless the

@@ -1635,7 +1635,10 @@ def agg_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer MICROSECONDS on both sides (epoch_us in DuckDB):
     # second-granularity epoch() rounds sub-second parts differently
     # per engine and flips hour buckets at boundaries (observed)
-    ref = "timestampdiff(MICROSECOND, ts, cast('2024-01-31 00:00:00' as timestamp_ntz))"
+    # 1706659200000000 = epoch µs of 2024-01-31 00:00:00; derive the
+    # event side zone-free (timestampdiff on NTZ operands consults the
+    # session zone inside DST gaps — round-10 fix).
+    ref = f"(1706659200000000 - {tables._MICROS_FROM_NTZ.format(ts='ts')})"
     h = F.expr(f"({ref}) div 3600000000").cast("bigint")
     w_e9 = F.floor(F.pow(F.lit(2.0), -(h / 168.0)) * 1e9).cast("bigint")
     vm = F.floor(F.col("value") * 1000).cast("bigint")
@@ -2274,8 +2277,7 @@ def win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     day = F.expr(
-        "timestampdiff(MICROSECOND, cast('1970-01-01 00:00:00' as timestamp_ntz), ts)"
-        " div 86400000000"
+        f"{tables._MICROS_FROM_NTZ.format(ts='ts')} div 86400000000"
     ).cast("bigint")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     firsts = (

@@ -417,6 +417,121 @@ def lake_optimize_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_optimize_sharded",
+    oracle="""
+    WITH live AS (SELECT * FROM events WHERE event_id % 7 != 0)
+    SELECT CAST(24 AS INT) AS files_before,
+           CAST(3 AS INT) AS shards_before,
+           CAST(greatest(1, ceil(count(*) / 50000.0)) AS INT) AS files_after,
+           CAST(1 AS INT) AS shards_after,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(5 AS INT) AS n_versions,
+           true AS content_preserved,
+           true AS time_travel_ok,
+           true AS cdf_invisible,
+           true AS dv_consumed
+    FROM live
+    """,
+    doc="Round-10: file compaction for the SHARDED manifest protocol — "
+    "the small-file remedy the high-landing-rate stream-sink protocol "
+    "lacked (optimize() previously refused sharded tables; only "
+    "manifests could be compacted). Three sharded landings (24 small "
+    "files, 3 shard refs) plus a MOR delete vector (event_id%7==0) "
+    "are compacted: the rewrite materializes the DV (consumed, not "
+    "carried — no resurrection), replaces exactly the read set, and "
+    "commits a FRESH shard set (1 ref) as data_change=false, so "
+    "changes_between refuses the optimize-only range (cdf_invisible). "
+    "Pre-OPTIMIZE time travel still resolves through the old shard "
+    "refs (24 files, full pre-delete count). Conflict semantics "
+    "(OPTIMIZE-vs-append commutes, OPTIMIZE-vs-OPTIMIZE raises "
+    "CommitConflict) are pytest-pinned in tests/test_tablelog.py. "
+    "files_after is a deterministic function of the live row count "
+    "(repartition(n) on non-empty data writes exactly n files), so "
+    "the oracle recomputes the whole census from the logical input.",
+    tags=("lakehouse", "maintenance", "streaming-sink", "events"),
+)
+def lake_optimize_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_optshard_")
+    try:
+        log = TableLog(base)
+        for m in (0, 1, 2):
+            log.append_manifest_sharded(
+                ev.filter(F.col("event_id") % 3 == m), n_files=8, tag=f"e{m}"
+            )
+        v_appends = log.latest_version()
+        files_before = len(log.resolve_files())
+        shards_before = len(log.read_manifest()["manifest_shards"])
+        pre_n = log.snapshot(spark).count()
+
+        # MOR delete vector: event_id % 7 == 0, committed carrying the
+        # shard refs forward (sharded-protocol delete-mor shape)
+        dv_dir = base + "/dv"
+        ev.filter(F.col("event_id") % 7 == 0).select("event_id").write.mode(
+            "overwrite"
+        ).parquet(dv_dir)
+
+        def add_dv(prev: dict) -> tuple[list, dict]:
+            return [], {
+                "manifest_shards": prev["manifest_shards"],
+                "sharded": True,
+                "delete_vectors": [dv_dir],
+            }
+
+        log.commit(op="delete-mor", build=add_dv)
+        v_delete = log.latest_version()
+
+        expected = ev.filter(F.col("event_id") % 7 != 0).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+
+        v_opt = log.optimize(spark, target_rows_per_file=50_000)
+        m_final = log.read_manifest(v_opt)
+        post = log.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        files_after = len(log.resolve_files())
+        shards_after = len(m_final["manifest_shards"])
+
+        tt = log.snapshot(spark, version=v_appends)
+        time_travel_ok = bool(
+            tt.count() == pre_n and len(set(tt.inputFiles())) == files_before
+        )
+        try:
+            log.changes_between(spark, v_delete, v_opt)
+            cdf_invisible = False  # optimize leaked into the change feed
+        except ValueError:
+            cdf_invisible = True
+        return tables.local_row(
+            spark,
+            ("files_before", int(files_before), "int"),
+            ("shards_before", int(shards_before), "int"),
+            ("files_after", int(files_after), "int"),
+            ("shards_after", int(shards_after), "int"),
+            ("n_rows", int(post["n"]), "bigint"),
+            ("n_versions", len(log.versions()), "int"),
+            (
+                "content_preserved",
+                bool(post["n"] == expected["n"] and post["s"] == expected["s"]),
+                "boolean",
+            ),
+            ("time_travel_ok", time_travel_ok, "boolean"),
+            ("cdf_invisible", cdf_invisible, "boolean"),
+            ("dv_consumed", "delete_vectors" not in m_final, "boolean"),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "lake_stats_prune",
     oracle="""
     WITH m AS (SELECT max(event_id) AS mxid FROM events),

@@ -35,7 +35,7 @@ from chess_ratings_spark import tables
 from chess_ratings_spark.registry import register
 
 #: 6-hour bars, expressed in epoch microseconds (engine-portable:
-#: Spark `timestampdiff(MICROSECOND, epoch, ts)` == DuckDB `epoch_us(ts)`).
+#: Spark `tables._MICROS_FROM_NTZ` (zone-free) == DuckDB `epoch_us(ts)`).
 _BAR_US = 6 * 3600 * 1_000_000
 
 
@@ -84,8 +84,7 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP'1970-01-01 00:00:00', ts)"
-            f" div {_BAR_US}"
+            f"{tables._MICROS_FROM_NTZ.format(ts='ts')} div {_BAR_US}"
         ).alias("bar"),
         F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
     )
@@ -461,10 +460,7 @@ def ts_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ev.select(
         "event_type",
         "event_id",
-        F.expr(
-            "timestampdiff(MICROSECOND,"
-            " cast('1970-01-01 00:00:00' as timestamp_ntz), ts)"
-        ).alias("x"),
+        F.expr(tables._MICROS_FROM_NTZ.format(ts="ts")).alias("x"),
         F.floor(F.col("value") * 100).cast("bigint").alias("y"),
     )
     w = Window.partitionBy("event_type").orderBy("x", "event_id")
@@ -589,9 +585,7 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(drawdown AS BIGINT) AS max_drawdown_centi",
             "CAST(peak AS BIGINT) AS peak_centi",
             "CAST(vc AS BIGINT) AS trough_centi",
-            "timestampdiff(MICROSECOND,"
-            " cast('1970-01-01 00:00:00' as timestamp_ntz), ts)"
-            " AS at_epoch_us",
+            tables._MICROS_FROM_NTZ.format(ts="ts") + " AS at_epoch_us",
         )
         .orderBy("event_type")
     )

@@ -140,41 +140,70 @@ def _drain(spark: SparkSession, stream_df: DataFrame, output_mode: str) -> DataF
     return _snapshot_sink(spark, name)
 
 
+#: Zone-free TIMESTAMP_NTZ -> epoch micros (same derivation as
+#: tables._MICROS_FROM_NTZ): pure FIELD EXTRACTION. ``timestampdiff``
+#: against the NTZ epoch looks wall-clock but routes through the
+#: session zone — a wall time inside a DST spring-forward gap (NY
+#: 2024-03-10 02:30) came back 1 h high, aliasing with 03:30 (round-10
+#: ADVICE repro). unix_date/hour/minute/extract never consult a zone.
+_EVENT_US = (
+    "(unix_date(cast({ts} as date)) * 86400000000"
+    " + (hour({ts}) * 3600L + minute({ts}) * 60L) * 1000000"
+    " + cast(extract(SECOND FROM {ts}) * 1000000 AS BIGINT))"
+)
+
+
 def _with_event_time(src: DataFrame) -> DataFrame:
     """Watermarks require TIMESTAMP (LTZ), not NTZ — convert at the
     source. The instant is built as the NAIVE WALL INTERPRETED AS UTC
-    via wall-clock arithmetic (timestampdiff against the NTZ epoch →
-    timestamp_micros), never ``to_timestamp``: the session-zone
-    interpretation shifts instants by the session offset, which
-    re-aligns 1-hour tumbling windows onto :30 boundaries under a
-    half-hour-offset zone (Asia/Kolkata — caught by the round-9
-    second-config sim) and splits every wall-clock-hour bucket in two.
-    With wall-as-UTC instants, window alignment, watermark arithmetic
-    and state timeouts are identical in EVERY session timezone, DST
-    zones included (no per-row zone lookup anywhere). Render/export
-    sites must use :func:`_wall_utc` (never a bare cast/date_format,
-    which consult the session zone)."""
+    via zone-free field extraction (:data:`_EVENT_US` →
+    timestamp_micros), never ``to_timestamp`` or ``timestampdiff``:
+    the session-zone interpretation shifts instants by the session
+    offset — re-aligning 1-hour tumbling windows onto :30 boundaries
+    under Asia/Kolkata (caught by the round-9 second-config sim) — and
+    even NTZ-operand timestampdiff shifts walls inside a DST
+    spring-forward gap +1 h (round-10 fix). With wall-as-UTC instants,
+    window alignment, watermark arithmetic and state timeouts are
+    identical in EVERY session timezone, DST zones included (no
+    per-row zone lookup anywhere). Render/export sites must use
+    :func:`_wall_utc` / :func:`_wall_fmt` (never a bare
+    cast/date_format, which consult the session zone)."""
     return src.withColumn(
-        "ts",
-        F.timestamp_micros(
-            F.expr(
-                "timestampdiff(MICROSECOND,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-            )
-        ),
+        "ts", F.timestamp_micros(F.expr(_EVENT_US.format(ts="ts")))
     )
 
 
 def _wall_utc(col: "F.Column | str") -> "F.Column":
     """The naive wall (TIMESTAMP_NTZ) behind a :func:`_with_event_time`
-    instant, session-zone-proof: the instant IS the wall interpreted
-    as UTC, so round it through ``to_utc_timestamp(·, session)`` —
-    whose offset subtraction cancels exactly against the session
-    offset a cast-to-NTZ applies to the SAME instant — instead of a
-    bare ``cast('timestamp_ntz')`` (session wall, shifted in any
-    non-UTC zone)."""
+    instant, session-zone-proof via pure arithmetic: ``unix_micros``
+    of the instant (zone-free on LTZ) added onto the NTZ epoch with
+    ``timestamp_add`` (field arithmetic, zone-free). The previous
+    ``to_utc_timestamp(·, current_timezone())`` round-trip cancelled
+    offsets exactly only when the UTC wall exists unambiguously as a
+    local time in the session zone — DST-gap walls rendered +1 h."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_utc_timestamp(c, F.current_timezone()).cast("timestamp_ntz")
+    return F.timestamp_add(
+        "MICROSECOND",
+        F.unix_micros(c),
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+    )
+
+
+def _wall_fmt(col: "F.Column | str", micros: bool = False) -> "F.Column":
+    """Zone-free string render of a wall-as-UTC instant.
+
+    ``date_format`` is NOT safe even on TIMESTAMP_NTZ input: it casts
+    NTZ->LTZ through the session zone and formats back, which is the
+    identity except for walls inside a DST spring-forward gap (+1 h).
+    ``cast(ntz AS STRING)`` is pure field rendering — zone-free — but
+    trims trailing fraction zeros, so the fixed-width shapes the DuckDB
+    oracles expect ('yyyy-MM-dd HH:mm:ss' / '...SSSSSS') are rebuilt
+    with substring + rpad."""
+    s = _wall_utc(col).cast("string")
+    head = F.substring(s, 1, 19)
+    if not micros:
+        return head
+    return F.concat(head, F.lit("."), F.rpad(F.substring(s, 21, 6), 6, "0"))
 
 
 def tumbling_stream(spark: SparkSession, ev: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -185,7 +214,7 @@ def tumbling_stream(spark: SparkSession, ev: DataFrame, width: str = "1 hour") -
         .groupBy(F.window("ts", width), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
-            F.date_format(_wall_utc("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            _wall_fmt("window.start").alias("window_start"),
             "event_type",
             "n",
             "total_value",
@@ -238,7 +267,7 @@ def late_data_stream(spark: SparkSession, ev: DataFrame, split_frac: float = 0.5
         .groupBy(F.window("ts", "1 hour"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.date_format(_wall_utc("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            _wall_fmt("window.start").alias("window_start"),
             "n",
         )
     )
@@ -439,7 +468,7 @@ def session_stream(spark: SparkSession, ev: DataFrame, gap: str = "30 minutes") 
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
             "user_id",
-            F.date_format(_wall_utc("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            _wall_fmt("session_window.start", micros=True).alias("session_start"),
             "n_events",
             "total_value",
         )
@@ -458,7 +487,7 @@ def sliding_stream(
         .groupBy(F.window("ts", width, slide), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
-            F.date_format(_wall_utc("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            _wall_fmt("window.start").alias("window_start"),
             "event_type",
             "n",
             "total_value",
@@ -566,7 +595,7 @@ def join_then_window_stream(
         joined.groupBy(F.window("p_ts", width))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .select(
-            F.date_format(_wall_utc("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            _wall_fmt("window.start").alias("window_start"),
             _wall_utc("window.end").alias("w_end"),
             "n_pairs",
         )
@@ -1041,10 +1070,7 @@ def session_timeout_stream(
         .parquet(staged)
         .withColumn(
             "ts_us",
-            F.expr(
-                "timestampdiff(MICROSECOND,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-            ),
+            F.expr(_EVENT_US.format(ts="ts")),
         )
         .withColumn("ts_ltz", F.timestamp_micros(F.col("ts_us")))
         .withColumn("ts_ltz_us", F.col("ts_us"))

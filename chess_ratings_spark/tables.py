@@ -82,12 +82,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path_of(sf_dir, name))
 
 
-#: TIMESTAMP_NTZ -> epoch micros, timezone-proof. ``timestampdiff`` on
-#: two NTZ operands is pure wall-clock arithmetic; ``unix_micros`` on an
-#: NTZ would first cast NTZ->LTZ through the session timezone and shift
-#: the value on any non-UTC driver.
+#: TIMESTAMP_NTZ -> epoch micros, timezone-proof — built purely from
+#: FIELD EXTRACTION (unix_date/hour/minute/extract-second), which never
+#:  consults a zone. Neither ``unix_micros`` (casts NTZ->LTZ through the
+#: session timezone) nor ``timestampdiff`` against the NTZ epoch is
+#: safe: timestampdiff on NTZ operands ALSO routes through the session
+#: zone, so a wall time inside a DST spring-forward gap (e.g.
+#: 2024-03-10 02:30 under America/New_York) comes back 1 h high and
+#: aliases with the following hour (round-10 ADVICE repro). The ``L``
+#: suffixes keep the arithmetic in BIGINT under ANSI mode;
+#: extract(SECOND) is DECIMAL(8,6) carrying the full µs fraction.
 _MICROS_FROM_NTZ = (
-    "timestampdiff(MICROSECOND, cast('1970-01-01 00:00:00' as timestamp_ntz), {ts})"
+    "(unix_date(cast({ts} as date)) * 86400000000"
+    " + (hour({ts}) * 3600L + minute({ts}) * 60L) * 1000000"
+    " + cast(extract(SECOND FROM {ts}) * 1000000 AS BIGINT))"
 )
 
 _EVENT_COLS = ("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
@@ -103,9 +111,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     read first, then branch on the *actual* resolved type of ``ts``:
 
     - ``TIMESTAMP_NTZ`` (parquet us/ms with isAdjustedToUTC=false):
-      use it directly; derive ``ts_ns`` with wall-clock arithmetic
-      (``timestampdiff`` against the NTZ epoch — never consults the
-      session timezone).
+      use it directly; derive ``ts_ns`` with field-extraction
+      arithmetic (``_MICROS_FROM_NTZ`` — never consults the session
+      timezone, DST gaps included).
     - ``TIMESTAMP`` (LTZ; isAdjustedToUTC=true): the value is a real
       instant, so ``unix_micros`` is exact and tz-independent; rebuild
       ``ts`` as the UTC wall time in NTZ.

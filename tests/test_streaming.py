@@ -275,3 +275,73 @@ def test_cdf_stream_consumes_sharded_tables(spark, tmp_path):
         (1, "insert"): 10,
         (3, "insert"): 10,
     }
+
+
+def test_event_time_dst_gap_zone_proof(spark):
+    """Round-10 ADVICE repro: wall times inside a DST spring-forward gap
+    (America/New_York 2024-03-10 02:00-03:00) must produce identical
+    epoch micros, window grouping, and rendered strings in a DST
+    session zone and in UTC. The old timestampdiff-based derivation
+    shifted gap walls +1 h (aliasing them with the following hour);
+    the field-extraction `_EVENT_US` / `_wall_fmt` path never consults
+    a zone."""
+    import datetime as dt
+
+    walls = [
+        dt.datetime(2024, 3, 10, 1, 45, 0),          # before the gap
+        dt.datetime(2024, 3, 10, 2, 30, 0, 123456),  # INSIDE the gap
+        dt.datetime(2024, 3, 10, 2, 59, 59, 999999), # gap edge
+        dt.datetime(2024, 3, 10, 3, 15, 0),          # after the gap
+        dt.datetime(2024, 11, 3, 1, 30, 0, 500000),  # fall-back overlap
+        dt.datetime(2024, 3, 10, 9, 0, 0),           # plain hour
+    ]
+    rows = [
+        (i, w, 1, "t", 1.0, "{}") for i, w in enumerate(walls)
+    ]
+    ev = spark.createDataFrame(rows, schema=stream_ops.EVENT_SCHEMA)
+
+    def run():
+        us = [
+            r.us
+            for r in ev.select(
+                F.expr(stream_ops._EVENT_US.format(ts="ts")).alias("us")
+            ).orderBy("us").collect()
+        ]
+        walls_back = [
+            r.s
+            for r in ev.select(
+                stream_ops._wall_fmt(
+                    F.timestamp_micros(
+                        F.expr(stream_ops._EVENT_US.format(ts="ts"))
+                    ),
+                    micros=True,
+                ).alias("s")
+            ).orderBy("s").collect()
+        ]
+        win = {
+            tuple(r)
+            for r in stream_ops.tumbling_stream(spark, ev, width="1 hour").collect()
+        }
+        return us, walls_back, win
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = run()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+    truth_us = sorted(
+        int((w - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        for w in walls
+    )
+    assert utc[0] == truth_us
+    assert ny[0] == truth_us, "epoch micros shifted inside the DST gap"
+    truth_render = sorted(
+        w.strftime("%Y-%m-%d %H:%M:%S.%f") for w in walls
+    )
+    assert utc[1] == truth_render
+    assert ny[1] == truth_render, "rendered wall shifted inside the DST gap"
+    assert utc[2] == ny[2], "window grouping differs between UTC and NY"

@@ -690,3 +690,161 @@ def test_commit_publish_is_atomic_under_concurrent_reads(base):
         t.join()
     assert not torn, torn[:3]
     assert log.versions() == list(range(300))
+
+
+def test_published_metadata_world_readable(base, spark):
+    """Manifests and _last_checkpoint are published via mkstemp temps
+    (0600 at create); the publish path must restore umask-governed
+    permissions so a reader running as a different user can open the
+    log (round-10 ADVICE)."""
+    import os
+    import stat
+
+    log = TableLog(base)
+    log.append(_tiny(spark, n=5, tag=1), n_files=1, tag="a")
+    log.write_checkpoint(spark)
+
+    um = os.umask(0)
+    os.umask(um)
+    want = 0o666 & ~um
+    for p in [log._manifest_path(0), log.log_dir / "_last_checkpoint"]:
+        mode = stat.S_IMODE(os.stat(p).st_mode)
+        assert mode == want, f"{p}: mode {oct(mode)} != {oct(want)}"
+
+
+def test_checkpoint_pointer_publish_failure_leaks_no_temp(base, spark, monkeypatch):
+    """A failure between mkstemp and the pointer replace must unlink
+    the hidden .lc_* temp (round-10 ADVICE)."""
+    import os
+
+    log = TableLog(base)
+    log.append(_tiny(spark, n=3, tag=1), n_files=1, tag="a")
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if str(dst).endswith("_last_checkpoint"):
+            raise OSError("injected publish failure")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(OSError, match="injected"):
+        log.write_checkpoint(spark)
+    monkeypatch.undo()
+    leaked = [p.name for p in log.log_dir.iterdir() if p.name.startswith(".lc_")]
+    assert leaked == []
+
+
+def _sharded_fixture(log, spark, rounds=3, n=30):
+    for t in range(rounds):
+        log.append_manifest_sharded(_tiny(spark, n=n, tag=t), n_files=3, tag=f"s{t}")
+
+
+def test_optimize_sharded_compacts_data_files(base, spark):
+    """Round-10: file compaction for the sharded protocol. Three
+    sharded landings (9 small files) compact to 1 right-sized file;
+    the committed manifest carries a FRESH shard set; content and
+    pre-OPTIMIZE time travel are intact; the commit is
+    data_change=false so the change feed ignores it."""
+    log = TableLog(base)
+    _sharded_fixture(log, spark)
+    assert len(log.resolve_files()) == 9
+    assert len(log.read_manifest()["manifest_shards"]) == 3
+    before = {(r.k, r.tag) for r in log.snapshot(spark).collect()}
+
+    v = log.optimize(spark, target_rows_per_file=1_000)
+    assert v == 3
+    m = log.read_manifest()
+    assert m["sharded"] is True and m["data_change"] is False
+    assert len(log.resolve_files()) == 1
+    assert len(m["manifest_shards"]) == 1
+    assert {(r.k, r.tag) for r in log.snapshot(spark).collect()} == before
+    # pre-OPTIMIZE snapshot still resolves through the old shard refs
+    old = log.snapshot(spark, version=2)
+    assert {(r.k, r.tag) for r in old.collect()} == before
+    assert len(set(old.inputFiles())) == 9
+    # CDF: the optimize contributes zero change-feed rows
+    # (changes_between refuses an all-churn range outright)
+    with pytest.raises(ValueError, match="no data-change commits"):
+        log.changes_between(spark, 2, 3)
+    # and a later sharded append still works on the compacted table
+    log.append_manifest_sharded(_tiny(spark, n=10, tag=9), n_files=1, tag="s9")
+    assert log.snapshot(spark).count() == 100
+
+
+def test_optimize_sharded_rebase_carries_concurrent_append(base, spark):
+    """Sharded OPTIMIZE racing a sharded append: compacted files
+    replace exactly the read set; the racer's file is disjoint and
+    survives in the fresh shard set."""
+    log = TableLog(base)
+    _sharded_fixture(log, spark, rounds=2)
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racy_try_commit(version, files, op, extra=None):
+        if not state["raced"]:
+            state["raced"] = True
+            log.append_manifest_sharded(_tiny(spark, n=5, tag=9), n_files=1, tag="late")
+        return orig(version, files, op, extra)
+
+    log.try_commit = racy_try_commit
+    v = log.optimize(spark, target_rows_per_file=1_000)
+    log.try_commit = orig
+    assert v == 3  # two appends, racer's append, rebased optimize
+    assert log.snapshot(spark).count() == 65  # 60 compacted + 5 late
+    late_rows = {r.k for r in log.snapshot(spark).filter("tag = 9").collect()}
+    assert len(late_rows) == 5, "concurrent sharded append discarded"
+    assert log.read_manifest(v)["data_change"] is False
+
+
+def test_optimize_sharded_vs_optimize_conflicts(base, spark):
+    """Sharded OPTIMIZE-vs-OPTIMIZE does not commute: the loser finds
+    its read set rewritten and must raise CommitConflict (silent merge
+    would duplicate every row)."""
+    log = TableLog(base)
+    _sharded_fixture(log, spark, rounds=2)
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racy_try_commit(version, files, op, extra=None):
+        if not state["raced"]:
+            state["raced"] = True
+            log.optimize(spark, target_rows_per_file=1_000)  # winner
+        return orig(version, files, op, extra)
+
+    log.try_commit = racy_try_commit
+    with pytest.raises(CommitConflict, match="rewrote files"):
+        log.optimize(spark, target_rows_per_file=1_000)
+    log.try_commit = orig
+    # winner's compaction stands, content intact
+    assert log.snapshot(spark).count() == 60
+    assert len(log.resolve_files()) == 1
+
+
+def test_optimize_sharded_materializes_delete_vectors(base, spark):
+    """A MOR delete vector on a sharded table is consumed by OPTIMIZE:
+    the compacted files hold only live rows and the DV is not carried
+    forward (no resurrection)."""
+    log = TableLog(base)
+    _sharded_fixture(log, spark, rounds=2)
+    dv = str(Path(base) / "dv")
+    log.snapshot(spark).filter(F.col("k") % 4 == 0).select("k").write.mode(
+        "overwrite"
+    ).parquet(dv)
+
+    def add_dv(prev):
+        return [], {
+            "manifest_shards": prev["manifest_shards"],
+            "sharded": True,
+            "delete_vectors": [dv],
+        }
+
+    log.commit(op="delete-mor", build=add_dv)
+    live = {(r.k, r.tag) for r in log.snapshot(spark).collect()
+            if r.k % 4 != 0}
+    v = log.optimize(spark, target_rows_per_file=1_000)
+    m = log.read_manifest(v)
+    assert "delete_vectors" not in m
+    assert {(r.k, r.tag) for r in log.snapshot(spark, v).collect()} == live
