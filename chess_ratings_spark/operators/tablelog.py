@@ -627,6 +627,37 @@ class TableLog:
         """Handle to an existing branch's log (same data dir)."""
         return TableLog(self.base, log_subdir=f"_branches/{name}/_log")
 
+    def clone_to(self, dest_base: str | Path, version: int | None = None) -> "TableLog":
+        """SHALLOW CLONE (Delta CLONE): a new table at ``dest_base``
+        whose v0 manifest references this table's data files — zero
+        bytes copied. Round-10 addition over the bare
+        ``commit(files, op='clone')`` idiom: the clone is REGISTERED
+        with a back-pointer under the source log
+        (``_log/_clones/<token>.json``), which :meth:`vacuum` consults
+        so source maintenance cannot physically delete files a
+        registered clone still references (the cross-table
+        reference-counting production formats use, reduced to its
+        mechanism). Deleting the clone's directory deregisters it —
+        vacuum skips back-pointers whose log no longer exists.
+        Unregistered hand-rolled clones remain the documented hazard."""
+        import uuid
+
+        m = self.read_manifest(version)
+        clone = TableLog(dest_base)
+        carry: dict = {
+            k: m[k]
+            for k in ("delete_vectors", "manifest_shards", "sharded")
+            if k in m
+        }
+        carry["clone_source"] = str(self.base)
+        clone.try_commit(0, m.get("files", []), op="clone", extra=carry)
+        ptr_dir = self.log_dir / "_clones"
+        ptr_dir.mkdir(parents=True, exist_ok=True)
+        ptr = ptr_dir / f"{uuid.uuid4().hex[:12]}.json"
+        with open(ptr, "x") as fh:
+            fh.write(json.dumps({"clone_base": str(Path(dest_base).resolve())}))
+        return clone
+
     def fast_forward(self, branch: "TableLog", name: str) -> int:
         """Publish a branch: commit the branch head's file list as
         main's next version — but ONLY if main still sits at the
@@ -1034,10 +1065,16 @@ class TableLog:
         under the table base — main's ``_log`` and every
         ``_branches/*/_log`` — each at the same retention depth: a
         vacuum on main must not destroy files referenced only by an
-        unpublished WAP branch's staged commits. Shallow CLONES are a
-        different hazard (a clone lives under a DIFFERENT base whose
-        log this walk cannot see) and remain the documented
-        vacuum-breaks-clones caveat in :func:`plans.lakehouse`."""
+        unpublished WAP branch's staged commits. Shallow CLONES made
+        with :meth:`clone_to` are protected mechanically (round 10):
+        each leaves a back-pointer under ``_log/_clones/`` and the live
+        set unions EVERY version of each registered clone's log — a
+        clone's whole history references our files by design, so clone
+        retention is the clone owner's policy, not ours. A back-pointer
+        whose log directory no longer exists is skipped (deleting the
+        clone deregisters it). Hand-rolled unregistered clones remain
+        the documented vacuum-breaks-clones hazard in
+        :func:`plans.lakehouse`."""
         import os
 
         versions = self.versions()
@@ -1045,6 +1082,13 @@ class TableLog:
         live: set[str] = set()
         for v in keep_vs:
             live.update(self.resolve_files(v))
+        for ptr in sorted(self.log_dir.glob("_clones/*.json")):
+            clone_base = Path(json.loads(ptr.read_text())["clone_base"])
+            clone_log = clone_base / "_log"
+            if not clone_log.is_dir():
+                continue  # clone deleted -> deregistered
+            for mp in sorted(clone_log.glob("*.json")):
+                live.update(self.manifest_files(json.loads(mp.read_text())))
         for sibling in sorted(self.base.glob("_branches/*/_log")):
             if sibling == self.log_dir:
                 continue

@@ -1400,7 +1400,8 @@ def lake_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS vc_source,
            CAST(8 AS INT) AS shared_files,
            CAST(2 AS INT) AS clone_own_files,
-           true AS clone_broken_by_source_vacuum
+           true AS clone_survives_source_vacuum,
+           true AS unregistered_clone_breaks
     """,
     doc="SHALLOW CLONE (Delta CLONE / Iceberg snapshot ref): a new "
     "table whose v0 manifest REFERENCES the source's data files — "
@@ -1411,14 +1412,16 @@ def lake_merge_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and fixed-point checksum is oracle-replayed, and the zero-copy "
     "claim is pinned structurally: the clone's v0 manifest lists "
     "exactly the source's 8 files (shared_files) while its own data "
-    "dir holds only its 2 delta files (clone_own_files). The query "
-    "also demonstrates the documented HAZARD that makes shallow "
-    "clones operationally sharp: after the source OPTIMIZEs and "
-    "VACUUMs, the shared base files are physically gone and the "
-    "clone's snapshot fails at scan (clone_broken_by_source_vacuum "
-    "— Delta's 'vacuum on the source breaks shallow clones' "
-    "caveat, made executable). Production formats solve this with "
-    "cross-table reference counting; the failure is the lesson.",
+    "dir holds only its 2 delta files (clone_own_files). Round 10 "
+    "closes the vacuum-breaks-clones hazard MECHANICALLY: clone_to "
+    "registers a back-pointer under the source log that vacuum's "
+    "live-set walk consults, so after the source OPTIMIZEs and "
+    "VACUUMs the registered clone still reads its full snapshot "
+    "(clone_survives_source_vacuum). The hazard itself stays "
+    "demonstrated: a hand-rolled UNREGISTERED clone of the same "
+    "snapshot fails at scan after the vacuum "
+    "(unregistered_clone_breaks — Delta's caveat, made executable). "
+    "Cross-table reference counting reduced to its mechanism.",
     tags=("lakehouse", "time-travel", "maintenance", "events"),
 )
 def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1441,12 +1444,15 @@ def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_files = list(src.read_manifest()["files"])
 
         # SHALLOW CLONE: the clone's v0 manifest points at the source's
-        # files — a pure metadata commit, zero data copied
-        clone = TableLog(Path(root) / "clone")
-        clone.commit(base_files, op="clone")
+        # files — a pure metadata commit, zero data copied. clone_to
+        # registers a vacuum-guard back-pointer under the source log.
+        clone = src.clone_to(Path(root) / "clone")
         shared = len(
             set(clone.read_manifest(0)["files"]) & set(base_files)
         )
+        # an UNREGISTERED hand-rolled clone: the hazard under test
+        rogue = TableLog(Path(root) / "rogue")
+        rogue.commit(base_files, op="clone")
 
         third = ev.filter(F.col("user_id") % 3 == 2)
         clone.append(third.filter(F.col("event_id") % 2 == 0), 2, "cd")
@@ -1460,15 +1466,28 @@ def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
         ).collect()[0]
 
-        # the hazard: source maintenance physically removes the shared
-        # base files; the clone's manifest now points into the void
+        # source maintenance: OPTIMIZE supersedes the shared base
+        # files, but vacuum's clone guard must keep them alive for the
+        # registered clone — while the unregistered one breaks.
         src.optimize(spark, target_rows_per_file=200_000)
         src.vacuum(retain_versions=1)
         try:
-            clone.snapshot(spark).count()
-            broken = False
+            survives = int(clone.snapshot(spark).count()) == int(c["n"])
         except Exception:
-            broken = True
+            survives = False
+        # rogue references exactly the files the registered clone
+        # guards, so it coasts on that protection while the clone
+        # exists; deregister (delete) the clone and re-vacuum to
+        # expose the unregistered hazard
+        import shutil as _sh
+
+        _sh.rmtree(clone.base)
+        src.vacuum(retain_versions=1)
+        try:
+            rogue.snapshot(spark).count()
+            rogue_broken = False
+        except Exception:
+            rogue_broken = True
 
         return tables.local_row(
             spark,
@@ -1479,7 +1498,8 @@ def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("vc_source", int(s["vc"]), "bigint"),
             ("shared_files", int(shared), "int"),
             ("clone_own_files", int(own), "int"),
-            ("clone_broken_by_source_vacuum", bool(broken), "boolean"),
+            ("clone_survives_source_vacuum", bool(survives), "boolean"),
+            ("unregistered_clone_breaks", bool(rogue_broken), "boolean"),
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -848,3 +848,44 @@ def test_optimize_sharded_materializes_delete_vectors(base, spark):
     m = log.read_manifest(v)
     assert "delete_vectors" not in m
     assert {(r.k, r.tag) for r in log.snapshot(spark, v).collect()} == live
+
+
+def test_vacuum_spares_registered_clone(base, spark):
+    """Round-10: clone_to registers a back-pointer the source vacuum
+    consults — a registered shallow clone's referenced files survive
+    source OPTIMIZE + VACUUM; deleting the clone deregisters it and
+    the next vacuum reclaims."""
+    log = TableLog(base)
+    log.append(_tiny(spark, n=40, tag=1), n_files=4, tag="a")
+    before = {r.k for r in log.snapshot(spark).collect()}
+
+    clone = log.clone_to(Path(base) / "_the_clone")
+    assert {r.k for r in clone.snapshot(spark).collect()} == before
+
+    log.optimize(spark, target_rows_per_file=1_000)
+    census = log.vacuum(retain_versions=1)
+    assert census["n_removed"] == 0, "vacuum deleted clone-referenced files"
+    assert {r.k for r in clone.snapshot(spark).collect()} == before
+
+    # clone's own divergence doesn't protect source garbage forever:
+    # deregister by deleting the clone, re-vacuum reclaims the 4 files
+    import shutil
+
+    shutil.rmtree(clone.base)
+    census2 = log.vacuum(retain_versions=1)
+    assert census2["n_removed"] == 4
+    assert log.snapshot(spark).count() == 40  # live snapshot intact
+
+
+def test_vacuum_skips_stale_clone_pointer(base, spark):
+    """A back-pointer whose clone log vanished must not wedge vacuum."""
+    log = TableLog(base)
+    log.append(_tiny(spark, n=20, tag=1), n_files=2, tag="a")
+    clone = log.clone_to(Path(base) / "_c1")
+    import shutil
+
+    shutil.rmtree(clone.base)
+    log.optimize(spark, target_rows_per_file=1_000)
+    census = log.vacuum(retain_versions=1)
+    assert census["n_removed"] == 2
+    assert log.snapshot(spark).count() == 20
