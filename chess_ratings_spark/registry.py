@@ -56,64 +56,26 @@ REGISTRY: dict[str, Query] = {}
 #: Names here must exist in REGISTRY once plans are imported —
 #: ``queries()`` raises on a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
-    # --- round-9 window: the oldest 50 never-driver-checked names
-    #     (16 mid-round-8 + 21 late-round-8 + the first 13 of the
-    #     final round-8 session), all locally sim-verified at
-    #     sf0.01 AND sf0.001 under the hostile session ---
-    "lake_clone_shallow",
-    "join_aqe_skew",
-    "ml_gd_classifier",
-    "sink_pyds_twophase",
-    "stream_cdf_source",
-    "stream_replicate_tablelog",
-    "stream_ivm_groupby",
-    "lake_bloom_prune",
-    "train_pack_sequences",
-    "lake_manifest_shard",
-    "src_tablelog_format",
-    "sql_udf_create_function",
-    "scan_pyds_pushdown",
-    "join_asof_nearest",
-    "sample_epoch_reshuffle",
-    "train_collate_batches",
-    "ts_resample_ohlc",
-    "ts_gapfill_interpolate",
-    "fn_xml_parse",
-    "sql_session_variables",
-    "src_binaryfile",
-    "stream_stateful_rocksdb",
-    "lake_branch_wap",
-    "dedup_semdedup",
-    "lake_table_history",
-    "lake_restore_version",
-    "join_lateral_topk",
-    "fn_interval_arith",
-    "sql_ctas_insert",
-    "sql_analyze_cbo",
-    "plan_cache_reuse",
-    "stream_static_join",
-    "udf_arrow_scalar",
-    "stream_join_then_window",
-    "sink_overwrite_dynamic",
-    "agg_bitmap_distinct",
-    "fn_tz_convert",
-    "agg_entropy_gini",
-    "win_median_rolling",
-    "ml_normal_equations",
-    "graph_jaccard_neighbors",
-    "lake_constraints_enforce",
-    "sql_merge_evolution",
-    "sql_exec_immediate",
-    "text_bpe_encode",
-    "stream_state_timeout",
-    "agg_weighted_percentile",
-    "win_cumulative_distinct",
-    "agg_ks_test",
-    "agg_autocorr",
-    # --- slots 51-67: the 17 remaining never-driver-checked names.
-    #     ROUND-10 CONTRACT: these lead the round-10 window (the
-    #     contract test pins them at the queue head), leaving ~33
-    #     slots for round-10 new/changed queries behind them. ---
+    # ================= ROUND-10 WINDOW (slots 1-50) =================
+    # The driver oracle-checks exactly the FIRST 50 names. Composition
+    # per the round-9 verdict + round-10 changes:
+    #   1-18  the last 18 never-driver-checked names (closes the
+    #         backlog permanently -> driver-confirmed 193/193)
+    #   19-20 round-10 new/changed registrations (lake_optimize_sharded
+    #         is new; lake_clone_shallow gained the vacuum guard)
+    #   21-32 plans rewritten AFTER their latest driver row by the
+    #         round-10 zone-free event-time fix (DST-gap hardening of
+    #         _EVENT_US/_wall_utc/_wall_fmt rewrote every
+    #         _with_event_time consumer + the epoch-micros axes of
+    #         ts_resample_ohlc/agg_decayed_counts/agg_retention_cohorts)
+    #   33-44 the 12 SURVEY-2 names whose latest driver row is r5
+    #         (age-5 at round 10 -- the 4-round freshness floor)
+    #   45-50 the oldest r6 SURVEY-2 names, registration order
+    # Freshness policy (tests/test_plans.py pins it since round 10):
+    # no SURVEY-2 operator's latest driver row may be older than 4
+    # rounds; each round's spare slots front the oldest evidence.
+    # Round-11 rotation debt: the remaining r6 SURVEY-2 names (31)
+    # reach age 5 at round 11 and must lead its window.
     "graph_kcore",
     "ts_seasonal_decompose",
     "sim_pq_adc",
@@ -131,18 +93,86 @@ DRIVER_ORDER: tuple[str, ...] = (
     "graph_bfs_layers",
     "ts_max_drawdown",
     "agg_gini_concentration",
-    # --- round-9 additions: queued directly behind the backlog so the
-    #     round-10 window covers 17 backlog + these + freshness
-    #     refreshes within its 50 slots. Freshness priority for the
-    #     round-10 tail slots: (1) names whose PLAN was rewritten after
-    #     their latest driver row — the round-9 event-time hardening
-    #     rewrote stream_tumbling_live, stream_watermark_late,
-    #     stream_dedup, stream_session_live, stream_sliding_live,
-    #     stream_interval_join, stream_interval_join_outer (their r5/r7
-    #     rows predate the rewrite); then (2) oldest driver evidence
-    #     (the r5 names, then r6) per the standing floor above. ---
     "lake_checkpoint",
-    # --- the round-8 window head: all 50 driver-green in r8 ---
+    "lake_optimize_sharded",
+    "lake_clone_shallow",
+    "stream_tumbling_live",
+    "stream_dedup",
+    "stream_watermark_late",
+    "stream_session_live",
+    "stream_sliding_live",
+    "stream_interval_join",
+    "stream_interval_join_outer",
+    "stream_join_then_window",
+    "stream_state_timeout",
+    "ts_resample_ohlc",
+    "agg_decayed_counts",
+    "agg_retention_cohorts",
+    "agg_approx_distinct",
+    "fn_json_get",
+    "join_asof",
+    "sample_weighted_mix",
+    "sink_parquet",
+    "src_listing",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful",
+    "stream_tumbling",
+    "text_ngram_topk",
+    "win_lag_delta",
+    "proj_rename",
+    "proj_add_missing",
+    "proj_lit",
+    "select_project",
+    "filter_pred",
+    "val_constraints",
+    # ============ post-window: prior evidence, all green ============
+    "join_aqe_skew",
+    "ml_gd_classifier",
+    "sink_pyds_twophase",
+    "stream_cdf_source",
+    "stream_replicate_tablelog",
+    "stream_ivm_groupby",
+    "lake_bloom_prune",
+    "train_pack_sequences",
+    "lake_manifest_shard",
+    "src_tablelog_format",
+    "sql_udf_create_function",
+    "scan_pyds_pushdown",
+    "join_asof_nearest",
+    "sample_epoch_reshuffle",
+    "train_collate_batches",
+    "ts_gapfill_interpolate",
+    "fn_xml_parse",
+    "sql_session_variables",
+    "src_binaryfile",
+    "stream_stateful_rocksdb",
+    "lake_branch_wap",
+    "dedup_semdedup",
+    "lake_table_history",
+    "lake_restore_version",
+    "join_lateral_topk",
+    "fn_interval_arith",
+    "sql_ctas_insert",
+    "sql_analyze_cbo",
+    "plan_cache_reuse",
+    "stream_static_join",
+    "udf_arrow_scalar",
+    "sink_overwrite_dynamic",
+    "agg_bitmap_distinct",
+    "fn_tz_convert",
+    "agg_entropy_gini",
+    "win_median_rolling",
+    "ml_normal_equations",
+    "graph_jaccard_neighbors",
+    "lake_constraints_enforce",
+    "sql_merge_evolution",
+    "sql_exec_immediate",
+    "text_bpe_encode",
+    "agg_weighted_percentile",
+    "win_cumulative_distinct",
+    "agg_ks_test",
+    "agg_autocorr",
     "lake_changes_between",
     "agg_distribution_shape",
     "lake_merge_cdf",
@@ -193,9 +223,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_ntile_rank",
     "win_rank_topk",
     "win_running",
-    # --- previously-fronted names, evidence r4-r8, all current-green
-    #     (win_percent_cume's round-9 rewrite is plan-only: outputs
-    #     unchanged, locally re-verified, its driver row stays valid) ---
     "lake_partition_evolution",
     "lake_delete_mor",
     "stream_sink_tablelog",
@@ -216,7 +243,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "lake_zorder_locality",
     "sim_containment_join",
     "graph_label_propagation",
-    "stream_interval_join_outer",
     "fn_try_arith",
     "scan_csv_permissive",
     "mm_audio_energy",
@@ -260,13 +286,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "graph_triangle_count",
     "ml_linear_trend_exact",
     "dedup_incremental_digest",
-    "agg_decayed_counts",
     "join_fuzzy_editdistance",
     "scan_schema_evolution",
     "corpus_prepare_v2",
     "sample_balanced_classes",
     "win_event_pattern",
-    "agg_retention_cohorts",
     "agg_mad_outliers",
     "text_keywords_tfidf",
     "agg_histogram_2d",
@@ -277,20 +301,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sample_global_shuffle",
     "sample_quality_buckets",
     "agg_sketch_quantiles",
-    "val_constraints",
     "tier_r_preprocess",
     "dedup_connected_components",
     "dedup_embedding_cosine",
     "pipeline_backfill",
     "sink_parquet_partitioned",
     "src_http_zip_xml",
-    "stream_interval_join",
     "udf_grouped_trend",
-    "proj_rename",
-    "proj_add_missing",
-    "proj_lit",
-    "select_project",
-    "filter_pred",
     "agg_mode",
     "agg_corr_cov",
     "agg_hll_merge",
@@ -304,7 +321,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sample_bottomk",
     "sql_cte_surface",
     "win_time_rolling",
-    "stream_dedup",
     "scan_partition_pruning",
     "join_dynamic_pruning",
     "join_runtime_bloom",
@@ -312,28 +328,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_skew_salted",
     "stream_checkpoint",
     "stream_foreach_merge",
-    "stream_tumbling_live",
-    "stream_sliding_live",
-    "stream_session_live",
     "compact_small_files",
-    "fn_json_get",
-    "join_asof",
-    "win_lag_delta",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_stateful",
-    "sink_parquet",
-    "src_listing",
-    "agg_approx_distinct",
     "q2_min_cost_supplier",
     "mm_binary_decode",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "mm_frame_sample",
-    "text_ngram_topk",
-    "sample_weighted_mix",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

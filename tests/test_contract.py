@@ -1,0 +1,63 @@
+"""Evidence-freshness contract (round-9 verdict item 6): the rotation
+policy in registry.py must not silently decay. For every SURVEY.md §2
+operator ID, the latest driver CORRECTNESS row may be at most 4 rounds
+old — or the operator must be scheduled in the current driver window
+(the first 50 names of queries()), which is how an aging row gets its
+refresh. A never-checked §2 ID must likewise be scheduled."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+
+import chess_ratings_spark.plans  # noqa: F401
+from chess_ratings_spark import registry
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+MAX_EVIDENCE_AGE = 4
+
+
+def _survey2_ids() -> set[str]:
+    src = (ROOT / "SURVEY.md").read_text()
+    sec2 = src[src.index("## 2. Operator inventory") : src.index("## 3. Query lifecycle")]
+    ids = set(re.findall(r"^\| `([a-z0-9_]+)`", sec2, re.M))
+    ids.add("val_constraints")  # declared in §2.7 prose, not a table row
+    return ids
+
+
+def _latest_green() -> tuple[dict[str, int], int]:
+    latest: dict[str, int] = {}
+    rounds = [0]
+    for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        rn = int(p.stem.split("_r")[1])
+        rounds.append(rn)
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), rn)
+    # the round being built is one past the newest recorded evidence
+    return latest, max(rounds) + 1
+
+
+def test_survey2_ids_all_registered():
+    ids = _survey2_ids()
+    missing = sorted(ids - set(registry.REGISTRY))
+    assert not missing, f"SURVEY §2 IDs without a registered query: {missing}"
+
+
+def test_survey2_evidence_freshness():
+    ids = _survey2_ids()
+    latest, current_round = _latest_green()
+    window = set(list(registry.queries())[:50])
+    stale = sorted(
+        n
+        for n in ids
+        if n not in window
+        and current_round - latest.get(n, current_round) > MAX_EVIDENCE_AGE
+    )
+    assert not stale, (
+        f"SURVEY §2 evidence older than {MAX_EVIDENCE_AGE} rounds and not "
+        f"scheduled in the driver window: {stale}"
+    )
+    never = sorted(n for n in ids if n not in latest and n not in window)
+    assert not never, f"never-driver-checked §2 IDs not scheduled: {never}"

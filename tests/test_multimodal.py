@@ -92,11 +92,13 @@ def test_sketch_quantiles_within_certified_bounds(spark):
 
 def test_driver_order_contract():
     """The driver oracle-checks the first 50 names in queries() order
-    (fixed cap, observed rounds 1+2). The rotation targets verification
-    debt: no front-50 slot may be wasted on a query that already
-    hash-passed under the CURRENT fixtures (r4+ rows survive the
-    round-4 fixture regeneration) — except queries whose plan or oracle
-    changed this round and so needs a fresh row."""
+    (fixed cap, observed rounds 1+2). Round-10 window contract: every
+    front-50 slot must be JUSTIFIED — (a) never driver-checked, (b)
+    registered or plan-rewritten in round 10 (the zone-free event-time
+    fix + the clone-guard/sharded-optimize work), or (c) a freshness
+    refresh of the oldest driver evidence (r5/r6 rows, ages 5 and 4 at
+    round 10 — the 4-round floor in registry.py). And the never-checked
+    backlog must ALL be in the window: round 10 closes it."""
     import json
     import pathlib
 
@@ -108,53 +110,42 @@ def test_driver_order_contract():
     assert len(set(order)) == len(order)
     assert names[: len(order)] == order
     assert set(order) <= set(names)
+
     root = pathlib.Path(__file__).resolve().parents[1]
-    current_green: set[str] = set()
-    for rn in (
-        "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-        "CORRECTNESS_r06.json",
-        "CORRECTNESS_r07.json",
-        "CORRECTNESS_r08.json",
-    ):
-        p = root / rn
-        if p.exists():
-            for name, row in json.loads(p.read_text()).items():
-                if row.get("hash_match"):
-                    current_green.add(name)
-    # round-9 plan-or-oracle changes needing fresh rows despite green
-    # history (none: round 9 is a pure queue-burn round — all 50 front
-    # slots hold names that have NEVER had a driver CORRECTNESS row)
-    rewritten_r9: set[str] = set()
-    wasted = [n for n in names[:50] if n in current_green and n not in rewritten_r9]
-    assert not wasted, f"driver window wasted on already-verified: {wasted}"
-    # Round-10 contract (r8 verdict item 2): the 17 names still lacking
-    # driver evidence after round 9's 50-slot window sit at slots 51-67,
-    # provably leading the round-10 window. Round-9 additions queue
-    # directly behind them (slot 68+), and the window's remaining slots
-    # go to the rotation-freshness floor (oldest driver evidence first:
-    # the 14 r5 names, then r6) per the policy in registry.py.
-    round10_head = (
-        "graph_kcore",
-        "ts_seasonal_decompose",
-        "sim_pq_adc",
-        "ts_changepoint",
-        "ml_kmedians_embed",
-        "sql_scripting",
-        "mm_phash_near_dup",
-        "stream_semi_join",
-        "win_skyline_2d",
-        "fn_hash_suite",
-        "ts_downsample_ltob",
-        "agg_markov_transitions",
-        "agg_benford_deviation",
-        "ml_pca_power",
-        "graph_bfs_layers",
-        "ts_max_drawdown",
-        "agg_gini_concentration",
-    )
-    assert tuple(names[50:67]) == round10_head
-    assert not (set(round10_head) & current_green)
+    latest_green: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rn = int(p.stem.split("_r")[1])
+        if rn >= 10:
+            continue  # judge this round's window by pre-round evidence
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("hash_match"):
+                latest_green[name] = max(latest_green.get(name, 0), rn)
+
+    rewritten_r10 = {
+        # new registration + vacuum-guard rewrite
+        "lake_optimize_sharded", "lake_clone_shallow",
+        # _EVENT_US / _wall_utc / _wall_fmt consumers (DST-gap fix)
+        "stream_tumbling_live", "stream_dedup", "stream_watermark_late",
+        "stream_session_live", "stream_sliding_live", "stream_interval_join",
+        "stream_interval_join_outer", "stream_join_then_window",
+        "stream_state_timeout", "stream_semi_join",
+        # epoch-micros axes rewritten by the same fix
+        "ts_resample_ohlc", "ts_downsample_ltob", "ts_max_drawdown",
+        "agg_decayed_counts", "agg_retention_cohorts",
+    }
+    window = names[:50]
+    unjustified = [
+        n
+        for n in window
+        if n in latest_green
+        and n not in rewritten_r10
+        and latest_green[n] > 6  # r5/r6 evidence = freshness refresh
+    ]
+    assert not unjustified, f"window slots wasted: {unjustified}"
+
+    never_checked = [n for n in names if n not in latest_green]
+    missing = [n for n in never_checked if n not in window]
+    assert not missing, f"never-driver-checked names left out of window: {missing}"
 
 
 def test_image_resize_roundtrip(spark):
