@@ -506,11 +506,13 @@ def test_protocol_mix_refused_at_write_time(base, spark):
         sharded.append(df, n_files=1, tag="b")
     with pytest.raises(ValueError, match="protocol mix"):
         sharded.append_range_bucketed(df, "k", width=10, tag="c")
-    with pytest.raises(ValueError, match="sharded"):
-        sharded.optimize(spark)
+    # optimize() is protocol-aware since round 10: on a sharded table
+    # it runs the sharded compaction path (not a refusal)
+    v = sharded.optimize(spark, target_rows_per_file=1_000)
+    assert v == 1 and sharded.read_manifest(v)["sharded"] is True
     # the failed attempts published nothing
     assert full.latest_version() == 0
-    assert sharded.latest_version() == 0
+    assert sharded.latest_version() == 1
 
 
 def test_restore_and_branch_carry_shard_refs(base, spark):
