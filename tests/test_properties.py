@@ -375,3 +375,36 @@ def test_asof_nearest_matches_bruteforce(spark, lefts, rights):
             assert got[i] == (back * 10, "backward", t - back)
         else:
             assert got[i] == (fwd * 10, "forward", fwd - t)
+
+
+_wall_ts = st.datetimes(
+    min_value=__import__("datetime").datetime(1970, 1, 2),
+    max_value=__import__("datetime").datetime(2100, 1, 1),
+)
+
+
+@SLOW
+@given(walls=st.lists(_wall_ts, min_size=1, max_size=12))
+def test_micros_from_ntz_matches_python_everywhere(spark, walls):
+    """tables._MICROS_FROM_NTZ must equal the pure-python epoch micros
+    for ARBITRARY wall times — including DST-gap walls — under a DST
+    session zone (round-10 fix: timestampdiff on NTZ operands consults
+    the session zone inside spring-forward gaps)."""
+    import datetime as dt
+
+    from chess_ratings_spark import tables
+
+    df = spark.createDataFrame(
+        [(w,) for w in walls], schema="ts timestamp_ntz"
+    ).select(F.expr(tables._MICROS_FROM_NTZ.format(ts="ts")).alias("us"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = sorted(r.us for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    want = sorted(
+        int((w - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1))
+        for w in walls
+    )
+    assert got == want
