@@ -446,7 +446,9 @@ class TableLog:
 
     # -- sharded-manifest protocol (Iceberg manifest-list shape) ----------
 
-    def append_manifest_sharded(self, df: DataFrame, n_files: int, tag: str) -> int:
+    def append_manifest_sharded(
+        self, df: DataFrame, n_files: int, tag: str, op: str = "append-sharded"
+    ) -> int:
         """Append with an O(delta) commit payload — the metadata-scale
         answer to the measured full-list failure mode (DESIGN.md: a
         full-list manifest grows ~162 B per file per COMMIT, so at 1M
@@ -493,7 +495,7 @@ class TableLog:
                 carry["delete_vectors"] = prev["delete_vectors"]
             return [], carry
 
-        return self.commit(op="append-sharded", build=rebase)
+        return self.commit(op=op, build=rebase)
 
     def compact_shards(self, max_entries_per_shard: int = 1024) -> int:
         """Iceberg ``rewrite_manifests``: merge the accumulated

@@ -426,6 +426,40 @@ def stream_sink_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sink_optimize",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_centi_sum,
+           CAST(4 AS INT) AS n_versions,
+           CAST(4 AS INT) AS files_before_optimize,
+           CAST(1 AS INT) AS files_after_optimize,
+           CAST(3 AS INT) AS files_final,
+           true AS optimize_cdf_invisible,
+           true AS one_commit_per_batch
+    FROM events
+    """,
+    doc="Round-10 capstone tying the sharded streaming sink to its new "
+    "file compaction: three micro-batches commit via the O(delta) "
+    "sharded protocol (2 small files + 1 shard ref each, batch id "
+    "stamped in the op for replay idempotence); OPTIMIZE runs "
+    "mid-stream after batch 1 (4 files -> 1, fresh shard set, "
+    "data_change=false) and the stream keeps appending onto the "
+    "compacted table (batch 2 rebases cleanly onto the optimize "
+    "commit). The change feed refuses the optimize-only version range "
+    "(optimize_cdf_invisible), so a CDF replica under live ingestion "
+    "never sees compaction churn — the invariant that makes "
+    "background table services safe at 100 TB. Final snapshot count + "
+    "fixed-point checksum equal the whole-input aggregate (oracle); "
+    "file/version counts are protocol constants by construction.",
+    tags=("streaming", "lakehouse", "maintenance", "events", "live"),
+)
+def stream_sink_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.sharded_sink_optimize_stream(spark, ev)
+
+
+@register(
     "stream_interval_join_outer",
     oracle="""
     WITH b AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),

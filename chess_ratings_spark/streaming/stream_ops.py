@@ -1202,3 +1202,124 @@ def semi_join_stream(
         "left_semi",
     ).select("purchase_id")
     return _drain(spark, joined, "append")
+
+
+def sharded_sink_optimize_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Sharded streaming sink + MID-STREAM OPTIMIZE — the round-10
+    compaction closing the loop on the high-landing-rate sink story:
+    foreachBatch micro-batches commit via the O(delta) sharded
+    protocol (one immutable shard ref per batch, batch id stamped in
+    the op for replay idempotence), small files accumulate, OPTIMIZE
+    runs BETWEEN micro-batches (exactly where a table service runs it:
+    concurrent-append rebase makes racing batches commute, so pausing
+    the trigger is a harness simplification, not a requirement), and
+    the stream keeps appending onto the compacted table. The optimize
+    commit is data_change=false: the change feed over the sink sees
+    only the batch inserts (changes_between refuses the optimize-only
+    version range), so a downstream CDF replica is unaffected by the
+    compaction — the invariant that makes background table services
+    safe to run under live ingestion at 100 TB.
+
+    Census (all oracle-replayed or protocol constants): final
+    snapshot count/checksum vs the whole input, file counts
+    before/after/final, version count, CDF invisibility, one commit
+    per batch."""
+    import json as _json
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    stats = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    cut1 = stats.lo + (stats.hi - stats.lo) * 0.34
+    cut2 = stats.lo + (stats.hi - stats.lo) * 0.67
+    base = tempfile.mkdtemp(prefix="crs_shardsink_")
+    src_dir = base + "/in"
+    log = TableLog(base + "/table")
+    sel = lambda d: d.select("event_id", "ts", "user_id", "event_type", "value", "props")  # noqa: E731
+    sel(ev.filter(F.col("ts") < _ntz_lit(cut1))).write.mode("overwrite").parquet(src_dir)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        already = set()
+        for v in log.versions():
+            op = _json.loads(log._manifest_path(v).read_text()).get("op", "")
+            if op.startswith("stream-batch-"):
+                already.add(int(op.rsplit("-", 1)[1]))
+        if batch_id in already:  # replay after partial failure: skip
+            return
+        log.append_manifest_sharded(
+            batch_df.select(
+                "event_id", "user_id", "event_type",
+                F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+            ),
+            n_files=2,
+            tag=f"b{batch_id}",
+            op=f"stream-batch-{batch_id}",
+        )
+
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+    with _state_partitions(spark):
+        q = (
+            src.writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", base + "/ckpt")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()  # batch 0 -> v0 (2 files, 1 shard)
+        sel(
+            ev.filter((F.col("ts") >= _ntz_lit(cut1)) & (F.col("ts") < _ntz_lit(cut2)))
+        ).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()  # batch 1 -> v1 (4 files, 2 shards)
+
+        files_before = len(log.resolve_files())
+        v_pre_opt = log.latest_version()
+        v_opt = log.optimize(spark, target_rows_per_file=500_000)  # v2
+        files_after = len(log.resolve_files())
+
+        sel(ev.filter(F.col("ts") >= _ntz_lit(cut2))).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()  # batch 2 -> v3, appends onto compacted
+        q.stop()
+
+    agg = log.snapshot(spark).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vc")
+    ).collect()[0]
+    files_final = len(log.resolve_files())
+    try:
+        log.changes_between(spark, v_pre_opt, v_opt)
+        cdf_invisible = False
+    except ValueError:
+        cdf_invisible = True
+    n_batches = sum(
+        1
+        for v in log.versions()
+        if _json.loads(log._manifest_path(v).read_text())["op"].startswith("stream-batch-")
+    )
+    out = [
+        (
+            int(agg["n"]),
+            int(agg["vc"]),
+            len(log.versions()),
+            int(files_before),
+            int(files_after),
+            int(files_final),
+            bool(cdf_invisible),
+            bool(n_batches == 3),
+        )
+    ]
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    from chess_ratings_spark import tables as _tables
+
+    return _tables.local_table(
+        spark,
+        out,
+        [
+            ("n_rows", "bigint"),
+            ("value_centi_sum", "bigint"),
+            ("n_versions", "int"),
+            ("files_before_optimize", "int"),
+            ("files_after_optimize", "int"),
+            ("files_final", "int"),
+            ("optimize_cdf_invisible", "boolean"),
+            ("one_commit_per_batch", "boolean"),
+        ],
+    )

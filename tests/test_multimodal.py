@@ -122,8 +122,8 @@ def test_driver_order_contract():
                 latest_green[name] = max(latest_green.get(name, 0), rn)
 
     rewritten_r10 = {
-        # new registration + vacuum-guard rewrite
-        "lake_optimize_sharded", "lake_clone_shallow",
+        # new registrations + vacuum-guard rewrite
+        "lake_optimize_sharded", "stream_sink_optimize", "lake_clone_shallow",
         # _EVENT_US / _wall_utc / _wall_fmt consumers (DST-gap fix)
         "stream_tumbling_live", "stream_dedup", "stream_watermark_late",
         "stream_session_live", "stream_sliding_live", "stream_interval_join",
