@@ -891,3 +891,52 @@ def test_vacuum_skips_stale_clone_pointer(base, spark):
     census = log.vacuum(retain_versions=1)
     assert census["n_removed"] == 2
     assert log.snapshot(spark).count() == 20
+
+
+def test_sharded_optimize_concurrent_append_soak(base, spark):
+    """Threaded soak for the round-10 sharded compaction: one thread
+    runs repeated OPTIMIZEs (retrying past CommitConflict losses)
+    while the main thread lands 12 sharded appends. Invariants at the
+    end: no row lost or duplicated (every appended key exactly once),
+    protocol stays sharded, every optimize that WON committed
+    data_change=false, and at least one compaction landed."""
+    import threading
+
+    log = TableLog(base)
+    log.append_manifest_sharded(_tiny(spark, n=10, tag=0), n_files=2, tag="s0")
+    stop = threading.Event()
+    wins: list[int] = []
+    errors: list[str] = []
+
+    def optimizer():
+        # optimize() plans on the shared SparkSession from a second
+        # thread — safe: session conf is untouched and commits go
+        # through the CAS
+        while not stop.is_set():
+            try:
+                wins.append(log.optimize(spark, target_rows_per_file=1_000))
+            except CommitConflict:
+                continue  # lost to an append/optimize; re-read + retry
+            except Exception as e:  # pragma: no cover
+                errors.append(f"{type(e).__name__}: {e}")
+                return
+
+    t = threading.Thread(target=optimizer)
+    t.start()
+    try:
+        for i in range(1, 13):
+            log.append_manifest_sharded(
+                _tiny(spark, n=10, tag=i), n_files=2, tag=f"s{i}"
+            )
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors[:3]
+    assert wins, "no optimize ever won the CAS"
+    rows = log.snapshot(spark).groupBy("tag").count().collect()
+    got = {r.tag: r["count"] for r in rows}
+    assert got == {t: 10 for t in range(13)}, "rows lost or duplicated"
+    m = log.read_manifest()
+    assert m.get("sharded") is True
+    for v in wins:
+        assert log.read_manifest(v)["data_change"] is False
