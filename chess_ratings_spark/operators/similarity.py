@@ -124,14 +124,15 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return hashed.select("doc_id", sig_udf("hs").alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """Distinct (doc_a < doc_b) candidate pairs via band-key equi-join.
-
-    Band key = xxhash64 of the band's signature slice; the self-join
-    shuffles on (band_id, key) — never on raw pairs.
-    """
+def band_keys(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band_id, key) LSH band-key rows — the unit of both the
+    all-pairs self-join (:func:`lsh_candidate_pairs`) and the
+    INCREMENTAL probe (``dedup_incremental_minhash``: this frame,
+    persisted for the historical corpus, IS the stored dedup index a
+    daily batch probes by equi-join). Band key = xxhash64 of the
+    band's signature slice."""
     r = N_HASHES // n_bands
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -147,6 +148,14 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band_id", "bk.key")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs via band-key equi-join.
+
+    The self-join shuffles on (band_id, key) — never on raw pairs.
+    """
+    bands = band_keys(sigs, n_bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -61,9 +61,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     # per the round-9 verdict + round-10 changes:
     #   1-18  the last 18 never-driver-checked names (closes the
     #         backlog permanently -> driver-confirmed 193/193)
-    #   19-21 round-10 new/changed registrations (lake_optimize_sharded
-    #         and the stream_sink_optimize capstone are new;
-    #         lake_clone_shallow gained the vacuum guard)
+    #   19-22 round-10 new/changed registrations (lake_optimize_sharded,
+    #         stream_sink_optimize and dedup_incremental_minhash are
+    #         new; lake_clone_shallow gained the vacuum guard)
     #   21-32 plans rewritten AFTER their latest driver row by the
     #         round-10 zone-free event-time fix (DST-gap hardening of
     #         _EVENT_US/_wall_utc/_wall_fmt rewrote every
@@ -71,9 +71,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     #         ts_resample_ohlc/agg_decayed_counts/agg_retention_cohorts)
     #   33-44 the 12 SURVEY-2 names whose latest driver row is r5
     #         (age-5 at round 10 -- the 4-round freshness floor)
-    #   46-50 the oldest r6 SURVEY-2 names, registration order
-    #         (val_constraints, r6, yielded its slot to the capstone;
-    #         age 4 keeps it compliant until the round-11 rotation)
+    #   47-50 the oldest r6 SURVEY-2 names, registration order
+    #         (val_constraints and filter_pred, both r6, yielded their
+    #         slots to the round-10 registrations; age 4 keeps them
+    #         compliant until the round-11 rotation)
     # Freshness policy (tests/test_plans.py pins it since round 10):
     # no SURVEY-2 operator's latest driver row may be older than 4
     # rounds; each round's spare slots front the oldest evidence.
@@ -100,6 +101,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "lake_optimize_sharded",
     "lake_clone_shallow",
     "stream_sink_optimize",
+    "dedup_incremental_minhash",
     "stream_tumbling_live",
     "stream_dedup",
     "stream_watermark_late",
@@ -128,8 +130,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "proj_add_missing",
     "proj_lit",
     "select_project",
-    "filter_pred",
     # ============ post-window: prior evidence, all green ============
+    "filter_pred",
     "val_constraints",
     "join_aqe_skew",
     "ml_gd_classifier",

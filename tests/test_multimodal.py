@@ -123,7 +123,8 @@ def test_driver_order_contract():
 
     rewritten_r10 = {
         # new registrations + vacuum-guard rewrite
-        "lake_optimize_sharded", "stream_sink_optimize", "lake_clone_shallow",
+        "lake_optimize_sharded", "stream_sink_optimize",
+        "dedup_incremental_minhash", "lake_clone_shallow",
         # _EVENT_US / _wall_utc / _wall_fmt consumers (DST-gap fix)
         "stream_tumbling_live", "stream_dedup", "stream_watermark_late",
         "stream_session_live", "stream_sliding_live", "stream_interval_join",
