@@ -308,9 +308,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    d = tables.load(spark, sf_dir, "documents")
-    hist_sh = similarity.shingle_sets(d.filter(F.col("doc_id") % 4 != 0))
-    batch_sh = similarity.shingle_sets(d.filter(F.col("doc_id") % 4 == 0))
+    # one shingle materialization serves the whole dedup family
+    # (shared_shingles is the session-cached corpus frame); the
+    # batch/history split is a filter over it, not a re-shingling
+    sh = shared_shingles(spark, sf_dir)
+    hist_sh = sh.filter(F.col("doc_id") % 4 != 0)
+    batch_sh = sh.filter(F.col("doc_id") % 4 == 0)
 
     # the stored index artifact: band keys of the HISTORICAL corpus,
     # written once, probed by every subsequent batch (tmp dir stands in
