@@ -204,14 +204,31 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+_SIGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over the whole corpus, cached per session —
+    the Arrow-batched signature UDF is the one non-trivial compute in
+    the LSH family, and both the all-pairs path (via
+    shared_minhash_cands) and the incremental index/probe path
+    (dedup_incremental_minhash: filter by batch/history split) consume
+    the SAME frame."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIGS_CACHE:
+        _SIGS_CACHE[key] = similarity.minhash_signatures(
+            shared_shingles(spark, sf_dir)
+        ).cache()
+    return _SIGS_CACHE[key]
+
+
 def shared_minhash_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """τ-independent MinHash-LSH candidate pairs, cached per session —
     shared by every verified-jaccard query over the corpus."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CANDS_CACHE:
-        sh = shared_shingles(spark, sf_dir)
         _CANDS_CACHE[key] = similarity.lsh_candidate_pairs(
-            similarity.minhash_signatures(sh)
+            shared_minhash_sigs(spark, sf_dir)
         ).cache()
     return _CANDS_CACHE[key]
 
@@ -308,10 +325,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    # one shingle materialization serves the whole dedup family
-    # (shared_shingles is the session-cached corpus frame); the
-    # batch/history split is a filter over it, not a re-shingling
+    # one shingle+signature materialization serves the whole dedup
+    # family (session-cached shared frames); the batch/history split
+    # is a filter over them, not a re-shingle / re-sign
     sh = shared_shingles(spark, sf_dir)
+    sigs = shared_minhash_sigs(spark, sf_dir)
     hist_sh = sh.filter(F.col("doc_id") % 4 != 0)
     batch_sh = sh.filter(F.col("doc_id") % 4 == 0)
 
@@ -320,11 +338,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for the lake path; left for the OS tmp cleaner like staged dirs)
     idx_dir = tempfile.mkdtemp(prefix="crs_lshidx_") + "/index"
     similarity.band_keys(
-        similarity.minhash_signatures(hist_sh)
+        sigs.filter(F.col("doc_id") % 4 != 0)
     ).write.mode("overwrite").parquet(idx_dir)
     index = spark.read.parquet(idx_dir)
 
-    probe = similarity.band_keys(similarity.minhash_signatures(batch_sh))
+    probe = similarity.band_keys(sigs.filter(F.col("doc_id") % 4 == 0))
     cands = (
         probe.alias("n")
         .join(
