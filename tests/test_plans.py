@@ -62,7 +62,13 @@ def test_global_topk_is_take_ordered(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_near_minhash", "dedup_ngram_jaccard", "sim_join_threshold", "dedup_embedding_cosine"],
+    [
+        "dedup_near_minhash",
+        "dedup_ngram_jaccard",
+        "sim_join_threshold",
+        "dedup_embedding_cosine",
+        "dedup_incremental_minhash",
+    ],
 )
 def test_lsh_family_never_goes_quadratic(spark, name):
     """The no-O(n²) rule as a hard plan assertion: LSH-blocked
