@@ -68,6 +68,7 @@ from pyspark.sql import DataFrame, SparkSession
 #: (and may resurrect) rows relative to the current version.
 _DATA_CHANGE_PREFIXES = (
     "append", "delete", "stream-batch", "overwrite", "publish", "restore",
+    "update",
 )
 
 
@@ -75,17 +76,47 @@ def _is_data_change(op: str) -> bool:
     return any(op.startswith(p) for p in _DATA_CHANGE_PREFIXES)
 
 
+def _read_umask_once() -> int:
+    """Probe the process umask exactly once, at import time. os.umask
+    is the only portable read, but it is a process-global WRITE too —
+    probing it per-publish opened a window where files created by
+    concurrent writer threads (the sharded-OPTIMIZE soak pattern)
+    were born world-writable while one thread held umask 0 (round-10
+    ADVICE). Import runs under the interpreter's module import lock,
+    before this module can have spawned writer threads, so the single
+    probe here is race-free."""
+    import os
+
+    um = os.umask(0)
+    os.umask(um)
+    return um
+
+
+_PUBLISHED_MODE: int = 0o666 & ~_read_umask_once()
+
+
 def _published_mode() -> int:
     """Umask-governed mode for published metadata files (manifests,
     ``_last_checkpoint``). mkstemp temps are created 0600 and both
     hard-link and rename preserve that, so without an explicit chmod a
     reader running as a different user gets PermissionError on the log
-    — ``open(path, 'x')`` publishing never had that problem."""
+    — ``open(path, 'x')`` publishing never had that problem. Reads the
+    import-time constant; never mutates process state."""
+    return _PUBLISHED_MODE
+
+
+def _unlink_all(paths: list[str]) -> None:
+    """Best-effort unlink + clear, for metadata files written by a
+    commit attempt that lost the CAS race — they are referenced by no
+    manifest, so leaving them leaks one attempt's worth of JSON per
+    lost race (nothing else ever prunes _log/shards/)."""
     import os
 
-    um = os.umask(0)
-    os.umask(um)
-    return 0o666 & ~um
+    while paths:
+        try:
+            os.unlink(paths.pop())
+        except FileNotFoundError:
+            pass
 
 
 class CommitConflict(Exception):
@@ -397,8 +428,17 @@ class TableLog:
         )
         shard_dir = self.log_dir / "shards"
         shard_dir.mkdir(exist_ok=True)
+        # Shards written by a CAS-losing attempt are referenced by no
+        # manifest: the loser's rebase runs again with a fresh token,
+        # so without cleanup every lost race leaks one attempt's worth
+        # of shard JSONs under _log/shards/ forever (vacuum only prunes
+        # data files, compact_shards only supersedes referenced shards
+        # — round-10 ADVICE). Each rebase call drops the previous
+        # attempt's files first; a terminal failure drops its own.
+        pending_attempt: list[str] = []
 
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            _unlink_all(pending_attempt)
             if prev is None or not prev.get("sharded"):
                 raise ValueError(
                     "protocol mix: table's latest manifest is full-list —"
@@ -426,6 +466,7 @@ class TableLog:
                         )
                     )
                 new_shards.append(str(p))
+            pending_attempt.extend(new_shards)
             carry: dict = {"manifest_shards": new_shards, "sharded": True}
             dvs = [
                 d
@@ -436,7 +477,11 @@ class TableLog:
                 carry["delete_vectors"] = dvs
             return [], carry
 
-        return self.commit(op="optimize", build=rebase)
+        try:
+            return self.commit(op="optimize", build=rebase)
+        except BaseException:
+            _unlink_all(pending_attempt)
+            raise
 
     def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read (time travel when ``version`` is given):
@@ -511,6 +556,9 @@ class TableLog:
 
         shard_dir = self.log_dir / "shards"
         shard_dir.mkdir(exist_ok=True)
+        # same CAS-loser hygiene as _optimize_sharded: a losing
+        # attempt's merged shards are referenced by no manifest
+        pending_attempt: list[str] = []
 
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
             # rebuilt from the freshly-read manifest on EVERY attempt,
@@ -519,6 +567,7 @@ class TableLog:
             # static-list path refuses to retry); shard names carry a
             # uuid so racing compactors never collide on the files
             # themselves — the manifest CAS stays the only arbiter
+            _unlink_all(pending_attempt)
             token = uuid.uuid4().hex[:12]
             entries: list[str] = []
             for s in prev.get("manifest_shards", []) if prev else []:
@@ -534,12 +583,17 @@ class TableLog:
                         json.dumps({"files": entries[i : i + max_entries_per_shard]})
                     )
                 new_shards.append(str(p))
+            pending_attempt.extend(new_shards)
             carry = {"manifest_shards": new_shards, "sharded": True}
             if prev is not None and "delete_vectors" in prev:
                 carry["delete_vectors"] = prev["delete_vectors"]
             return [], carry
 
-        return self.commit(op="rewrite-manifests", build=rebase)
+        try:
+            return self.commit(op="rewrite-manifests", build=rebase)
+        except BaseException:
+            _unlink_all(pending_attempt)
+            raise
 
     @staticmethod
     def manifest_files(m: dict) -> list[str]:
@@ -639,9 +693,19 @@ class TableLog:
         so source maintenance cannot physically delete files a
         registered clone still references (the cross-table
         reference-counting production formats use, reduced to its
-        mechanism). Deleting the clone's directory deregisters it —
-        vacuum skips back-pointers whose log no longer exists.
-        Unregistered hand-rolled clones remain the documented hazard."""
+        mechanism). The back-pointer is written BEFORE the clone's v0
+        commit (round-10 ADVICE): register-then-commit means a source
+        vacuum racing the clone either sees the pointer (and protects
+        the files) or the clone has not committed yet (and a failed
+        commit unlinks the pointer again) — the commit-then-register
+        order had a window where a racing vacuum could delete files
+        the just-committed clone references. A pointer whose target
+        log directory does not exist yet is treated as LIVE-pending by
+        vacuum only until the clone dir appears or the pointer is
+        unlinked here; pointers whose clone was later deleted are
+        pruned by vacuum. Deleting the clone's directory deregisters
+        it. Unregistered hand-rolled clones remain the documented
+        hazard."""
         import uuid
 
         m = self.read_manifest(version)
@@ -652,12 +716,40 @@ class TableLog:
             if k in m
         }
         carry["clone_source"] = str(self.base)
-        clone.try_commit(0, m.get("files", []), op="clone", extra=carry)
         ptr_dir = self.log_dir / "_clones"
         ptr_dir.mkdir(parents=True, exist_ok=True)
         ptr = ptr_dir / f"{uuid.uuid4().hex[:12]}.json"
         with open(ptr, "x") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "clone_base": str(Path(dest_base).resolve()),
+                        # resolved files the pending clone will
+                        # reference (shard fan-out included): vacuum
+                        # protects these until v0 is committed, at
+                        # which point the pointer is finalized and
+                        # vacuum reads the clone's own log instead
+                        "pending_files": sorted(self.manifest_files(m)),
+                    }
+                )
+            )
+        try:
+            clone.try_commit(0, m.get("files", []), op="clone", extra=carry)
+        except BaseException:
+            ptr.unlink(missing_ok=True)
+            raise
+        # finalize: drop the pending marker so a later clone DELETION
+        # (log dir gone) is distinguishable from a commit in flight —
+        # written to a temp name and atomically renamed over the
+        # pointer, same no-torn-read discipline as try_commit
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=ptr_dir, prefix=".ptr_")
+        with os.fdopen(fd, "w") as fh:
+            os.fchmod(fh.fileno(), _published_mode())
             fh.write(json.dumps({"clone_base": str(Path(dest_base).resolve())}))
+        os.replace(tmp, ptr)
         return clone
 
     def fast_forward(self, branch: "TableLog", name: str) -> int:
@@ -836,6 +928,131 @@ class TableLog:
             return pfiles + files, carry
 
         return self.commit(op="append", build=rebase)
+
+    def update_cow(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        assign: dict[str, str],
+        *,
+        prune_col: str | None = None,
+        prune_lo: int | None = None,
+        prune_hi: int | None = None,
+        tag: str = "update-cow",
+    ) -> dict:
+        """Copy-on-write UPDATE (Delta/Iceberg ``UPDATE ... WHERE``
+        without deletion vectors): rewrite ONLY the data files that can
+        contain matching rows, carry every other file forward
+        untouched, and commit the swapped list as the next version.
+
+        File targeting uses the manifest's per-file ``file_stats`` when
+        the caller names the pruned column's range (``prune_col`` +
+        ``prune_lo/hi`` — the stats :meth:`append_range_bucketed`
+        records): a file whose recorded [min, max] misses the range is
+        provably match-free and is NOT read, NOT rewritten — the whole
+        point of COW on a 100 TB table is that an UPDATE touching one
+        partition's worth of keys rewrites that partition's files, not
+        the table. Files without stats are conservatively treated as
+        touched (same superset rule as :meth:`snapshot_pruned`).
+
+        Semantics:
+        - ``predicate`` / ``assign`` are SQL expression strings; every
+          assigned column becomes ``CASE WHEN predicate THEN expr
+          ELSE col END`` — non-matching rows in touched files are
+          rewritten byte-identical.
+        - MOR delete vectors are MATERIALIZED into the rewritten files
+          (applied on read, exactly like OPTIMIZE) and carried forward
+          for the untouched files they still mask.
+        - Rewritten files lose their range stats until a later
+          stats-recording rewrite (readers scan stat-less files —
+          stale-stats-never-wrong, the standing invariant).
+        - Conflicts: a concurrent commit that rewrote any file in our
+          read set raises :class:`CommitConflict` (lost-update
+          prevention); concurrent APPENDS commute — the rebase carries
+          their files and stats forward.
+        - ``op="update-cow"`` is a data change: the CDF replays the
+          rewrite as file-granularity delete+add (Delta CDF's shape
+          for COW updates without row tracking).
+
+        Returns a census dict: committed version, files rewritten /
+        carried, rows matched.
+        """
+        from pyspark.sql import functions as F
+
+        m = self.read_manifest()
+        if m.get("sharded"):
+            raise ValueError(
+                "protocol mix: update_cow targets full-list tables —"
+                " sharded tables compact via _optimize_sharded first"
+            )
+        all_files = list(m.get("files", []))
+        if prune_col is not None:
+            stats = {
+                e["path"]: e["stats"].get(prune_col)
+                for e in m.get("file_stats", [])
+            }
+            touched = [
+                p
+                for p in all_files
+                if stats.get(p) is None
+                or (stats[p][0] <= prune_hi and stats[p][1] >= prune_lo)
+            ]
+        else:
+            touched = all_files
+        if not touched:
+            return {
+                "version": int(m["version"]),
+                "files_rewritten": 0,
+                "files_carried": len(all_files),
+                "n_matched": 0,
+            }
+        touched_set = set(touched)
+        src = spark.read.parquet(*sorted(touched))
+        for dv in m.get("delete_vectors", []):
+            keys = spark.read.parquet(dv)
+            src = src.join(F.broadcast(keys), keys.columns, "left_anti")
+        cond = F.expr(predicate)
+        n_matched = src.filter(cond).count()
+        out = src
+        for col_name, expr in assign.items():
+            out = out.withColumn(
+                col_name, F.when(cond, F.expr(expr)).otherwise(F.col(col_name))
+            )
+        new = self._land(out, len(touched), tag=tag)
+
+        def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            if prev is None or prev.get("sharded"):
+                raise ValueError(
+                    "protocol mix: table's latest manifest is sharded —"
+                    " full-list update_cow cannot rebase onto it"
+                )
+            pfiles = set(prev.get("files", []))
+            gone = sorted(touched_set - pfiles)
+            if gone:
+                raise CommitConflict(
+                    "concurrent commit rewrote files this UPDATE read"
+                    f" (e.g. {gone[0]}); re-run on the new snapshot"
+                )
+            files = sorted((pfiles - touched_set) | set(new))
+            carry: dict = {}
+            surviving_stats = [
+                e
+                for e in prev.get("file_stats", [])
+                if e["path"] not in touched_set
+            ]
+            if surviving_stats:
+                carry["file_stats"] = surviving_stats
+            if "delete_vectors" in prev:
+                carry["delete_vectors"] = prev["delete_vectors"]
+            return files, carry
+
+        v = self.commit(op="update-cow", build=rebase)
+        return {
+            "version": int(v),
+            "files_rewritten": len(touched),
+            "files_carried": len(all_files) - len(touched),
+            "n_matched": int(n_matched),
+        }
 
     def snapshot_pruned(
         self, spark: SparkSession, col: str, lo: int, hi: int,
@@ -1072,9 +1289,16 @@ class TableLog:
         each leaves a back-pointer under ``_log/_clones/`` and the live
         set unions EVERY version of each registered clone's log — a
         clone's whole history references our files by design, so clone
-        retention is the clone owner's policy, not ours. A back-pointer
-        whose log directory no longer exists is skipped (deleting the
-        clone deregisters it). Hand-rolled unregistered clones remain
+        retention is the clone owner's policy, not ours. A PENDING
+        back-pointer (written before the clone's v0 commit; carries
+        ``pending_files``) protects exactly the files the in-flight
+        clone will reference — closing the round-10 ADVICE race where
+        a vacuum between the clone's commit and its (formerly
+        post-commit) registration deleted files the clone had just
+        referenced. A finalized back-pointer whose log directory no
+        longer exists means the clone was deleted: it is deregistered
+        AND the stale pointer file is pruned here (they previously
+        accumulated forever). Hand-rolled unregistered clones remain
         the documented vacuum-breaks-clones hazard in
         :func:`plans.lakehouse`."""
         import os
@@ -1085,10 +1309,15 @@ class TableLog:
         for v in keep_vs:
             live.update(self.resolve_files(v))
         for ptr in sorted(self.log_dir.glob("_clones/*.json")):
-            clone_base = Path(json.loads(ptr.read_text())["clone_base"])
-            clone_log = clone_base / "_log"
+            body = json.loads(ptr.read_text())
+            clone_log = Path(body["clone_base"]) / "_log"
             if not clone_log.is_dir():
-                continue  # clone deleted -> deregistered
+                if "pending_files" in body:
+                    # clone commit in flight: protect its read set
+                    live.update(body["pending_files"])
+                else:
+                    ptr.unlink(missing_ok=True)  # clone deleted -> prune
+                continue
             for mp in sorted(clone_log.glob("*.json")):
                 live.update(self.manifest_files(json.loads(mp.read_text())))
         for sibling in sorted(self.base.glob("_branches/*/_log")):

@@ -11,6 +11,7 @@ from chess_ratings_spark.plans import (  # noqa: F401
     depth,
     extras,
     formats,
+    geo,
     lakehouse,
     llm_tier,
     relational,

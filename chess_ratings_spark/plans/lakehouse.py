@@ -2598,3 +2598,124 @@ def lake_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_update_cow",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    hit AS (
+      SELECT count(*) AS n_upd
+      FROM e WHERE user_id BETWEEN 40 AND 59 AND event_type = 'click'
+    ),
+    buckets AS (
+      -- one file per user_id//25 range bucket, carrying exact
+      -- [min,max] stats: a file is rewritten iff its recorded range
+      -- overlaps the prune range [40,59] -- replayed here verbatim
+      SELECT user_id // 25 AS b, min(user_id) AS mn, max(user_id) AS mx
+      FROM e GROUP BY user_id // 25
+    ),
+    fc AS (
+      SELECT count(*) AS n_total,
+             count(*) FILTER (WHERE mn <= 59 AND mx >= 40) AS n_touch
+      FROM buckets
+    ),
+    tot AS (SELECT count(*) AS n, sum(vc) AS s FROM e)
+    SELECT CAST(tot.n AS BIGINT) AS n_rows,
+           CAST(hit.n_upd AS BIGINT) AS n_updated,
+           CAST(tot.s AS BIGINT) AS vc_v0,
+           CAST(tot.s + 1000 * hit.n_upd AS BIGINT) AS vc_after,
+           CAST(fc.n_total AS INT) AS files_total,
+           CAST(fc.n_touch AS INT) AS files_rewritten,
+           CAST(fc.n_total - fc.n_touch AS INT) AS files_carried,
+           true AS carried_physically_identical,
+           true AS time_travel_v0_intact
+    FROM tot, hit, fc
+    """,
+    doc="Copy-on-write UPDATE with stats-pruned file targeting "
+    "(TableLog.update_cow — Delta/Iceberg UPDATE..WHERE without "
+    "deletion vectors): the table lands range-bucketed on user_id "
+    "(one file per 25-wide bucket, [min,max] stats in the manifest), "
+    "then UPDATE .. WHERE user_id BETWEEN 40 AND 59 AND "
+    "event_type='click' SET vc = vc + 1000 rewrites ONLY the files "
+    "whose recorded range overlaps [40,59]; every other file is "
+    "carried into the new manifest byte-identical (asserted: the "
+    "carried paths are exactly v0's non-overlapping paths). The "
+    "oracle derives files_rewritten by replaying the stats-overlap "
+    "rule on the data (never a hardcoded protocol constant — files "
+    "counts must hold at ANY sf). Post-update census and the "
+    "unchanged time-travel-to-v0 checksum are both oracle-checked. "
+    "At 100 TB this is the difference between rewriting ~1/6 of a "
+    "table and rewriting all of it; the untouched 5/6 move as "
+    "manifest entries only.",
+    tags=("lakehouse", "update", "time-travel", "events"),
+)
+def lake_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_cow_")
+    try:
+        log = TableLog(base)
+        log.append_range_bucketed(ev, "user_id", 25, tag="base")
+        m0 = log.read_manifest()
+        v0 = log.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+
+        res = log.update_cow(
+            spark,
+            "user_id BETWEEN 40 AND 59 AND event_type = 'click'",
+            {"vc": "vc + 1000"},
+            prune_col="user_id",
+            prune_lo=40,
+            prune_hi=59,
+        )
+        m1 = log.read_manifest()
+        after = log.snapshot(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        tt = log.snapshot(spark, 0).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+
+        carried = set(m1["files"]) & set(m0["files"])
+        untouched_expected = {
+            e["path"]
+            for e in m0.get("file_stats", [])
+            if not (e["stats"]["user_id"][0] <= 59 and e["stats"]["user_id"][1] >= 40)
+        }
+        return tables.local_row(
+            spark,
+            ("n_rows", int(after["n"]), "bigint"),
+            ("n_updated", int(res["n_matched"]), "bigint"),
+            ("vc_v0", int(v0["s"]), "bigint"),
+            ("vc_after", int(after["s"]), "bigint"),
+            ("files_total", len(m0["files"]), "int"),
+            ("files_rewritten", int(res["files_rewritten"]), "int"),
+            ("files_carried", int(res["files_carried"]), "int"),
+            (
+                "carried_physically_identical",
+                bool(carried == untouched_expected and len(carried) == res["files_carried"]),
+                "boolean",
+            ),
+            (
+                "time_travel_v0_intact",
+                bool(tt["n"] == v0["n"] and tt["s"] == v0["s"] and after["n"] == v0["n"]),
+                "boolean",
+            ),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -205,6 +205,11 @@ def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIGS_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: path of the persisted history LSH index per (session, sf): the
+#: artifact dedup_incremental_minhash writes once and every batch
+#: probes (value is a parquet dir under tmp standing in for the lake
+#: path; left for the OS tmp cleaner like staged dirs)
+_LSH_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,8 +328,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "incremental", "documents"),
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     # one shingle+signature materialization serves the whole dedup
     # family (session-cached shared frames); the batch/history split
     # is a filter over them, not a re-shingle / re-sign
@@ -334,13 +337,21 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_sh = sh.filter(F.col("doc_id") % 4 == 0)
 
     # the stored index artifact: band keys of the HISTORICAL corpus,
-    # written once, probed by every subsequent batch (tmp dir stands in
-    # for the lake path; left for the OS tmp cleaner like staged dirs)
-    idx_dir = tempfile.mkdtemp(prefix="crs_lshidx_") + "/index"
-    similarity.band_keys(
-        sigs.filter(F.col("doc_id") % 4 != 0)
-    ).write.mode("overwrite").parquet(idx_dir)
-    index = spark.read.parquet(idx_dir)
+    # written ONCE per (session, sf) and probed by every subsequent
+    # batch — cached like _SIGS_CACHE so repeat invocations (bench,
+    # driver re-runs) reuse one artifact instead of leaking a fresh
+    # mkdtemp per call (round-10 ADVICE), and so the plan matches the
+    # doc's write-once claim
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_INDEX_CACHE:
+        import tempfile
+
+        idx_dir = tempfile.mkdtemp(prefix="crs_lshidx_") + "/index"
+        similarity.band_keys(
+            sigs.filter(F.col("doc_id") % 4 != 0)
+        ).write.mode("overwrite").parquet(idx_dir)
+        _LSH_INDEX_CACHE[key] = idx_dir
+    index = spark.read.parquet(_LSH_INDEX_CACHE[key])
 
     probe = similarity.band_keys(sigs.filter(F.col("doc_id") % 4 == 0))
     cands = (

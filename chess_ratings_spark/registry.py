@@ -56,30 +56,91 @@ REGISTRY: dict[str, Query] = {}
 #: Names here must exist in REGISTRY once plans are imported —
 #: ``queries()`` raises on a stale entry.
 DRIVER_ORDER: tuple[str, ...] = (
-    # ================= ROUND-10 WINDOW (slots 1-50) =================
+    # ================= ROUND-11 WINDOW (slots 1-50) =================
     # The driver oracle-checks exactly the FIRST 50 names. Composition
-    # per the round-9 verdict + round-10 changes:
-    #   1-18  the last 18 never-driver-checked names (closes the
-    #         backlog permanently -> driver-confirmed 193/193)
-    #   19-22 round-10 new/changed registrations (lake_optimize_sharded,
-    #         stream_sink_optimize and dedup_incremental_minhash are
-    #         new; lake_clone_shallow gained the vacuum guard)
-    #   21-32 plans rewritten AFTER their latest driver row by the
-    #         round-10 zone-free event-time fix (DST-gap hardening of
-    #         _EVENT_US/_wall_utc/_wall_fmt rewrote every
-    #         _with_event_time consumer + the epoch-micros axes of
-    #         ts_resample_ohlc/agg_decayed_counts/agg_retention_cohorts)
-    #   33-44 the 12 SURVEY-2 names whose latest driver row is r5
-    #         (age-5 at round 10 -- the 4-round freshness floor)
-    #   47-50 the oldest r6 SURVEY-2 names, registration order
-    #         (val_constraints and filter_pred, both r6, yielded their
-    #         slots to the round-10 registrations; age 4 keeps them
-    #         compliant until the round-11 rotation)
-    # Freshness policy (tests/test_plans.py pins it since round 10):
+    # per the round-10 verdict's mandate #1 (rotate the 31 age-5 names)
+    # plus this round's changes:
+    #   1-31  the 31 SURVEY-2 names whose latest driver row is r6
+    #         (age 5 at round 11 -- the 4-round freshness floor; the
+    #         exact list test_survey2_evidence_freshness was failing
+    #         on at round-10 HEAD). Green rows here make every §2
+    #         operator's evidence <=4 rounds old for the first time.
+    #   32-34 round-11 new registrations (ts_ewma_forecast,
+    #         lake_update_cow, geo_grid_join)
+    #   35-39 plans/oracles changed after their latest driver row by
+    #         the round-11 ADVICE fixes: dedup_incremental_minhash
+    #         (LSH index now cached per (app,sf), not rebuilt+leaked),
+    #         stream_sink_optimize (oracle derives files_after from
+    #         row count instead of hardcoding protocol constants),
+    #         lake_clone_shallow (vacuum-guard pointer now written
+    #         BEFORE the clone's v0 commit), lake_optimize_sharded
+    #         (CAS-losing rebase attempts unlink their shard JSONs),
+    #         join_skew_salted (verdict #5: fronted with its new plan
+    #         assertion that no single task reads a whole hot key)
+    #   40-50 the oldest non-§2 evidence (all r4 = age 7): the
+    #         LLM-pipeline block first, then TPC-H in registration
+    #         order (q1/q9/q17/q21 were judge re-verified at r10 HEAD,
+    #         so the remaining TPC-H block rotates next round)
+    # Freshness policy (tests/test_plans.py pins it since round 10;
+    # test_contract.py::test_survey2_evidence_freshness enforces it):
     # no SURVEY-2 operator's latest driver row may be older than 4
     # rounds; each round's spare slots front the oldest evidence.
-    # Round-11 rotation debt: the remaining r6 SURVEY-2 names (31)
-    # reach age 5 at round 11 and must lead its window.
+    # Round-12 rotation debt: zero §2 names age out at round 12 (the
+    # oldest post-r11 §2 evidence is r7 = age 5 AT ROUND 12: the 31
+    # r7 names must lead the round-12 window), and the 21 remaining
+    # age-7 TPC-H/non-§2 names (q1,q4..q22 minus q3, plus
+    # dedup_exact_hash overflow) should fill its spare slots.
+    "agg_histogram_2d",
+    "agg_mad_outliers",
+    "corpus_prepare_v2",
+    "dedup_cc_twostar",
+    "dedup_incremental_digest",
+    "dedup_keep_representatives",
+    "dedup_lines_corpus",
+    "dedup_substring_spans",
+    "dedup_url_canonical",
+    "filter_pred",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "join_fuzzy_editdistance",
+    "join_interval_binned",
+    "ml_linear_trend_exact",
+    "mm_scalar_quantize",
+    "pipeline_incremental",
+    "quality_classifier_score",
+    "sample_balanced_classes",
+    "sample_global_shuffle",
+    "sample_poisson_bootstrap",
+    "sample_quality_buckets",
+    "scan_schema_evolution",
+    "sim_maxsim_multivector",
+    "sink_parquet_partitioned",
+    "src_http_zip_xml",
+    "text_keywords_tfidf",
+    "val_constraints",
+    "val_distribution_drift",
+    "win_event_pattern",
+    "win_gap_islands",
+    "ts_ewma_forecast",
+    "lake_update_cow",
+    "geo_grid_join",
+    "dedup_incremental_minhash",
+    "stream_sink_optimize",
+    "lake_clone_shallow",
+    "lake_optimize_sharded",
+    "join_skew_salted",
+    "udf_vector_norm",
+    "merge_upsert",
+    "sample_stratified",
+    "text_pii_scrub",
+    "doc_pack_tokens",
+    "sample_hash_split",
+    "contamination_ngram",
+    "text_normalize",
+    "doc_chunk_split",
+    "dedup_exact_hash",
+    "q3_shipping_priority",
+    # ============ post-window: prior evidence, all green ============
     "graph_kcore",
     "ts_seasonal_decompose",
     "sim_pq_adc",
@@ -98,10 +159,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ts_max_drawdown",
     "agg_gini_concentration",
     "lake_checkpoint",
-    "lake_optimize_sharded",
-    "lake_clone_shallow",
-    "stream_sink_optimize",
-    "dedup_incremental_minhash",
     "stream_tumbling_live",
     "stream_dedup",
     "stream_watermark_late",
@@ -130,9 +187,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "proj_add_missing",
     "proj_lit",
     "select_project",
-    # ============ post-window: prior evidence, all green ============
-    "filter_pred",
-    "val_constraints",
     "join_aqe_skew",
     "ml_gd_classifier",
     "sink_pyds_twophase",
@@ -277,42 +331,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_first_last",
     "profile_table",
     "funnel_sessionized",
-    "dedup_lines_corpus",
-    "dedup_substring_spans",
-    "mm_scalar_quantize",
-    "quality_classifier_score",
-    "join_interval_binned",
-    "pipeline_incremental",
-    "dedup_url_canonical",
-    "graph_pagerank",
-    "sample_poisson_bootstrap",
-    "val_distribution_drift",
-    "sim_maxsim_multivector",
-    "win_gap_islands",
-    "graph_triangle_count",
-    "ml_linear_trend_exact",
-    "dedup_incremental_digest",
-    "join_fuzzy_editdistance",
-    "scan_schema_evolution",
-    "corpus_prepare_v2",
-    "sample_balanced_classes",
-    "win_event_pattern",
-    "agg_mad_outliers",
-    "text_keywords_tfidf",
-    "agg_histogram_2d",
     "filter_gopher_rules",
     "corpus_prepare",
-    "dedup_cc_twostar",
-    "dedup_keep_representatives",
-    "sample_global_shuffle",
-    "sample_quality_buckets",
     "agg_sketch_quantiles",
     "tier_r_preprocess",
     "dedup_connected_components",
     "dedup_embedding_cosine",
     "pipeline_backfill",
-    "sink_parquet_partitioned",
-    "src_http_zip_xml",
     "udf_grouped_trend",
     "agg_mode",
     "agg_corr_cov",
@@ -331,7 +356,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_dynamic_pruning",
     "join_runtime_bloom",
     "join_bucketed",
-    "join_skew_salted",
     "stream_checkpoint",
     "stream_foreach_merge",
     "compact_small_files",
@@ -341,7 +365,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "mm_frame_sample",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
@@ -361,16 +384,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
-    "sample_hash_split",
-    "contamination_ngram",
-    "doc_chunk_split",
-    "doc_pack_tokens",
-    "text_normalize",
-    "dedup_exact_hash",
-    "merge_upsert",
-    "udf_vector_norm",
-    "sample_stratified",
-    "text_pii_scrub",
 )
 
 

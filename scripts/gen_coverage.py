@@ -18,7 +18,7 @@ SECTIONS = [
     ("Scans / sources / sinks (SURVEY §2.1)", ["src_", "sink_", "scan_"]),
     ("Projections / filters (§2.2)", ["proj_", "filter_", "select_"]),
     ("Scalar functions (§2.3)", ["fn_"]),
-    ("Joins (§2.4)", ["join_"]),
+    ("Joins (§2.4)", ["join_", "geo_"]),
     ("Aggregations (§2.5)", ["agg_"]),
     ("Windows / sorts / set ops / dedup (§2.6)", ["win_", "sort_", "limit_", "set_", "dedup_exact"]),
     ("Validation (§2.7)", ["val_", "quality_", "scd2_"]),
@@ -26,6 +26,7 @@ SECTIONS = [
     ("LLM-data tier (§2.9 + north star)", ["text_", "dedup_", "sim_", "mm_"]),
     ("Composite / pipeline (§2.10, TPC-H shapes)", ["q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9", "pipeline_", "tier_r_", "scalar_", "unpivot_", "corpus_prepare"]),
     ("Sampling / splits", ["sample_"]),
+    ("Time-series", ["ts_"]),
     ("Graph analytics", ["graph_"]),
     ("Lakehouse / maintenance / profiling", ["merge_", "compact_", "lake_", "profile_", "observe_", "anomaly_", "ml_", "funnel_", "contamination_", "doc_", "sql_", "udf_", "udtf_"]),
 ]

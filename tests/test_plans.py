@@ -411,3 +411,39 @@ def test_late_global_windows_rank_compressed_frames_only(spark, name):
     # rank is the one expected funnel and it must sit over aggregates
     if name == "agg_gini_concentration":
         assert n_global >= 1, f"{name}: expected a global stage in the plan"
+
+
+def test_skew_salted_join_spreads_hot_keys(spark):
+    """Round-10 verdict #5: no single task may read a whole hot key.
+    The salted join's exchange must hash-partition on (event_type,
+    salt) — the salt in the partitioning key IS the guarantee that
+    each maximally-skewed event_type spreads over N_SALTS reducers —
+    and the final per-key aggregate must combine map-side so the
+    unsalt shuffle moves partial rows, not the fact table."""
+    p = plan_of(spark, "join_skew_salted")
+    parts = [
+        l for l in p.splitlines()
+        if "hashpartitioning" in l and "event_type" in l and "salt" in l
+    ]
+    assert parts, "join exchange does not partition on (event_type, salt)"
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final on the unsalt agg
+
+
+def test_ewma_forecast_fanout_is_post_aggregation(spark):
+    """ts_ewma_forecast's 16x offset explode must sit ABOVE the daily
+    aggregate (fan-out on n_keys x n_days rows), never on the raw
+    event scan — at 100 TB the daily table is ~6 orders of magnitude
+    smaller than the corpus. Both groupBys must combine map-side."""
+    p = plan_of(spark, "ts_ewma_forecast")
+    lines = p.splitlines()
+    gen = next(i for i, l in enumerate(lines) if "Generate explode" in l)
+    # the explode's subtree (below it in the printed tree) must contain
+    # the daily HashAggregate, i.e. aggregation happens before fan-out
+    assert any("HashAggregate" in l for l in lines[gen:]), (
+        "explode is not above the daily aggregate"
+    )
+    scan = next(l for l in lines if "FileScan parquet" in l and "events" in l)
+    assert "text" not in scan
+    assert p.count("HashAggregate") >= 4  # two partial+final pairs
+    assert "CartesianProduct" not in p

@@ -940,3 +940,347 @@ def test_sharded_optimize_concurrent_append_soak(base, spark):
     assert m.get("sharded") is True
     for v in wins:
         assert log.read_manifest(v)["data_change"] is False
+
+
+# -- round-11: copy-on-write UPDATE -------------------------------------
+
+
+def _bucketed(log, spark, n=100, width=25):
+    df = spark.range(n).select(F.col("id").alias("k"), F.lit(0).alias("tag"))
+    log.append_range_bucketed(df, "k", width, tag="base")
+    return df
+
+
+def test_update_cow_rewrites_only_overlapping_files(base, spark):
+    """Stats-pruned COW UPDATE: only files whose recorded [min,max]
+    overlaps the prune range are rewritten; the rest are carried
+    byte-identical (same paths); the logical update applies exactly;
+    time travel to v0 sees pre-update values; the commit is a data
+    change (CDF replays it)."""
+    log = TableLog(base)
+    _bucketed(log, spark)  # 4 files: k ranges [0,24] [25,49] [50,74] [75,99]
+    m0 = log.read_manifest()
+    assert len(m0["files"]) == 4
+
+    res = log.update_cow(
+        spark,
+        "k BETWEEN 10 AND 20",
+        {"tag": "tag + 100"},
+        prune_col="k",
+        prune_lo=10,
+        prune_hi=20,
+    )
+    assert res["files_rewritten"] == 1 and res["files_carried"] == 3
+    assert res["n_matched"] == 11
+    m1 = log.read_manifest()
+    assert m1["data_change"] is True
+    carried = set(m1["files"]) & set(m0["files"])
+    untouched_expected = {
+        e["path"]
+        for e in m0["file_stats"]
+        if not (e["stats"]["k"][0] <= 20 and e["stats"]["k"][1] >= 10)
+    }
+    assert carried == untouched_expected and len(carried) == 3
+    # logical result: exactly rows 10..20 bumped
+    rows = {r.k: r.tag for r in log.snapshot(spark).collect()}
+    assert len(rows) == 100
+    assert all(v == (100 if 10 <= k <= 20 else 0) for k, v in rows.items())
+    # time travel: v0 unchanged
+    assert all(r.tag == 0 for r in log.snapshot(spark, 0).collect())
+    # carried stats: only the untouched files keep their range stats
+    assert {e["path"] for e in m1.get("file_stats", [])} == untouched_expected
+    # the CDF replays the rewrite (file-granularity delete+add)
+    feed = log.changes_between(spark, 0, m1["version"])
+    assert feed.count() > 0
+
+
+def test_update_cow_without_stats_touches_all_files(base, spark):
+    log = TableLog(base)
+    log.append(_tiny(spark, n=40), n_files=4, tag="a")  # no stats
+    res = log.update_cow(spark, "k % 2 = 0", {"tag": "tag + 1"})
+    assert res["files_rewritten"] == 4 and res["files_carried"] == 0
+    assert res["n_matched"] == 20
+    assert log.snapshot(spark).filter("tag = 1").count() == 20
+
+
+def test_update_cow_materializes_and_carries_delete_vectors(base, spark):
+    """MOR-deleted rows must stay deleted through a COW rewrite of
+    their file, and DVs still mask the untouched files."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+    # MOR-delete k in {5, 90} (bucket 0 and bucket 3)
+    dv = str(Path(base) / "dv0")
+    spark.createDataFrame([(5,), (90,)], "k bigint").coalesce(1).write.parquet(dv)
+    m = log.read_manifest()
+    log.commit(m["files"], op="delete-mor", extra={
+        "delete_vectors": [dv], "file_stats": m["file_stats"],
+    })
+
+    res = log.update_cow(
+        spark, "k BETWEEN 0 AND 10", {"tag": "tag + 7"},
+        prune_col="k", prune_lo=0, prune_hi=10,
+    )
+    assert res["files_rewritten"] == 1
+    live = log.snapshot(spark)
+    m2 = log.read_manifest()
+    for d in m2.get("delete_vectors", []):
+        live = live.join(spark.read.parquet(d), "k", "left_anti")
+    rows = {r.k: r.tag for r in live.collect()}
+    assert 5 not in rows and 90 not in rows  # deleted stays deleted
+    assert len(rows) == 98
+    # k=5 was in the REWRITTEN file: materialized out, not resurrected
+    raw = spark.read.parquet(*m2["files"])
+    assert raw.filter("k = 5").count() == 0
+    # k=90's file was untouched, so its delete still rides the DV
+    assert raw.filter("k = 90").count() == 1
+    assert m2.get("delete_vectors") == [dv]
+
+
+def test_update_cow_conflicts_when_read_set_rewritten(base, spark):
+    """UPDATE racing an OPTIMIZE that rewrote its read set must raise
+    CommitConflict (lost-update prevention), leaving the winner's
+    state intact."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racy_try_commit(version, files, op, extra=None):
+        if not state["raced"] and op == "update-cow":
+            state["raced"] = True
+            log.optimize(spark, target_rows_per_file=1_000)  # winner
+        return orig(version, files, op, extra)
+
+    log.try_commit = racy_try_commit
+    with pytest.raises(CommitConflict, match="rewrote files"):
+        log.update_cow(spark, "k < 10", {"tag": "tag + 1"})
+    log.try_commit = orig
+    assert log.snapshot(spark).filter("tag != 0").count() == 0
+
+
+def test_update_cow_commutes_with_concurrent_append(base, spark):
+    """A concurrent APPEND is disjoint from the UPDATE's read set: the
+    rebase carries the appended file forward, no retry visible to the
+    caller, nothing lost."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racy_try_commit(version, files, op, extra=None):
+        if not state["raced"] and op == "update-cow":
+            state["raced"] = True
+            log.append(_tiny(spark, n=5, tag=9), n_files=1, tag="late")
+        return orig(version, files, op, extra)
+
+    log.try_commit = racy_try_commit
+    res = log.update_cow(
+        spark, "k BETWEEN 10 AND 20", {"tag": "tag + 100"},
+        prune_col="k", prune_lo=10, prune_hi=20,
+    )
+    log.try_commit = orig
+    assert res["files_rewritten"] == 1
+    snap = log.snapshot(spark)
+    assert snap.count() == 105  # 100 + racer's 5
+    assert snap.filter("tag = 100").count() == 11
+    assert snap.filter("tag = 9").count() == 5, "concurrent append discarded"
+
+
+# -- round-11 ADVICE: CAS-loser shard cleanup + clone pointer order ----
+
+
+def _disk_vs_referenced_shards(log):
+    referenced = set()
+    for v in log.versions():
+        referenced |= set(log.read_manifest(v).get("manifest_shards", []))
+    on_disk = {str(p) for p in (log.log_dir / "shards").glob("*.json")}
+    return on_disk, referenced
+
+
+def test_optimize_sharded_cas_loser_unlinks_attempt_shards(base, spark):
+    """A CAS-losing sharded-OPTIMIZE attempt must unlink the shard
+    JSONs it wrote (they are referenced by no manifest; nothing else
+    ever prunes _log/shards/)."""
+    log = TableLog(base)
+    _sharded_fixture(log, spark, rounds=2)
+
+    orig = log.try_commit
+    state = {"losses": 0}
+
+    def flaky_try_commit(version, files, op, extra=None):
+        if op == "optimize" and state["losses"] < 2:
+            state["losses"] += 1
+            # simulate another writer winning this version: an append
+            # advances the log, then the CAS fails for us
+            log.append_manifest_sharded(
+                _tiny(spark, n=3, tag=50 + state["losses"]), n_files=1,
+                tag=f"race{state['losses']}",
+            )
+            raise CommitConflict("simulated CAS loss")
+        return orig(version, files, op, extra)
+
+    log.try_commit = flaky_try_commit
+    log.optimize(spark, target_rows_per_file=1_000)
+    log.try_commit = orig
+    assert state["losses"] == 2
+    on_disk, referenced = _disk_vs_referenced_shards(log)
+    assert on_disk == referenced, "CAS-losing attempts leaked shard JSONs"
+
+
+def test_optimize_sharded_terminal_failure_leaves_no_shards(base, spark):
+    """If the OPTIMIZE gives up entirely, its attempts' shards are all
+    unlinked — the log directory is exactly as the winners left it."""
+    log = TableLog(base)
+    _sharded_fixture(log, spark, rounds=2)
+    before_disk, _ = _disk_vs_referenced_shards(log)
+
+    orig = log.try_commit
+
+    def always_lose(version, files, op, extra=None):
+        if op == "optimize":
+            raise CommitConflict("simulated permanent race")
+        return orig(version, files, op, extra)
+
+    log.try_commit = always_lose
+    with pytest.raises(CommitConflict):
+        log.optimize(spark, target_rows_per_file=1_000)
+    log.try_commit = orig
+    on_disk, referenced = _disk_vs_referenced_shards(log)
+    assert on_disk == before_disk == referenced
+
+
+def test_compact_shards_cas_loser_unlinks_attempt_shards(base, spark):
+    log = TableLog(base)
+    _sharded_fixture(log, spark, rounds=3)
+
+    orig = log.try_commit
+    state = {"lost": False}
+
+    def flaky_try_commit(version, files, op, extra=None):
+        if op == "rewrite-manifests" and not state["lost"]:
+            state["lost"] = True
+            log.append_manifest_sharded(_tiny(spark, n=3, tag=60), n_files=1, tag="race")
+            raise CommitConflict("simulated CAS loss")
+        return orig(version, files, op, extra)
+
+    log.try_commit = flaky_try_commit
+    log.compact_shards()
+    log.try_commit = orig
+    on_disk, referenced = _disk_vs_referenced_shards(log)
+    assert on_disk == referenced
+
+
+def test_clone_pointer_registered_before_v0_commit(base, spark, monkeypatch):
+    """The vacuum-guard back-pointer must exist BEFORE the clone's v0
+    commit (round-10 ADVICE: commit-then-register left a window where
+    a racing source vacuum deleted the clone's files), carry the
+    pending file list while in flight, and be finalized after."""
+    import json as _json
+
+    log = TableLog(Path(base) / "src")
+    log.append(_tiny(spark, n=30), n_files=3, tag="a")
+    dest = Path(base) / "clone"
+
+    seen = {}
+    orig = TableLog.try_commit
+
+    def spying_try_commit(self, version, files, op, extra=None):
+        if op == "clone":
+            ptrs = list(log.log_dir.glob("_clones/*.json"))
+            seen["n_ptrs_at_commit"] = len(ptrs)
+            seen["bodies"] = [_json.loads(p.read_text()) for p in ptrs]
+        return orig(self, version, files, op, extra)
+
+    monkeypatch.setattr(TableLog, "try_commit", spying_try_commit)
+    clone = log.clone_to(dest)
+    monkeypatch.undo()
+
+    assert seen["n_ptrs_at_commit"] == 1, "pointer missing at commit time"
+    body = seen["bodies"][0]
+    assert set(body["pending_files"]) == set(log.read_manifest()["files"])
+    # finalized afterwards: pending marker dropped
+    final = [_json.loads(p.read_text()) for p in log.log_dir.glob("_clones/*.json")]
+    assert len(final) == 1 and "pending_files" not in final[0]
+    assert clone.snapshot(spark).count() == 30
+
+
+def test_clone_failed_commit_unlinks_pointer(base, spark, monkeypatch):
+    log = TableLog(Path(base) / "src")
+    log.append(_tiny(spark, n=10), n_files=1, tag="a")
+
+    orig = TableLog.try_commit
+
+    def failing_try_commit(self, version, files, op, extra=None):
+        if op == "clone":
+            raise OSError("simulated publish failure")
+        return orig(self, version, files, op, extra)
+
+    monkeypatch.setattr(TableLog, "try_commit", failing_try_commit)
+    with pytest.raises(OSError):
+        log.clone_to(Path(base) / "clone")
+    monkeypatch.undo()
+    assert list(log.log_dir.glob("_clones/*.json")) == []
+
+
+def test_vacuum_protects_pending_clone_files(base, spark):
+    """A pending pointer (clone commit in flight) must protect exactly
+    the files the clone will reference, even though the clone's own
+    log does not exist yet."""
+    import json as _json
+
+    log = TableLog(Path(base) / "src")
+    log.append(_tiny(spark, n=30, tag=1), n_files=3, tag="a")
+    v0_files = set(log.read_manifest()["files"])
+    log.optimize(spark, target_rows_per_file=1_000)  # v0 files now historical
+
+    ptr_dir = log.log_dir / "_clones"
+    ptr_dir.mkdir(exist_ok=True)
+    (ptr_dir / "pending.json").write_text(_json.dumps({
+        "clone_base": str(Path(base) / "never_created"),
+        "pending_files": sorted(v0_files),
+    }))
+    census = log.vacuum(retain_versions=1)
+    assert census["n_removed"] == 0
+    assert all(Path(p).exists() for p in v0_files)
+
+
+def test_vacuum_prunes_stale_clone_pointers(base, spark):
+    """A finalized pointer whose clone log is gone is pruned (they
+    previously accumulated forever) — and the files it guarded become
+    vacuumable again."""
+    log = TableLog(Path(base) / "src")
+    log.append(_tiny(spark, n=30, tag=1), n_files=3, tag="a")
+    v0_files = set(log.read_manifest()["files"])
+    clone_dir = Path(base) / "clone"
+    log.clone_to(clone_dir)
+    log.optimize(spark, target_rows_per_file=1_000)
+
+    assert log.vacuum(retain_versions=1)["n_removed"] == 0  # clone guards v0
+    shutil.rmtree(clone_dir)  # clone deleted -> deregistered
+    census = log.vacuum(retain_versions=1)
+    assert census["n_removed"] == len(v0_files)
+    assert list(log.log_dir.glob("_clones/*.json")) == [], "stale pointer kept"
+
+
+def test_published_mode_does_not_mutate_umask():
+    """_published_mode must be a pure read of the import-time constant
+    — the per-call umask probe was a thread-safety hazard (round-10
+    ADVICE: files created by concurrent threads while one thread held
+    umask(0) were born world-writable)."""
+    import os
+
+    from chess_ratings_spark.operators import tablelog as tl
+
+    before = os.umask(0o027)
+    os.umask(before)
+    try:
+        os.umask(0o027)
+        mode1 = tl._published_mode()
+        # a racing thread reading the umask mid-call would see 0o027,
+        # never 0: the function performs no umask() syscall at all
+        assert mode1 == tl._PUBLISHED_MODE
+        assert os.umask(0o027) == 0o027  # unchanged by the call
+    finally:
+        os.umask(before)

@@ -28,12 +28,27 @@ from chess_ratings_spark.operators.tablelog import TableLog
 
 # op vocabulary: ("append", lo, hi) appends keys [lo, hi);
 # ("delete", m) MOR-deletes live keys k where k % 5 == m;
-# ("optimize"/"compact",) are metadata/layout verbs — model no-ops.
+# ("maint",) is a layout verb — full-list OPTIMIZE or sharded
+#   compaction (round 11: sharded "maint" alternates between
+#   rewrite_manifests and the r10 data-file _optimize_sharded, so the
+#   state machine covers both sharded maintenance paths);
+# ("update", m) is a COW value rewrite of keys k % 7 == m (round 11:
+#   key-preserving, so the live-set model is unchanged — what it tests
+#   is that the file swap through update_cow never loses or duplicates
+#   rows across delete/optimize interleavings and stays time-travelable);
+# ("race", m) runs the protocol's layout verb with a CONCURRENT append
+#   injected between its manifest read and its commit (the
+#   OPTIMIZE-vs-append rebase): the append's keys enter the model, and
+#   the rebase must carry them — a lost-update here is exactly the bug
+#   class the round-10 verdict asked the state machine to cover.
+# All maintenance verbs are model no-ops for the live set.
 _ops = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.integers(0, 9)),
         st.tuples(st.just("delete"), st.integers(0, 4)),
-        st.tuples(st.just("maint"), st.just(0)),
+        st.tuples(st.just("maint"), st.integers(0, 1)),
+        st.tuples(st.just("update"), st.integers(0, 6)),
+        st.tuples(st.just("race"), st.integers(0, 9)),
     ),
     min_size=2,
     max_size=6,
@@ -100,8 +115,42 @@ def test_tablelog_matches_model(spark, tmp_path_factory, protocol, ops):
         elif kind == "maint" and appended_any:
             if protocol == "full":
                 v = log.optimize(spark, target_rows_per_file=1_000_000)
-            else:
+            elif arg == 0:
                 v = log.compact_shards()
+            else:  # sharded DATA-file compaction (r10 verb)
+                v = log.optimize(spark, target_rows_per_file=1_000_000)
+        elif kind == "update" and appended_any and protocol == "full":
+            # COW rewrite, key-preserving: live set unchanged, but the
+            # file swap must not lose/duplicate rows or break travel
+            v = log.update_cow(
+                spark, f"k % 7 = {arg}", {"tag": "tag + 1"}
+            )["version"]
+        elif kind == "race" and appended_any:
+            lo = 100_000 + arg * 20 + i * 200
+            raced_keys = set(range(lo, lo + 20))
+            rdf = spark.range(lo, lo + 20).select(
+                F.col("id").alias("k"), F.lit(99).alias("tag")
+            )
+            orig = log.try_commit
+            state = {"raced": False}
+
+            def racy(version, files, op, extra=None, *, _rdf=rdf, _i=i):
+                if not state["raced"] and op == "optimize":
+                    state["raced"] = True
+                    if protocol == "full":
+                        log.append(_rdf, n_files=1, tag=f"race{_i}")
+                    else:
+                        log.append_manifest_sharded(
+                            _rdf, n_files=1, tag=f"race{_i}"
+                        )
+                return orig(version, files, op, extra)
+
+            log.try_commit = racy
+            try:
+                v = log.optimize(spark, target_rows_per_file=1_000_000)
+            finally:
+                log.try_commit = orig
+            model |= raced_keys  # the rebase must carry the racer
         else:
             continue
         history.append((v, frozenset(model)))
