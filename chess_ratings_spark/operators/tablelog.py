@@ -986,6 +986,8 @@ class TableLog:
                 " sharded tables compact via _optimize_sharded first"
             )
         all_files = list(m.get("files", []))
+        if prune_col is not None and (prune_lo is None or prune_hi is None):
+            raise ValueError("prune_col requires prune_lo and prune_hi")
         if prune_col is not None:
             stats = {
                 e["path"]: e["stats"].get(prune_col)

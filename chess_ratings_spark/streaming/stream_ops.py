@@ -86,7 +86,7 @@ def _stage(ev: DataFrame, subdir: str | None = None, reuse: bool = False) -> str
     return path
 
 
-STATE_PARTITIONS = 8
+STATE_PARTITIONS = 4
 
 
 @contextmanager
@@ -95,7 +95,13 @@ def _state_partitions(spark: SparkSession):
     shuffle partition per micro-batch, so the partition count read at
     query START is a per-batch fixed cost — size it to the stateful key
     cardinality / executor count, not to the batch-side default
-    (measured ~2× on the local replay harness: 32 → 8 partitions). The
+    (measured ~2× on the local replay harness: 32 → 8 partitions;
+    round-11 probe, scripts/stream_overhead_probe.py: 8 → 4 shaves a
+    further ~0.2 s/query of pure state-store instantiation on the
+    windowed-agg shape — addBatch 759→542 ms warm — with results
+    byte-identical since partition count only places state). On a real
+    cluster this is sized UP to executor count; 4 is the local-harness
+    floor that still exceeds the fixture's hot key families. The
     conf is restored afterwards; the count is baked into each query's
     (fresh) checkpoint, so batch plans are unaffected.
 
