@@ -196,6 +196,12 @@ def local_table(
 
     ``cols``: (name, spark_type) pairs, positionally matching each row.
     """
+    if not rows:
+        # explode of a zero-element array has no element type to star-
+        # expand; build the empty frame from typed NULL literals instead
+        return spark.range(0).select(
+            *[F.lit(None).cast(t).alias(n) for (n, t) in cols]
+        )
     structs = [
         F.struct(*[F.lit(v).cast(t).alias(n) for v, (n, t) in zip(row, cols)])
         for row in rows

@@ -48,3 +48,73 @@ def test_grid_join_plan_is_equi_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+#: coordinates biased toward a dense 48x48 box (pairs within r=8
+#: actually occur, and cell borders at 16/32/48 get exercised) with
+#: occasional far-field points
+_coord = st.one_of(st.integers(0, 47), st.integers(0, 999))
+_pts = st.lists(st.tuples(_coord, _coord), min_size=0, max_size=40)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stores=_pts, probes=_pts)
+def test_grid_capture_is_complete_on_random_points(spark, stores, probes):
+    """Property: for ARBITRARY point sets (hypothesis shrinks toward
+    cell borders and coincident points), the 3x3-replicated grid
+    equi-join finds exactly the pairs the O(n^2) reference finds —
+    the cell-side>=radius capture proof, tested rather than trusted."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+
+    s = tables.local_table(
+        spark,
+        [(i, x, y) for i, (x, y) in enumerate(stores)],
+        [("sid", "bigint"), ("sx", "bigint"), ("sy", "bigint")],
+    )
+    p = tables.local_table(
+        spark,
+        [(i, x, y) for i, (x, y) in enumerate(probes)],
+        [("pid", "bigint"), ("px", "bigint"), ("py", "bigint")],
+    )
+    rep = s.withColumn(
+        "dxy",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ),
+    ).select(
+        "sid", "sx", "sy",
+        (
+            (F.expr("sx div 16") + F.col("dxy.dx")) * 64
+            + (F.expr("sy div 16") + F.col("dxy.dy"))
+        ).alias("cell"),
+    )
+    pr = p.withColumn("cell", F.expr("(px div 16) * 64 + (py div 16)"))
+    d2 = (F.col("sx") - F.col("px")) * (F.col("sx") - F.col("px")) + (
+        F.col("sy") - F.col("py")
+    ) * (F.col("sy") - F.col("py"))
+    grid = {
+        (r.sid, r.pid)
+        for r in rep.join(pr, "cell").filter(d2 <= 64).select("sid", "pid").collect()
+    }
+    naive = {
+        (i, j)
+        for i, (sx, sy) in enumerate(stores)
+        for j, (px, py) in enumerate(probes)
+        if (sx - px) ** 2 + (sy - py) ** 2 <= 64
+    }
+    assert grid == naive
