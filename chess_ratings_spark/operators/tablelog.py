@@ -92,6 +92,12 @@ def _read_umask_once() -> int:
     return um
 
 
+#: Frozen at import on purpose: a host app that changes its umask AFTER
+#: importing this module keeps publishing metadata at the import-time
+#: mode — the accepted cost of never mutating the process-global umask
+#: from library code (the per-publish probe raced concurrent writer
+#: threads into world-writable files, round-10 ADVICE). A host that
+#: needs a different publish mode sets its umask before first import.
 _PUBLISHED_MODE: int = 0o666 & ~_read_umask_once()
 
 
@@ -117,6 +123,21 @@ def _unlink_all(paths: list[str]) -> None:
             os.unlink(paths.pop())
         except FileNotFoundError:
             pass
+
+
+def _apply_delete_vectors(spark: SparkSession, df: DataFrame, dvs) -> DataFrame:
+    """Merge-on-read: mask MOR-deleted rows by anti-joining each delete
+    vector's keys (broadcast — DVs are key lists, small by design). The
+    ONE place the DV-application rule lives: optimize,
+    _optimize_sharded and update_cow all materialize deletes through
+    this helper, so a future semantics change (column-subset keys,
+    non-broadcast large DVs) cannot silently diverge between them."""
+    from pyspark.sql import functions as F
+
+    for dv in dvs:
+        keys = spark.read.parquet(dv)
+        df = df.join(F.broadcast(keys), keys.columns, "left_anti")
+    return df
 
 
 class CommitConflict(Exception):
@@ -349,10 +370,9 @@ class TableLog:
             )
         read_set = set(read_manifest["files"])
         consumed_dvs = set(read_manifest.get("delete_vectors", []))
-        df = spark.read.parquet(*read_manifest["files"])
-        for dv in consumed_dvs:
-            keys = spark.read.parquet(dv)
-            df = df.join(F.broadcast(keys), keys.columns, "left_anti")
+        df = _apply_delete_vectors(
+            spark, spark.read.parquet(*read_manifest["files"]), consumed_dvs
+        )
         n_rows = df.count()
         n_out = max(1, math.ceil(n_rows / target_rows_per_file))
         new = self._land(df, n_out, tag=f"optimize-v{read_manifest['version'] + 1}")
@@ -417,10 +437,9 @@ class TableLog:
         if not read_set:
             return int(read_manifest["version"])  # empty table: no-op
         consumed_dvs = set(read_manifest.get("delete_vectors", []))
-        df = spark.read.parquet(*sorted(read_set))
-        for dv in consumed_dvs:
-            keys = spark.read.parquet(dv)
-            df = df.join(F.broadcast(keys), keys.columns, "left_anti")
+        df = _apply_delete_vectors(
+            spark, spark.read.parquet(*sorted(read_set)), sorted(consumed_dvs)
+        )
         n_rows = df.count()
         n_out = max(1, math.ceil(n_rows / target_rows_per_file))
         new = self._land(
@@ -1009,11 +1028,13 @@ class TableLog:
                 "n_matched": 0,
             }
         touched_set = set(touched)
-        src = spark.read.parquet(*sorted(touched))
-        for dv in m.get("delete_vectors", []):
-            keys = spark.read.parquet(dv)
-            src = src.join(F.broadcast(keys), keys.columns, "left_anti")
+        src = _apply_delete_vectors(
+            spark, spark.read.parquet(*sorted(touched)), m.get("delete_vectors", [])
+        )
         cond = F.expr(predicate)
+        # two-pass shape, same as Delta's UPDATE: this count action is
+        # column-pruned to the predicate's columns only (cheap columnar
+        # scan for the metric), the rewrite below reads full rows
         n_matched = src.filter(cond).count()
         out = src
         for col_name, expr in assign.items():
@@ -1297,10 +1318,23 @@ class TableLog:
         clone will reference — closing the round-10 ADVICE race where
         a vacuum between the clone's commit and its (formerly
         post-commit) registration deleted files the clone had just
-        referenced. A finalized back-pointer whose log directory no
-        longer exists means the clone was deleted: it is deregistered
-        AND the stale pointer file is pruned here (they previously
-        accumulated forever). Hand-rolled unregistered clones remain
+        referenced. Pending-ness is judged by the POINTER body alone,
+        never by directory existence: ``TableLog.__init__`` mkdirs the
+        clone's ``_log`` before the pointer is written, so "the dir
+        exists" proves nothing about the commit (the round-11 review
+        caught the dir-existence gate making the protection dead
+        code). A FINALIZED back-pointer whose clone base is
+        DEFINITIVELY gone (``os.stat`` → FileNotFoundError — a
+        transient ``OSError`` from an unreachable mount never prunes)
+        means the clone was deleted: it is deregistered and the stale
+        pointer file is pruned (they previously accumulated forever).
+        The dead set is re-filtered against a SECOND ``_clones`` scan
+        immediately before the unlink loop, so a clone registering
+        after the first scan survives; the residual window
+        (pointer-write racing an in-progress unlink of an
+        already-historical file) is the same class production formats
+        close with a retention horizon, and is documented rather than
+        claimed closed. Hand-rolled unregistered clones remain
         the documented vacuum-breaks-clones hazard in
         :func:`plans.lakehouse`."""
         import os
@@ -1310,18 +1344,7 @@ class TableLog:
         live: set[str] = set()
         for v in keep_vs:
             live.update(self.resolve_files(v))
-        for ptr in sorted(self.log_dir.glob("_clones/*.json")):
-            body = json.loads(ptr.read_text())
-            clone_log = Path(body["clone_base"]) / "_log"
-            if not clone_log.is_dir():
-                if "pending_files" in body:
-                    # clone commit in flight: protect its read set
-                    live.update(body["pending_files"])
-                else:
-                    ptr.unlink(missing_ok=True)  # clone deleted -> prune
-                continue
-            for mp in sorted(clone_log.glob("*.json")):
-                live.update(self.manifest_files(json.loads(mp.read_text())))
+        live.update(self._clone_referenced_files(prune_stale=True))
         for sibling in sorted(self.base.glob("_branches/*/_log")):
             if sibling == self.log_dir:
                 continue
@@ -1338,11 +1361,53 @@ class TableLog:
                 m = json.loads((self.base / "_log" / f"{v:020d}.json").read_text())
                 live.update(self.manifest_files(m))
         all_files = {str(p) for p in self.data_dir.glob("*.parquet")}
-        dead = sorted(all_files - live)
+        # second clone scan right before deletion: a clone registered
+        # after the first pass (its pointer now on disk) keeps its
+        # files out of the dead set
+        late_live = self._clone_referenced_files(prune_stale=False)
+        dead = sorted(all_files - live - late_live)
         for p in dead:
             os.unlink(p)
         return {
-            "n_live": len(live),
+            "n_live": len(live | late_live),
             "n_removed": len(dead),
             "retained_versions": keep_vs,
         }
+
+    def _clone_referenced_files(self, *, prune_stale: bool) -> set[str]:
+        """Files protected by registered clone back-pointers: a pending
+        pointer's staged ``pending_files`` plus every manifest of each
+        clone's log. With ``prune_stale``, finalized pointers whose
+        clone base is definitively gone (FileNotFoundError, never a
+        transient OSError) are unlinked."""
+        import os
+
+        live: set[str] = set()
+        for ptr in sorted(self.log_dir.glob("_clones/*.json")):
+            try:
+                body = json.loads(ptr.read_text())
+            except (OSError, ValueError):
+                continue  # pointer vanished or mid-write: protect nothing
+            clone_base = Path(body["clone_base"])
+            if "pending_files" in body:
+                # v0 commit in flight (or crashed mid-clone): protect
+                # its staged read set — never keyed on dir existence
+                live.update(body["pending_files"])
+            manifests: list[Path] = []
+            try:
+                manifests = sorted((clone_base / "_log").glob("*.json"))
+            except OSError:
+                pass  # unreachable clone log: stay safe, prune nothing
+            for mp in manifests:
+                try:
+                    live.update(self.manifest_files(json.loads(mp.read_text())))
+                except (OSError, ValueError):
+                    continue
+            if prune_stale and "pending_files" not in body and not manifests:
+                try:
+                    os.stat(clone_base)
+                except FileNotFoundError:
+                    ptr.unlink(missing_ok=True)  # clone deleted -> prune
+                except OSError:
+                    pass  # transient: keep the registration
+        return live

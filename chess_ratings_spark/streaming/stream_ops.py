@@ -1286,9 +1286,21 @@ def sharded_sink_optimize_stream(spark: SparkSession, ev: DataFrame) -> DataFram
         v_pre_opt = log.latest_version()
         v_opt = log.optimize(spark, target_rows_per_file=500_000)  # v2
         files_after = len(log.resolve_files())
+        pre_opt_batches = {p["batchId"] for p in q.recentProgress}
 
         sel(ev.filter(F.col("ts") >= _ntz_lit(cut2))).write.mode("append").parquet(src_dir)
         q.processAllAvailable()  # batch 2 -> v3, appends onto compacted
+        # ground truth for the batch/version relationships: the batch
+        # ids the STREAM actually fired (recentProgress), not an
+        # assumption about which staged drops produce batches — a
+        # 0-row drop can still fire a data batch for its new file, so
+        # "non-empty thirds" under-counts (round-11 review)
+        fired = {p["batchId"] for p in q.recentProgress}
+        rows_after_opt = sum(
+            int(p["numInputRows"])
+            for p in q.recentProgress
+            if p["batchId"] not in pre_opt_batches
+        )
         q.stop()
 
     agg = log.snapshot(spark).agg(
@@ -1305,17 +1317,6 @@ def sharded_sink_optimize_stream(spark: SparkSession, ev: DataFrame) -> DataFram
         for v in log.versions()
         if _json.loads(log._manifest_path(v).read_text())["op"].startswith("stream-batch-")
     )
-    # how many staged thirds actually held rows (an empty third fires
-    # no micro-batch, so batch/version counts must be derived, never
-    # assumed to be 3/4)
-    thirds = ev.agg(
-        F.sum((F.col("ts") < _ntz_lit(cut1)).cast("int")).alias("t0"),
-        F.sum(
-            ((F.col("ts") >= _ntz_lit(cut1)) & (F.col("ts") < _ntz_lit(cut2))).cast("int")
-        ).alias("t1"),
-        F.sum((F.col("ts") >= _ntz_lit(cut2)).cast("int")).alias("t2"),
-    ).collect()[0]
-    nonempty = sum(1 for k in ("t0", "t1", "t2") if int(thirds[k] or 0) > 0)
     expected_after = max(1, -(-int(n_preopt) // 500_000))  # ceil
     out = [
         (
@@ -1326,11 +1327,11 @@ def sharded_sink_optimize_stream(spark: SparkSession, ev: DataFrame) -> DataFram
             bool(files_after <= files_before),
             bool(
                 files_final > files_after
-                if int(thirds["t2"] or 0) > 0
-                else files_final == files_after
+                if rows_after_opt > 0
+                else files_final >= files_after
             ),
             bool(cdf_invisible),
-            bool(n_batches == nonempty),
+            bool(n_batches == len(fired)),
         )
     ]
     import shutil

@@ -9,10 +9,14 @@ measurement too.
 Inflation (one-time, into /tmp):
 
 - ``events``: 10 copies with disjoint event_id (+c*10^9) and user_id
-  (+c*1000) spaces, timestamps UNCHANGED — same time span, 10x event
-  density and 10x key cardinality, which is what a larger sf does to
-  every events consumer (streaming state stores see 10x keys, graphs
-  see 10x nodes, manifest landings see 10x rows per batch).
+  (+c*100_000) spaces, timestamps UNCHANGED — same time span, 10x
+  event density and 10x key cardinality, which is what a larger sf
+  does to every events consumer (streaming state stores see 10x keys,
+  graphs see 10x nodes, manifest landings see 10x rows per batch).
+  The shift must clear max(user_id) at EVERY sf (sf0.1 has users up
+  to 1499; the first cut's +1000 overlapped copies by 500 ids and
+  measured ~7x cardinality with a double-density band — round-11
+  review finding).
 - ``documents``: GATE-PRESERVING copies — every 5th word of copy c>0
   is suffixed ``~c{c}``. This keeps corpus_prepare_v2's Gopher gate
   statistics (stopword hits, n_words, top_freq; mean word length moves
@@ -52,7 +56,7 @@ if REPO not in sys.path:
 
 SF_DIR = "/root/testdata/sf0.1"
 FACTOR = 10
-OUT_DIR = f"/tmp/crs_scale10x_v2_sf0.1x{FACTOR}"
+OUT_DIR = f"/tmp/crs_scale10x_v3_sf0.1x{FACTOR}"
 
 DEFAULT_QUERIES = [
     "stream_replicate_tablelog",
@@ -85,7 +89,7 @@ def materialize_inflated(spark) -> str:
         ev.select(
             (F.col("event_id") + c * 1_000_000_000).alias("event_id"),
             "ts",
-            (F.col("user_id") + c * 1_000).alias("user_id"),
+            (F.col("user_id") + c * 100_000).alias("user_id"),
             "event_type",
             "value",
             "props",

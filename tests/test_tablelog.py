@@ -1284,3 +1284,66 @@ def test_published_mode_does_not_mutate_umask():
         assert os.umask(0o027) == 0o027  # unchanged by the call
     finally:
         os.umask(before)
+
+
+def test_vacuum_racing_real_clone_cannot_delete_its_files(base, spark, monkeypatch):
+    """The round-11 review caught the first pending-pointer cut keying
+    protection on 'clone _log dir missing' — dead code, because
+    TableLog.__init__ mkdirs the clone's _log BEFORE the pointer is
+    written. This test runs the REAL clone_to flow and fires a source
+    vacuum exactly in the in-flight window (pointer written, v0 commit
+    not yet landed): the clone's files must survive and the clone must
+    be readable afterwards."""
+    log = TableLog(Path(base) / "src")
+    log.append(_tiny(spark, n=30, tag=1), n_files=3, tag="a")
+    v0_files = set(log.read_manifest()["files"])
+    log.optimize(spark, target_rows_per_file=1_000)  # v0 files historical
+
+    orig = TableLog.try_commit
+    raced = {}
+
+    def racing_try_commit(self, version, files, op, extra=None):
+        if op == "clone" and not raced:
+            raced["census"] = log.vacuum(retain_versions=1)
+        return orig(self, version, files, op, extra)
+
+    monkeypatch.setattr(TableLog, "try_commit", racing_try_commit)
+    clone = log.clone_to(Path(base) / "clone", version=0)
+    monkeypatch.undo()
+
+    assert raced, "vacuum did not actually race the clone commit"
+    assert all(Path(p).exists() for p in v0_files), (
+        "vacuum deleted files the in-flight clone references"
+    )
+    assert {r.k for r in clone.snapshot(spark).collect()} == set(range(1000, 1030))
+    # and a later vacuum still protects them through the clone's log
+    log.vacuum(retain_versions=1)
+    assert all(Path(p).exists() for p in v0_files)
+
+
+def test_vacuum_second_scan_catches_late_clone_registration(base, spark, monkeypatch):
+    """A clone that registers AFTER vacuum computed its live set but
+    before the unlink loop must still be protected — vacuum re-scans
+    _clones right before deleting."""
+    log = TableLog(Path(base) / "src")
+    log.append(_tiny(spark, n=30, tag=1), n_files=3, tag="a")
+    v0_files = set(log.read_manifest()["files"])
+    log.optimize(spark, target_rows_per_file=1_000)
+
+    real_scan = TableLog._clone_referenced_files
+    state = {"first": True}
+
+    def late_registering_scan(self, *, prune_stale):
+        if state["first"]:
+            state["first"] = False
+            out = real_scan(self, prune_stale=prune_stale)
+            # clone registers between the scans
+            log.clone_to(Path(base) / "clone", version=0)
+            return out
+        return real_scan(self, prune_stale=prune_stale)
+
+    monkeypatch.setattr(TableLog, "_clone_referenced_files", late_registering_scan)
+    census = log.vacuum(retain_versions=1)
+    monkeypatch.undo()
+    assert census["n_removed"] == 0
+    assert all(Path(p).exists() for p in v0_files)
