@@ -55,7 +55,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 SF_DIR = "/root/testdata/sf0.1"
-FACTOR = 10
+FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
 OUT_DIR = f"/tmp/crs_scale10x_v3_sf0.1x{FACTOR}"
 
 DEFAULT_QUERIES = [
