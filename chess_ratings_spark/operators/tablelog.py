@@ -1377,13 +1377,27 @@ class TableLog:
     def _clone_referenced_files(self, *, prune_stale: bool) -> set[str]:
         """Files protected by registered clone back-pointers: a pending
         pointer's staged ``pending_files`` plus every manifest of each
-        clone's log. With ``prune_stale``, finalized pointers whose
-        clone base is definitively gone (FileNotFoundError, never a
-        transient OSError) are unlinked."""
+        clone's log. Pointers are scanned under EVERY log that shares
+        this table's data directory — this handle's, main's, and every
+        sibling branch's — because branches share data files, so a
+        vacuum through a branch handle must also honor clones
+        registered on main (and vice versa). With ``prune_stale``,
+        finalized pointers whose clone base is definitively gone
+        (FileNotFoundError, never a transient OSError) are unlinked —
+        only under THIS handle's log; other handles' registrations are
+        never mutated from here."""
         import os
 
+        ptr_files: list[tuple[Path, bool]] = []
+        log_dirs = {self.log_dir, self.base / "_log"} | set(
+            self.base.glob("_branches/*/_log")
+        )
+        for ld in sorted(log_dirs):
+            own = ld == self.log_dir
+            ptr_files.extend((p, own) for p in sorted(ld.glob("_clones/*.json")))
+
         live: set[str] = set()
-        for ptr in sorted(self.log_dir.glob("_clones/*.json")):
+        for ptr, own in ptr_files:
             try:
                 body = json.loads(ptr.read_text())
             except (OSError, ValueError):
@@ -1403,7 +1417,7 @@ class TableLog:
                     live.update(self.manifest_files(json.loads(mp.read_text())))
                 except (OSError, ValueError):
                     continue
-            if prune_stale and "pending_files" not in body and not manifests:
+            if prune_stale and own and "pending_files" not in body and not manifests:
                 try:
                     os.stat(clone_base)
                 except FileNotFoundError:

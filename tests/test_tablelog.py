@@ -1347,3 +1347,23 @@ def test_vacuum_second_scan_catches_late_clone_registration(base, spark, monkeyp
     monkeypatch.undo()
     assert census["n_removed"] == 0
     assert all(Path(p).exists() for p in v0_files)
+
+
+def test_branch_vacuum_honors_main_registered_clones(base, spark):
+    """Branches share the table's data directory, so a vacuum run
+    THROUGH A BRANCH HANDLE must honor clone back-pointers registered
+    on main — otherwise the branch vacuum deletes files only the
+    main-registered clone still references."""
+    log = TableLog(Path(base) / "src")
+    log.append(_tiny(spark, n=30, tag=1), n_files=3, tag="a")
+    v0_files = set(log.read_manifest()["files"])
+    clone = log.clone_to(Path(base) / "clone", version=0)  # registered on main
+    br = log.create_branch("wip")
+    log.optimize(spark, target_rows_per_file=1_000)  # v0 files historical
+
+    census = br.vacuum(retain_versions=1)
+    assert census["n_removed"] == 0
+    assert all(Path(p).exists() for p in v0_files), (
+        "branch-handle vacuum deleted files a main-registered clone references"
+    )
+    assert {r.k for r in clone.snapshot(spark).collect()} == set(range(1000, 1030))
