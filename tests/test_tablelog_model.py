@@ -120,10 +120,12 @@ def test_tablelog_matches_model(spark, tmp_path_factory, protocol, ops):
             else:  # sharded DATA-file compaction (r10 verb)
                 v = log.optimize(spark, target_rows_per_file=1_000_000)
         elif kind == "update" and appended_any and protocol == "full":
-            # COW rewrite, key-preserving: live set unchanged, but the
-            # file swap must not lose/duplicate rows or break travel
+            # COW rewrite, key-preserving (identity assignment — the
+            # model's frames carry only `k`): live set unchanged, but
+            # the file swap must not lose/duplicate rows or break
+            # time travel across delete/optimize interleavings
             v = log.update_cow(
-                spark, f"k % 7 = {arg}", {"tag": "tag + 1"}
+                spark, f"k % 7 = {arg}", {"k": "k"}
             )["version"]
         elif kind == "race" and appended_any:
             lo = 100_000 + arg * 20 + i * 200
