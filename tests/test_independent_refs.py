@@ -830,3 +830,46 @@ def test_gini_concentration_matches_float_formula(spark):
     assert row["total_rev_centi"] == int(per.sum())
     assert abs(row["gini_e6"] / 1e6 - gini) < 3e-6
     assert 0 <= row["gini_e6"] <= 1_000_000
+
+
+def test_ewma_forecast_matches_pure_python_recurrence(spark):
+    """ts_ewma_forecast computes the alpha=1/2 EWMA as a 16-term
+    geometric sum scaled 2^16; the independent reference here runs the
+    actual RECURRENCE s_t = (x_t + s_{t-1}) / 2 in exact rational
+    arithmetic (python Fraction) over the zero-filled daily series and
+    truncates to the same 16-term horizon — a definitionally different
+    route (sequential recurrence vs unrolled convolution) to the same
+    BIGINTs."""
+    from fractions import Fraction
+
+    from chess_ratings_spark.plans.timeseries import ts_ewma_forecast
+
+    out = {
+        (r["event_type"], r["day"]): r["ewma_x65536"]
+        for r in ts_ewma_forecast(spark, SF_SMOKE).collect()
+    }
+    ev = (
+        tables.load(spark, SF_SMOKE, "events")
+        .selectExpr(
+            "event_type",
+            "unix_date(cast(ts as date)) AS day",
+            "CAST(floor(value * 100) AS BIGINT) AS vc",
+        )
+        .toPandas()
+    )
+    daily = ev.groupby(["event_type", "day"])["vc"].sum()
+    got_keys = set()
+    for etype, g in daily.groupby(level=0):
+        days = {int(d): int(v) for (_, d), v in g.items()}
+        for t in days:
+            # exact recurrence over the 16-day window ending at t,
+            # zero-filled gaps, s_0 = 0 before the window
+            s = Fraction(0)
+            for d in range(t - 15, t + 1):
+                s = (Fraction(days.get(d, 0)) + s) / 2
+            expected = s * (1 << 16)
+            assert expected.denominator == 1  # 16 halvings of ints x 2^16
+            key = (etype, t)
+            got_keys.add(key)
+            assert out[key] == int(expected), key
+    assert got_keys == set(out), "query emitted days the reference lacks"

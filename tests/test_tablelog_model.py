@@ -356,3 +356,53 @@ def test_checkpoint_resolution_always_matches_full_walk(
             f"op {i} ({kind}): checkpointed inventory diverged"
         )
         assert {r.k for r in spark.read.parquet(*files).collect()} == model
+
+
+# COW UPDATE vs a pure-Python model on arbitrary key sets, bucket
+# widths and predicate ranges: the stats-overlap file targeting must
+# (a) produce exactly the model's post-update rows, (b) rewrite
+# exactly the buckets whose ACTUAL [min,max] overlaps the range, and
+# (c) leave v0 time travel byte-intact.
+_keys = st.lists(st.integers(0, 99), min_size=1, max_size=60)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=_keys,
+    width=st.sampled_from([5, 10, 25]),
+    lo=st.integers(0, 99),
+    span=st.integers(0, 40),
+)
+def test_update_cow_matches_model(spark, tmp_path_factory, keys, width, lo, span):
+    hi = min(99, lo + span)
+    base = tmp_path_factory.mktemp("cow")
+    log = TableLog(base / "t")
+    df = spark.createDataFrame([(k, 0) for k in keys], "k bigint, v bigint")
+    log.append_range_bucketed(df, "k", width, tag="b")
+
+    res = log.update_cow(
+        spark, f"k BETWEEN {lo} AND {hi}", {"v": "v + 1000"},
+        prune_col="k", prune_lo=lo, prune_hi=hi,
+    )
+    # (a) logical result == model (multiset: duplicate keys all update)
+    expected = sorted((k, 1000 if lo <= k <= hi else 0) for k in keys)
+    got = sorted((r.k, r.v) for r in log.snapshot(spark).collect())
+    assert got == expected
+    # (b) rewritten files == buckets whose actual range overlaps
+    buckets = {}
+    for k in keys:
+        b = k // width
+        mn, mx = buckets.get(b, (k, k))
+        buckets[b] = (min(mn, k), max(mx, k))
+    overlap = sum(1 for mn, mx in buckets.values() if mn <= hi and mx >= lo)
+    assert res["files_rewritten"] == overlap
+    assert res["files_carried"] == len(buckets) - overlap
+    assert res["n_matched"] == sum(1 for k in keys if lo <= k <= hi)
+    # (c) v0 intact
+    assert sorted((r.k, r.v) for r in log.snapshot(spark, 0).collect()) == sorted(
+        (k, 0) for k in keys
+    )
