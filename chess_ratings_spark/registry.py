@@ -85,11 +85,18 @@ DRIVER_ORDER: tuple[str, ...] = (
     # test_contract.py::test_survey2_evidence_freshness enforces it):
     # no SURVEY-2 operator's latest driver row may be older than 4
     # rounds; each round's spare slots front the oldest evidence.
-    # Round-12 rotation debt: zero §2 names age out at round 12 (the
-    # oldest post-r11 §2 evidence is r7 = age 5 AT ROUND 12: the 31
-    # r7 names must lead the round-12 window), and the 21 remaining
-    # age-7 TPC-H/non-§2 names (q1,q4..q22 minus q3, plus
-    # dedup_exact_hash overflow) should fill its spare slots.
+    # Round-12+ capacity plan (computed at r11 HEAD from the union of
+    # CORRECTNESS_r1..r11-projected): §2 latest-evidence cohorts are
+    # r7×30, r8×43, r9×46, r10×42, r11×38 — so the 4-round floor
+    # mandates 30 slots at r12 but 43/46/42 at r13/r14/r15, leaving
+    # only 4-8 spare slots those rounds. Round 12 should therefore
+    # spend its ~20 spare slots as: the oldest non-§2 evidence (20
+    # names at r4 = age 8: the TPC-H q-block minus q3, plus
+    # sample_hash_split/contamination_ngram-class leftovers), MINUS a
+    # few traded for (a) any new registrations and (b) 3-5 names
+    # PRE-EMPTED from the r8×43 cohort (registration order) to smooth
+    # r13's squeeze. Never let a cohort reach >50: front part of it a
+    # round early instead.
     "agg_histogram_2d",
     "agg_mad_outliers",
     "corpus_prepare_v2",
