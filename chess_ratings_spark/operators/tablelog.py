@@ -327,7 +327,7 @@ class TableLog:
             files = (prev["files"] if prev is not None else []) + new
             carry = {
                 k: prev[k]
-                for k in ("delete_vectors", "file_stats")
+                for k in ("delete_vectors", "delete_vectors_scoped", "file_stats")
                 if prev is not None and k in prev
             }
             return files, carry
@@ -370,8 +370,13 @@ class TableLog:
             )
         read_set = set(read_manifest["files"])
         consumed_dvs = set(read_manifest.get("delete_vectors", []))
+        consumed_scoped = set(read_manifest.get("delete_vectors_scoped", []))
         df = _apply_delete_vectors(
-            spark, spark.read.parquet(*read_manifest["files"]), consumed_dvs
+            spark,
+            self._with_scoped_dvs_applied(
+                spark, sorted(read_set), read_manifest
+            ).drop("_dv_file"),
+            consumed_dvs,
         )
         n_rows = df.count()
         n_out = max(1, math.ceil(n_rows / target_rows_per_file))
@@ -385,6 +390,16 @@ class TableLog:
                     "concurrent commit rewrote files this OPTIMIZE read"
                     f" (e.g. {rewritten[0]}); re-run OPTIMIZE on the new"
                     " snapshot"
+                )
+            prev_scoped = set(prev.get("delete_vectors_scoped", []) if prev else [])
+            if prev_scoped != consumed_scoped:
+                # a concurrent MOR update added scoped pairs that may
+                # reference files this rewrite is dropping — merging
+                # would leave the rewritten copies of its old rows
+                # unmasked; fail like OPTIMIZE-vs-OPTIMIZE does
+                raise CommitConflict(
+                    "concurrent MOR update during OPTIMIZE; re-run"
+                    " OPTIMIZE on the new snapshot"
                 )
             survivors = [
                 f for f in (prev["files"] if prev is not None else [])
@@ -438,7 +453,11 @@ class TableLog:
             return int(read_manifest["version"])  # empty table: no-op
         consumed_dvs = set(read_manifest.get("delete_vectors", []))
         df = _apply_delete_vectors(
-            spark, spark.read.parquet(*sorted(read_set)), sorted(consumed_dvs)
+            spark,
+            self._with_scoped_dvs_applied(
+                spark, sorted(read_set), read_manifest
+            ).drop("_dv_file"),
+            sorted(consumed_dvs),
         )
         n_rows = df.count()
         n_out = max(1, math.ceil(n_rows / target_rows_per_file))
@@ -663,7 +682,8 @@ class TableLog:
                 )
             carry = {
                 k: old[k]
-                for k in ("delete_vectors", "file_stats", "manifest_shards", "sharded")
+                for k in ("delete_vectors", "delete_vectors_scoped",
+                          "file_stats", "manifest_shards", "sharded")
                 if k in old
             }
             carry["restored_from"] = int(old["version"])
@@ -731,7 +751,8 @@ class TableLog:
         clone = TableLog(dest_base)
         carry: dict = {
             k: m[k]
-            for k in ("delete_vectors", "manifest_shards", "sharded")
+            for k in ("delete_vectors", "delete_vectors_scoped",
+                      "manifest_shards", "sharded")
             if k in m
         }
         carry["clone_source"] = str(self.base)
@@ -793,7 +814,8 @@ class TableLog:
                 )
             carry = {
                 k: head[k]
-                for k in ("delete_vectors", "file_stats", "manifest_shards", "sharded")
+                for k in ("delete_vectors", "delete_vectors_scoped",
+                          "file_stats", "manifest_shards", "sharded")
                 if k in head
             }
             carry["published_branch"] = name
@@ -865,6 +887,27 @@ class TableLog:
                     deleted = (
                         spark.read.parquet(*sorted(prev_files))
                         .join(F.broadcast(keys), keys.columns, "left_semi")
+                        .withColumn("_change_type", F.lit("delete"))
+                        .withColumn("_commit_version", F.lit(v).cast("int"))
+                    )
+                    feeds.append(deleted)
+                scoped_added = [
+                    d for d in m.get("delete_vectors_scoped", [])
+                    if d not in set(prev.get("delete_vectors_scoped", []))
+                ]
+                for dv in scoped_added:
+                    # MOR update: the masked OLD row versions are the
+                    # deletes (the appended files already fed as
+                    # inserts above) — pair-joined on (file, keys)
+                    pairs = spark.read.parquet(dv)
+                    on = ["_dv_file"] + [
+                        c for c in pairs.columns if c != "_dv_file"
+                    ]
+                    deleted = (
+                        spark.read.parquet(*sorted(prev_files))
+                        .withColumn("_dv_file", F.expr(self._NORM_FILE))
+                        .join(F.broadcast(pairs), on, "left_semi")
+                        .drop("_dv_file")
                         .withColumn("_change_type", F.lit("delete"))
                         .withColumn("_commit_version", F.lit(v).cast("int"))
                     )
@@ -942,8 +985,9 @@ class TableLog:
             pfiles = prev["files"] if prev is not None else []
             pstats = prev.get("file_stats", []) if prev is not None else []
             carry = {"file_stats": pstats + entries}
-            if prev is not None and "delete_vectors" in prev:
-                carry["delete_vectors"] = prev["delete_vectors"]
+            for k in ("delete_vectors", "delete_vectors_scoped"):
+                if prev is not None and k in prev:
+                    carry[k] = prev[k]
             return pfiles + files, carry
 
         return self.commit(op="append", build=rebase)
@@ -1028,8 +1072,11 @@ class TableLog:
                 "n_matched": 0,
             }
         touched_set = set(touched)
+        read_scoped = set(m.get("delete_vectors_scoped", []))
         src = _apply_delete_vectors(
-            spark, spark.read.parquet(*sorted(touched)), m.get("delete_vectors", [])
+            spark,
+            self._with_scoped_dvs_applied(spark, sorted(touched), m).drop("_dv_file"),
+            m.get("delete_vectors", []),
         )
         cond = F.expr(predicate)
         # two-pass shape, same as Delta's UPDATE: this count action is
@@ -1056,6 +1103,14 @@ class TableLog:
                     "concurrent commit rewrote files this UPDATE read"
                     f" (e.g. {gone[0]}); re-run on the new snapshot"
                 )
+            if set(prev.get("delete_vectors_scoped", [])) != read_scoped:
+                # a concurrent MOR update's pairs may reference files
+                # this rewrite drops — its old rows would reappear
+                # unmasked in our output; conflict, never merge
+                raise CommitConflict(
+                    "concurrent MOR update during COW update; re-run"
+                    " on the new snapshot"
+                )
             files = sorted((pfiles - touched_set) | set(new))
             carry: dict = {}
             surviving_stats = [
@@ -1067,6 +1122,11 @@ class TableLog:
                 carry["file_stats"] = surviving_stats
             if "delete_vectors" in prev:
                 carry["delete_vectors"] = prev["delete_vectors"]
+            if read_scoped:
+                # pairs for rewritten files go inert (masks were
+                # materialized into the new files); pairs for untouched
+                # files stay live — carry the list unchanged
+                carry["delete_vectors_scoped"] = prev["delete_vectors_scoped"]
             return files, carry
 
         v = self.commit(op="update-cow", build=rebase)
@@ -1075,6 +1135,168 @@ class TableLog:
             "files_rewritten": len(touched),
             "files_carried": len(all_files) - len(touched),
             "n_matched": int(n_matched),
+        }
+
+    # -- merge-on-read with file-scoped delete vectors ---------------------
+
+    #: zone of the scoped-DV path column: Spark's ``_metadata.file_path``
+    #: is a ``file:``-scheme URI while manifests carry plain paths —
+    #: both sides normalize through this expression so pair joins and
+    #: manifest-membership checks compare like with like.
+    _NORM_FILE = "regexp_replace(_metadata.file_path, '^file:/+', '/')"
+
+    def _with_scoped_dvs_applied(
+        self, spark: SparkSession, files: list[str], m: dict
+    ):
+        """Scan ``files`` with the manifest's FILE-SCOPED delete
+        vectors applied (one scan + one anti-join on (file, keys) pairs
+        — never per-file reads) and the normalized physical path kept
+        as ``_dv_file``. Callers drop the column when done."""
+        from pyspark.sql import functions as F
+
+        base = spark.read.parquet(*sorted(files)).withColumn(
+            "_dv_file", F.expr(self._NORM_FILE)
+        )
+        scoped = m.get("delete_vectors_scoped", [])
+        if scoped:
+            pairs = spark.read.parquet(*scoped)
+            on = ["_dv_file"] + [c for c in pairs.columns if c != "_dv_file"]
+            base = base.join(F.broadcast(pairs), on, "left_anti")
+        return base
+
+    def snapshot_mor(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Merge-on-read snapshot: the manifest's files with BOTH
+        delete-vector kinds applied — global key-list DVs (the
+        ``lake_delete_mor`` shape: one key list masks every file) and
+        FILE-SCOPED (file, key) pair DVs (Delta's actual
+        deletion-vector model). Scoped DVs exist because MOR UPDATE is
+        inexpressible with key-global DVs: masking an updated row's key
+        globally would also mask the re-appended NEW version of that
+        row. A scoped pair goes harmlessly inert when its file leaves
+        the manifest (OPTIMIZE/COW rewrote it with the mask
+        materialized). Plain :meth:`snapshot` stays raw by design —
+        MOR-aware readers use this."""
+        m = self.read_manifest(version)
+        df = self._with_scoped_dvs_applied(
+            spark, self.resolve_files(version), m
+        ).drop("_dv_file")
+        return _apply_delete_vectors(spark, df, m.get("delete_vectors", []))
+
+    def update_mor(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        assign: dict[str, str],
+        key_cols: list[str],
+        *,
+        n_files: int = 1,
+        tag: str = "update-mor",
+    ) -> dict:
+        """Merge-on-read UPDATE..WHERE (Delta UPDATE with deletion
+        vectors): the matched OLD row versions are masked by a
+        FILE-SCOPED delete vector — a parquet of (file, key) pairs —
+        and the NEW row versions are appended; NO existing data file is
+        rewritten. The O(matched) complement to :meth:`update_cow`'s
+        O(touched-files): at 100 TB an update matching 0.01% of rows
+        writes ~0.01% of the data instead of every touched file.
+
+        ``key_cols`` must uniquely identify a row WITHIN its file (the
+        price of key-based pairs vs Delta's row positions): a pair
+        masks every in-file row sharing the keys, so if an unmatched
+        row shared them it would be silently deleted — the verb
+        COUNTS the masked rows and raises rather than lose data.
+
+        Semantics / concurrency:
+        - reads through :meth:`snapshot_mor` (stacked updates compose:
+          a second update of the same key masks the first update's
+          appended file and appends again);
+        - commutes with concurrent APPENDs (pure file addition);
+        - conflicts (:class:`CommitConflict`) if a concurrent commit
+          REWROTE any file in the read snapshot — our pairs would go
+          inert while the rewritten copies of the old rows stand
+          unmasked;
+        - ``op="update-mor"`` is a data change: the CDF emits the
+          masked old rows as deletes and the appended files as inserts.
+
+        Returns a census dict: version, rows matched, files appended
+        (0 rewritten, by construction).
+        """
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        m = self.read_manifest()
+        if m.get("sharded"):
+            raise ValueError(
+                "protocol mix: update_mor targets full-list tables —"
+                " sharded tables carry their deltas in shard refs"
+            )
+        read_files = set(m.get("files", []))
+        if not read_files:
+            return {"version": int(m["version"]), "n_matched": 0,
+                    "files_appended": 0, "files_rewritten": 0}
+        base = self._with_scoped_dvs_applied(spark, sorted(read_files), m)
+        live = _apply_delete_vectors(spark, base, m.get("delete_vectors", []))
+        matched = live.filter(F.expr(predicate))
+        n_matched = matched.count()
+        if n_matched == 0:
+            return {"version": int(m["version"]), "n_matched": 0,
+                    "files_appended": 0, "files_rewritten": 0}
+
+        dv_dir = self.base / "_dvs"
+        dv_dir.mkdir(parents=True, exist_ok=True)
+        dv_path = str(dv_dir / f"{tag}-{uuid.uuid4().hex[:12]}.parquet")
+        pairs = matched.select("_dv_file", *key_cols)
+        pairs.coalesce(1).write.mode("errorifexists").parquet(dv_path)
+        # uniqueness guard: the pairs must mask exactly the matched
+        # rows — a surplus means key_cols don't identify rows in-file
+        # and an UNMATCHED row would be silently deleted
+        written = spark.read.parquet(dv_path)
+        on = ["_dv_file", *key_cols]
+        n_masked = base.join(F.broadcast(written), on, "left_semi").count()
+        if n_masked != n_matched:
+            import shutil
+
+            shutil.rmtree(dv_path, ignore_errors=True)
+            raise ValueError(
+                f"key_cols {key_cols} mask {n_masked} rows but the"
+                f" predicate matched {n_matched}: keys must uniquely"
+                " identify a row within its file for MOR update"
+            )
+        out = matched.drop("_dv_file")
+        for col_name, expr in assign.items():
+            out = out.withColumn(col_name, F.expr(expr))
+        new = self._land(out, n_files, tag=tag)
+
+        def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            if prev is None or prev.get("sharded"):
+                raise ValueError(
+                    "protocol mix: table's latest manifest is sharded —"
+                    " update_mor cannot rebase onto it"
+                )
+            pfiles = set(prev.get("files", []))
+            gone = sorted(read_files - pfiles)
+            if gone:
+                raise CommitConflict(
+                    "concurrent commit rewrote files this UPDATE read"
+                    f" (e.g. {gone[0]}); re-run on the new snapshot"
+                )
+            carry: dict = {
+                "delete_vectors_scoped": prev.get("delete_vectors_scoped", [])
+                + [dv_path]
+            }
+            for k in ("delete_vectors", "file_stats"):
+                if k in prev:
+                    carry[k] = prev[k]
+            return sorted(pfiles | set(new)), carry
+
+        v = self.commit(op="update-mor", build=rebase)
+        return {
+            "version": int(v),
+            "n_matched": int(n_matched),
+            "files_appended": len(new),
+            "files_rewritten": 0,
+            "scoped_dv": dv_path,
         }
 
     def snapshot_pruned(

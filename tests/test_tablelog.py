@@ -1367,3 +1367,176 @@ def test_branch_vacuum_honors_main_registered_clones(base, spark):
         "branch-handle vacuum deleted files a main-registered clone references"
     )
     assert {r.k for r in clone.snapshot(spark).collect()} == set(range(1000, 1030))
+
+
+# -- round-11 staging for r12: MOR UPDATE via file-scoped DVs ----------
+
+
+def test_update_mor_rewrites_nothing_and_masks_old_versions(base, spark):
+    """MOR UPDATE: no data file is rewritten — the old row versions are
+    masked by (file, key) pairs and the new versions appended. The raw
+    bytes still contain the stale rows (proof nothing was rewritten);
+    snapshot_mor sees exactly the updated table; v0 time travel via
+    snapshot_mor is intact."""
+    log = TableLog(base)
+    _bucketed(log, spark)  # 4 files, k 0..99, tag 0
+    m0_files = set(log.read_manifest()["files"])
+
+    res = log.update_mor(
+        spark, "k BETWEEN 10 AND 20", {"tag": "tag + 100"}, ["k"]
+    )
+    assert res["files_rewritten"] == 0
+    assert res["files_appended"] == 1
+    assert res["n_matched"] == 11
+    m1 = log.read_manifest()
+    assert m0_files <= set(m1["files"])  # nothing dropped
+    assert len(m1["delete_vectors_scoped"]) == 1
+    assert m1["data_change"] is True
+    rows = {r.k: r.tag for r in log.snapshot_mor(spark).collect()}
+    assert len(rows) == 100
+    assert all(v == (100 if 10 <= k <= 20 else 0) for k, v in rows.items())
+    # raw bytes of the ORIGINAL files still hold the stale versions
+    raw = spark.read.parquet(*sorted(m0_files))
+    assert raw.filter("k = 15 AND tag = 0").count() == 1
+    # time travel (MOR view of v0): pre-update values
+    assert all(r.tag == 0 for r in log.snapshot_mor(spark, 0).collect())
+
+
+def test_update_mor_stacks_and_optimize_materializes(base, spark):
+    """Two sequential MOR updates of the same key compose (the second
+    masks the first's appended file); OPTIMIZE then materializes
+    everything — raw files hold only final values, the scoped list is
+    consumed, and pre-optimize versions stay readable."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+    log.update_mor(spark, "k = 7", {"tag": "tag + 100"}, ["k"])
+    log.update_mor(spark, "k = 7", {"tag": "tag + 100"}, ["k"])
+    rows = {r.k: r.tag for r in log.snapshot_mor(spark).collect()}
+    assert rows[7] == 200 and len(rows) == 100
+    assert len(log.read_manifest()["delete_vectors_scoped"]) == 2
+
+    v = log.optimize(spark, target_rows_per_file=1_000)
+    m = log.read_manifest()
+    assert "delete_vectors_scoped" not in m
+    raw = spark.read.parquet(*m["files"])
+    assert raw.count() == 100
+    assert raw.filter("k = 7").collect()[0].tag == 200
+    # MOR view unchanged by the materialization
+    rows2 = {r.k: r.tag for r in log.snapshot_mor(spark).collect()}
+    assert rows2 == rows
+    # pre-optimize MOR time travel still works through the old files
+    assert {
+        r.tag for r in log.snapshot_mor(spark, v - 1).filter("k = 7").collect()
+    } == {200}
+
+
+def test_update_mor_refuses_ambiguous_keys(base, spark):
+    """A (file, key) pair masks every in-file row sharing the key — if
+    an UNMATCHED row shares it, data would be silently lost. The verb
+    must detect the ambiguity and refuse."""
+    log = TableLog(base)
+    df = spark.createDataFrame(
+        [(1, 0), (1, 999), (2, 0)], "k bigint, v bigint"
+    )
+    log.append(df.coalesce(1), n_files=1, tag="a")
+    with pytest.raises(ValueError, match="uniquely identify"):
+        # predicate matches only (k=1, v=0) but the pair (file, k=1)
+        # would also mask (k=1, v=999)
+        log.update_mor(spark, "k = 1 AND v = 0", {"v": "v + 1"}, ["k"])
+    # nothing committed, no scoped DV attached
+    assert "delete_vectors_scoped" not in log.read_manifest()
+    assert log.snapshot_mor(spark).count() == 3
+
+
+def test_update_mor_commutes_with_append_conflicts_with_rewrite(base, spark):
+    log = TableLog(base)
+    _bucketed(log, spark)
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racing_append(version, files, op, extra=None):
+        if not state["raced"] and op == "update-mor":
+            state["raced"] = True
+            log.append(_tiny(spark, n=5, tag=9), n_files=1, tag="late")
+        return orig(version, files, op, extra)
+
+    log.try_commit = racing_append
+    res = log.update_mor(spark, "k < 5", {"tag": "tag + 1"}, ["k"])
+    log.try_commit = orig
+    assert res["n_matched"] == 5
+    snap = log.snapshot_mor(spark)
+    assert snap.count() == 105  # 100 + racer's 5, nothing lost
+    assert snap.filter("tag = 1").count() == 5
+    assert snap.filter("tag = 9").count() == 5
+
+    state = {"raced": False}
+
+    def racing_optimize(version, files, op, extra=None):
+        if not state["raced"] and op == "update-mor":
+            state["raced"] = True
+            log.optimize(spark, target_rows_per_file=1_000)
+        return orig(version, files, op, extra)
+
+    log.try_commit = racing_optimize
+    with pytest.raises(CommitConflict, match="rewrote files"):
+        log.update_mor(spark, "k < 5", {"tag": "tag + 1"}, ["k"])
+    log.try_commit = orig
+
+
+def test_optimize_conflicts_with_concurrent_mor_update(base, spark):
+    """The dual race: OPTIMIZE must not merge past a MOR update that
+    attached pairs to files the rewrite is dropping — the update's old
+    rows would reappear unmasked in the compacted output."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racing_umor(version, files, op, extra=None):
+        if not state["raced"] and op == "optimize":
+            state["raced"] = True
+            log.update_mor(spark, "k = 3", {"tag": "tag + 1"}, ["k"])
+        return orig(version, files, op, extra)
+
+    log.try_commit = racing_umor
+    with pytest.raises(CommitConflict, match="MOR update during OPTIMIZE"):
+        log.optimize(spark, target_rows_per_file=1_000)
+    log.try_commit = orig
+    # the MOR update won; its view stands
+    rows = {r.k: r.tag for r in log.snapshot_mor(spark).collect()}
+    assert rows[3] == 1 and len(rows) == 100
+
+
+def test_update_mor_then_cow_update_composes(base, spark):
+    """COW update over a table carrying scoped pairs: the touched-file
+    rewrite materializes the pairs' masks for those files (they go
+    inert when the file drops), untouched files stay masked, and the
+    logical view composes both updates."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+    log.update_mor(spark, "k = 7", {"tag": "tag + 100"}, ["k"])   # bucket 0
+    log.update_mor(spark, "k = 80", {"tag": "tag + 300"}, ["k"])  # bucket 3
+    # COW rewrite of bucket 0 only
+    res = log.update_cow(
+        spark, "k BETWEEN 0 AND 9", {"tag": "tag + 5"},
+        prune_col="k", prune_lo=0, prune_hi=9,
+    )
+    assert res["files_rewritten"] >= 1
+    rows = {r.k: r.tag for r in log.snapshot_mor(spark).collect()}
+    assert len(rows) == 100
+    assert rows[7] == 105   # MOR +100 materialized, then COW +5
+    assert rows[80] == 300  # untouched file: still masked by its pair
+    assert rows[3] == 5 and rows[50] == 0
+
+
+def test_changes_between_emits_mor_update_as_delete_plus_insert(base, spark):
+    log = TableLog(base)
+    _bucketed(log, spark)
+    v1 = log.update_mor(spark, "k = 42", {"tag": "tag + 9"}, ["k"])["version"]
+    feed = log.changes_between(spark, 0, v1)
+    rows = [(r.k, r.tag, r._change_type) for r in feed.collect()]
+    assert (42, 0, "delete") in rows
+    assert (42, 9, "insert") in rows
+    assert len(rows) == 2
