@@ -36,6 +36,10 @@ from chess_ratings_spark.operators.tablelog import TableLog
 #   key-preserving, so the live-set model is unchanged — what it tests
 #   is that the file swap through update_cow never loses or duplicates
 #   rows across delete/optimize interleavings and stays time-travelable);
+# ("umor", m) is the MOR twin via file-scoped delete vectors
+#   (update_mor, round 11): old versions masked by (file, k) pairs,
+#   identical rows re-appended — also a live-set no-op, exercising
+#   pair survival through deletes/COW and materialization by OPTIMIZE;
 # ("race", m) runs the protocol's layout verb with a CONCURRENT append
 #   injected between its manifest read and its commit (the
 #   OPTIMIZE-vs-append rebase): the append's keys enter the model, and
@@ -48,6 +52,7 @@ _ops = st.lists(
         st.tuples(st.just("delete"), st.integers(0, 4)),
         st.tuples(st.just("maint"), st.integers(0, 1)),
         st.tuples(st.just("update"), st.integers(0, 6)),
+        st.tuples(st.just("umor"), st.integers(0, 6)),
         st.tuples(st.just("race"), st.integers(0, 9)),
     ),
     min_size=2,
@@ -74,13 +79,9 @@ def test_tablelog_matches_model(spark, tmp_path_factory, protocol, ops):
     appended_any = False
 
     def live_df(version=None):
-        m = log.read_manifest(version)
-        df = log.snapshot(spark, version)
-        for dv in m.get("delete_vectors", []):
-            df = df.join(
-                F.broadcast(spark.read.parquet(dv)), "k", "left_anti"
-            )
-        return df
+        # snapshot_mor applies BOTH DV kinds (global key lists and the
+        # round-11 file-scoped pairs the "umor" op attaches)
+        return log.snapshot_mor(spark, version)
 
     for i, (kind, arg) in enumerate(ops):
         if kind == "append":
@@ -106,6 +107,8 @@ def test_tablelog_matches_model(spark, tmp_path_factory, protocol, ops):
             extra = {
                 "delete_vectors": m.get("delete_vectors", []) + [p]
             }
+            if "delete_vectors_scoped" in m:  # carry umor's pairs
+                extra["delete_vectors_scoped"] = m["delete_vectors_scoped"]
             if m.get("sharded"):
                 extra.update(
                     {"manifest_shards": m["manifest_shards"], "sharded": True}
@@ -127,6 +130,15 @@ def test_tablelog_matches_model(spark, tmp_path_factory, protocol, ops):
             v = log.update_cow(
                 spark, f"k % 7 = {arg}", {"k": "k"}
             )["version"]
+        elif kind == "umor" and appended_any and protocol == "full":
+            # MOR rewrite (round-11 scoped-DV path), key-preserving:
+            # old versions masked by (file, k) pairs, identical rows
+            # re-appended — live set unchanged, but the masks must
+            # survive deletes/COW and be materialized by OPTIMIZE
+            res = log.update_mor(spark, f"k % 7 = {arg}", {"k": "k"}, ["k"])
+            if res["n_matched"] == 0:
+                continue  # no commit happened
+            v = res["version"]
         elif kind == "race" and appended_any:
             lo = 100_000 + arg * 20 + i * 200
             raced_keys = set(range(lo, lo + 20))
