@@ -2719,3 +2719,126 @@ def lake_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_update_mor",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    hit AS (
+      SELECT count(*) AS n_upd FROM e
+      WHERE user_id BETWEEN 40 AND 59 AND event_type = 'click'
+    ),
+    tot AS (SELECT count(*) AS n, sum(vc) AS s FROM e)
+    SELECT CAST(tot.n AS BIGINT) AS n_rows,
+           CAST(hit.n_upd AS BIGINT) AS n_updated,
+           CAST(tot.s AS BIGINT) AS vc_v0,
+           CAST(tot.s + 1000 * hit.n_upd AS BIGINT) AS vc_after,
+           CAST(0 AS INT) AS files_rewritten,
+           CAST(1 AS INT) AS files_appended,
+           true AS originals_untouched,
+           true AS raw_bytes_still_stale,
+           true AS time_travel_v0_intact,
+           true AS cdf_delete_plus_insert
+    FROM tot, hit
+    """,
+    doc="Merge-on-read UPDATE..WHERE via FILE-SCOPED deletion vectors "
+    "(TableLog.update_mor — Delta's DV model; the twin of "
+    "lake_update_cow's copy-on-write): the matched OLD row versions "
+    "are masked by a parquet artifact of (file, key) pairs and the "
+    "NEW versions appended — ZERO existing files rewritten "
+    "(originals_untouched asserts v0's file set survives verbatim in "
+    "v1; raw_bytes_still_stale proves the old bytes still hold the "
+    "pre-update values). Key-global DVs cannot express this: masking "
+    "an updated key would also mask its re-appended new version. "
+    "snapshot_mor applies the pairs with one scan + one broadcast "
+    "anti-join on (_metadata.file_path, keys). files_appended=1 is "
+    "protocol-constant by construction (n_files=1 repartitions the "
+    "matched rows into exactly one file at ANY sf — not a "
+    "scale-dependent census). The change feed replays the commit as "
+    "delete(old rows) + insert(new rows), both counted against "
+    "n_updated. At 100 TB this writes O(matched rows) instead of "
+    "update_cow's O(touched files): the 0.01%-of-rows update costs "
+    "0.01% of the data.",
+    tags=("lakehouse", "update", "time-travel", "events"),
+)
+def lake_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_umor_")
+    try:
+        log = TableLog(base)
+        log.append_range_bucketed(ev, "user_id", 25, tag="base")
+        m0 = log.read_manifest()
+        v0 = log.snapshot_mor(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+
+        res = log.update_mor(
+            spark,
+            "user_id BETWEEN 40 AND 59 AND event_type = 'click'",
+            {"vc": "vc + 1000"},
+            ["event_id"],
+        )
+        m1 = log.read_manifest()
+        after = log.snapshot_mor(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        tt = log.snapshot_mor(spark, 0).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        # the old bytes are untouched: raw scan of v0's files still
+        # sums to the PRE-update checksum
+        raw = spark.read.parquet(*m0["files"]).agg(
+            F.sum("vc").alias("s")
+        ).collect()[0]
+        feed = log.changes_between(spark, 0, res["version"])
+        cdf = {
+            r["_change_type"]: r["n"]
+            for r in feed.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        return tables.local_row(
+            spark,
+            ("n_rows", int(after["n"]), "bigint"),
+            ("n_updated", int(res["n_matched"]), "bigint"),
+            ("vc_v0", int(v0["s"]), "bigint"),
+            ("vc_after", int(after["s"]), "bigint"),
+            ("files_rewritten", int(res["files_rewritten"]), "int"),
+            ("files_appended", int(res["files_appended"]), "int"),
+            (
+                "originals_untouched",
+                bool(set(m0["files"]) <= set(m1["files"])),
+                "boolean",
+            ),
+            ("raw_bytes_still_stale", bool(raw["s"] == v0["s"]), "boolean"),
+            (
+                "time_travel_v0_intact",
+                bool(tt["n"] == v0["n"] and tt["s"] == v0["s"] and after["n"] == v0["n"]),
+                "boolean",
+            ),
+            (
+                "cdf_delete_plus_insert",
+                bool(
+                    cdf.get("delete", 0) == res["n_matched"]
+                    and cdf.get("insert", 0) == res["n_matched"]
+                ),
+                "boolean",
+            ),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

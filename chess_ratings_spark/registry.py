@@ -66,7 +66,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     #         on at round-10 HEAD). Green rows here make every §2
     #         operator's evidence <=4 rounds old for the first time.
     #   32-34 round-11 new registrations (ts_ewma_forecast,
-    #         lake_update_cow, geo_grid_join)
+    #         lake_update_cow, geo_grid_join); slot 50 is the FOURTH
+    #         r11 registration, lake_update_mor (file-scoped-DV MOR
+    #         UPDATE, built late in the round) — it displaced
+    #         q3_shipping_priority, which rejoins its TPC-H family
+    #         block in the r12 rotation
     #   35-39 plans/oracles changed after their latest driver row by
     #         the round-11 ADVICE fixes: dedup_incremental_minhash
     #         (LSH index now cached per (app,sf), not rebuilt+leaked),
@@ -146,7 +150,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_normalize",
     "doc_chunk_split",
     "dedup_exact_hash",
-    "q3_shipping_priority",
+    "lake_update_mor",
     # ============ post-window: prior evidence, all green ============
     "graph_kcore",
     "ts_seasonal_decompose",
@@ -372,6 +376,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "mm_frame_sample",
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
