@@ -2739,7 +2739,12 @@ def lake_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(tot.s AS BIGINT) AS vc_v0,
            CAST(tot.s + 1000 * hit.n_upd AS BIGINT) AS vc_after,
            CAST(0 AS INT) AS files_rewritten,
-           CAST(1 AS INT) AS files_appended,
+           -- repartition(1) => exactly one appended file WHEN anything
+           -- matched; a no-match update commits nothing (derived, not
+           -- hardcoded: at sf0.001 the user_id domain misses the
+           -- predicate range entirely)
+           CAST(CASE WHEN hit.n_upd > 0 THEN 1 ELSE 0 END AS INT)
+             AS files_appended,
            true AS originals_untouched,
            true AS raw_bytes_still_stale,
            true AS time_travel_v0_intact,
@@ -2805,13 +2810,18 @@ def lake_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = spark.read.parquet(*m0["files"]).agg(
             F.sum("vc").alias("s")
         ).collect()[0]
-        feed = log.changes_between(spark, 0, res["version"])
-        cdf = {
-            r["_change_type"]: r["n"]
-            for r in feed.groupBy("_change_type").agg(
-                F.count(F.lit(1)).alias("n")
-            ).collect()
-        }
+        if res["n_matched"]:
+            feed = log.changes_between(spark, 0, res["version"])
+            cdf = {
+                r["_change_type"]: r["n"]
+                for r in feed.groupBy("_change_type").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+        else:
+            # no match at this sf -> no commit, no change feed: the
+            # delete/insert counts (0 == 0 == n_matched) hold trivially
+            cdf = {}
         return tables.local_row(
             spark,
             ("n_rows", int(after["n"]), "bigint"),
