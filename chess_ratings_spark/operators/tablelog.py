@@ -1209,12 +1209,22 @@ class TableLog:
         Semantics / concurrency:
         - reads through :meth:`snapshot_mor` (stacked updates compose:
           a second update of the same key masks the first update's
-          appended file and appends again);
+          appended file and appends again — compose means SEQUENTIAL;
+          see the conflict rules for racing ones);
         - commutes with concurrent APPENDs (pure file addition);
         - conflicts (:class:`CommitConflict`) if a concurrent commit
           REWROTE any file in the read snapshot — our pairs would go
           inert while the rewritten copies of the old rows stand
           unmasked;
+        - conflicts if a concurrent commit CHANGED the scoped-DV list
+          (another MOR update raced us, Delta's
+          ConcurrentDeleteDelete class): merging would let BOTH
+          updates' appended new-versions go live — each racer's pairs
+          mask only the base rows it read, not the other racer's
+          append — so a key updated by both would surface twice
+          (measured: two live rows before this rule). Same
+          conservatism as :meth:`update_cow`; the loser's landed
+          files are orphans and its DV artifact is unlinked;
         - ``op="update-mor"`` is a data change: the CDF emits the
           masked old rows as deletes and the appended files as inserts.
 
@@ -1232,6 +1242,7 @@ class TableLog:
                 " sharded tables carry their deltas in shard refs"
             )
         read_files = set(m.get("files", []))
+        read_scoped = set(m.get("delete_vectors_scoped", []))
         if not read_files:
             return {"version": int(m["version"]), "n_matched": 0,
                     "files_appended": 0, "files_rewritten": 0}
@@ -1281,6 +1292,12 @@ class TableLog:
                     "concurrent commit rewrote files this UPDATE read"
                     f" (e.g. {gone[0]}); re-run on the new snapshot"
                 )
+            if set(prev.get("delete_vectors_scoped", [])) != read_scoped:
+                raise CommitConflict(
+                    "concurrent MOR update during this UPDATE (scoped-DV"
+                    " list changed); re-run on the new snapshot — merging"
+                    " would leave both updates' new row versions live"
+                )
             carry: dict = {
                 "delete_vectors_scoped": prev.get("delete_vectors_scoped", [])
                 + [dv_path]
@@ -1290,7 +1307,18 @@ class TableLog:
                     carry[k] = prev[k]
             return sorted(pfiles | set(new)), carry
 
-        v = self.commit(op="update-mor", build=rebase)
+        try:
+            v = self.commit(op="update-mor", build=rebase)
+        except CommitConflict:
+            # the loser's DV artifact is referenced by no manifest and
+            # _dvs/ is outside vacuum's sweep — unlink it (the landed
+            # data files stay as orphans, invisible by snapshot
+            # isolation and reclaimed with the data dir; same cleanup
+            # contract as the sharded-OPTIMIZE CAS loser's shard JSONs)
+            import shutil
+
+            shutil.rmtree(dv_path, ignore_errors=True)
+            raise
         return {
             "version": int(v),
             "n_matched": int(n_matched),

@@ -140,3 +140,83 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sid").alias("n_stores_matched"),
         F.countDistinct("pid").alias("n_probes_matched"),
     )
+
+
+#: kNN query shape: 3 nearest signup points per purchase point
+_K = 3
+
+
+@register(
+    "geo_knn_join",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id AS sid,
+             (event_id * 48271) % 1000 AS sx,
+             ((event_id + 7) * 16807) % 1000 AS sy
+      FROM events WHERE event_type = 'signup'
+    ),
+    p AS (
+      SELECT event_id AS pid,
+             (event_id * 69621) % 1000 AS px,
+             ((event_id + 3) * 48271) % 1000 AS py
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      -- the oracle is the NAIVE quadratic kNN: rank every store per
+      -- probe; the grid-ring join must reproduce it bit-for-bit
+      SELECT pid, sid,
+             (sx - px) * (sx - px) + (sy - py) * (sy - py) AS d2,
+             row_number() OVER (
+               PARTITION BY pid
+               ORDER BY (sx - px) * (sx - px) + (sy - py) * (sy - py), sid
+             ) AS rn
+      FROM p CROSS JOIN s
+    ),
+    topk AS (SELECT * FROM cand WHERE rn <= {_K}),
+    flagged AS (
+      SELECT *, rn = max(rn) OVER (PARTITION BY pid) AS is_kth FROM topk
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_probes_matched,
+           CAST(count(DISTINCT sid) AS BIGINT) AS n_stores_used,
+           CAST(coalesce(sum(d2), 0) AS BIGINT) AS sum_d2,
+           CAST(coalesce(sum(CASE WHEN is_kth THEN d2 END), 0) AS BIGINT)
+             AS sum_kth_d2
+    FROM flagged
+    """,
+    doc="EXACT k-nearest-neighbor join (3 nearest signup points per "
+    "purchase point) via iterative grid-ring expansion "
+    "(operators/joins.knn_join_grid): round i replicates only the "
+    "still-UNRESOLVED probes to their (2i+1)^2-cell block (half-width "
+    "doubling, clamped to the grid) and equi-joins on one BIGINT cell "
+    "id; a probe is done when its kth candidate lies within i*side — "
+    "points outside the block are provably farther, the radius join's "
+    "capture proof applied per ring. Every round is an equi-join + "
+    "one keyed window; no CartesianProduct, no BroadcastNestedLoop "
+    "(plan-asserted in tests/test_geo.py). Unresolved probes decay "
+    "geometrically when the cell side matches the typical kNN "
+    "distance, and the side is a pure performance knob — any value "
+    "yields the identical exact answer (the oracle replays the naive "
+    "quadratic kNN and must hash-match). Ties broken (d2, sid): "
+    "deterministic across engines, partition layouts, and rounds.",
+    tags=("geo", "join", "scale", "events"),
+)
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from chess_ratings_spark.operators.joins import knn_join_grid
+
+    ev = tables.load(spark, sf_dir, "events")
+    pairs = knn_join_grid(
+        _points(ev, "probe"), _points(ev, "store"), k=_K, side=_SIDE, n_cells=64
+    )
+    is_kth = F.col("rn") == F.max("rn").over(Window.partitionBy("pid"))
+    return pairs.withColumn("is_kth", is_kth).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("pid").alias("n_probes_matched"),
+        F.countDistinct("sid").alias("n_stores_used"),
+        F.coalesce(F.sum("d2"), F.lit(0)).cast("bigint").alias("sum_d2"),
+        F.coalesce(F.sum(F.when(F.col("is_kth"), F.col("d2"))), F.lit(0))
+        .cast("bigint")
+        .alias("sum_kth_d2"),
+    )

@@ -66,11 +66,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     #         on at round-10 HEAD). Green rows here make every §2
     #         operator's evidence <=4 rounds old for the first time.
     #   32-34 round-11 new registrations (ts_ewma_forecast,
-    #         lake_update_cow, geo_grid_join); slot 50 is the FOURTH
-    #         r11 registration, lake_update_mor (file-scoped-DV MOR
-    #         UPDATE, built late in the round) — it displaced
-    #         q3_shipping_priority, which rejoins its TPC-H family
-    #         block in the r12 rotation
+    #         lake_update_cow, geo_grid_join); slots 49-50 are the
+    #         FOURTH and FIFTH r11 registrations, geo_knn_join (exact
+    #         kNN join via grid-ring expansion) and lake_update_mor
+    #         (file-scoped-DV MOR UPDATE), both built late in the
+    #         round — they displaced q3_shipping_priority and
+    #         dedup_exact_hash, which rejoin their family blocks in
+    #         the r12 rotation (both are age-7 non-§2 rows whose
+    #         siblings carry fresher evidence)
     #   35-39 plans/oracles changed after their latest driver row by
     #         the round-11 ADVICE fixes: dedup_incremental_minhash
     #         (LSH index now cached per (app,sf), not rebuilt+leaked),
@@ -149,9 +152,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "contamination_ngram",
     "text_normalize",
     "doc_chunk_split",
-    "dedup_exact_hash",
+    "geo_knn_join",
     "lake_update_mor",
     # ============ post-window: prior evidence, all green ============
+    "dedup_exact_hash",
     "graph_kcore",
     "ts_seasonal_decompose",
     "sim_pq_adc",

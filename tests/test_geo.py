@@ -118,3 +118,94 @@ def test_grid_capture_is_complete_on_random_points(spark, stores, probes):
         if (sx - px) ** 2 + (sy - py) ** 2 <= 64
     }
     assert grid == naive
+
+
+# -- geo_knn_join (round 11): exact kNN via grid-ring expansion --------
+
+
+def test_knn_join_equals_naive_quadratic(spark):
+    """The grid-ring kNN must reproduce the naive cartesian-then-rank
+    reference exactly at fixture scale (census compare, all columns)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.plans.geo import _K, _points
+
+    ev = tables.load(spark, SF_CORRECT, "events")
+    s = _points(ev, "store")
+    p = _points(ev, "probe")
+    d2 = (F.col("sx") - F.col("px")) * (F.col("sx") - F.col("px")) + (
+        F.col("sy") - F.col("py")
+    ) * (F.col("sy") - F.col("py"))
+    rank = Window.partitionBy("pid").orderBy("d2", "sid")
+    naive = (
+        p.crossJoin(s)
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= _K)
+        .withColumn(
+            "is_kth", F.col("rn") == F.max("rn").over(Window.partitionBy("pid"))
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("pid").alias("n_probes_matched"),
+            F.countDistinct("sid").alias("n_stores_used"),
+            F.coalesce(F.sum("d2"), F.lit(0)).cast("bigint").alias("sum_d2"),
+            F.coalesce(F.sum(F.when(F.col("is_kth"), F.col("d2"))), F.lit(0))
+            .cast("bigint")
+            .alias("sum_kth_d2"),
+        )
+        .collect()[0]
+    )
+    got = REGISTRY["geo_knn_join"].fn(spark, SF_CORRECT).collect()[0]
+    assert got.asDict() == naive.asDict()
+    assert got["n_pairs"] > 0, "fixture yields no pairs - test is vacuous"
+
+
+def test_knn_join_plan_is_equi_join(spark):
+    """Every round's join (the returned plan unions all of them) must
+    be an equi-join on the cell key — no cartesian, no nested loop."""
+    df = REGISTRY["geo_knn_join"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stores=_pts, probes=_pts)
+def test_knn_join_exact_on_random_points(spark, stores, probes):
+    """Property: for ARBITRARY point sets — coincident points (distance
+    ties exercising the (d2, sid) tiebreak), fewer than k stores (the
+    full-cover round must emit the partial list), empty sides — the
+    grid-ring kNN returns exactly the quadratic reference's pair set."""
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators.joins import knn_join_grid
+
+    s = tables.local_table(
+        spark,
+        [(i, x, y) for i, (x, y) in enumerate(stores)],
+        [("sid", "bigint"), ("sx", "bigint"), ("sy", "bigint")],
+    )
+    p = tables.local_table(
+        spark,
+        [(i, x, y) for i, (x, y) in enumerate(probes)],
+        [("pid", "bigint"), ("px", "bigint"), ("py", "bigint")],
+    )
+    got = {
+        (r.pid, r.sid, r.d2, r.rn)
+        for r in knn_join_grid(p, s, k=3, side=16, n_cells=64).collect()
+    }
+    want = set()
+    for j, (px, py) in enumerate(probes):
+        ranked = sorted(
+            (((sx - px) ** 2 + (sy - py) ** 2), i)
+            for i, (sx, sy) in enumerate(stores)
+        )
+        for rn, (d2, i) in enumerate(ranked[:3], start=1):
+            want.add((j, i, d2, rn))
+    assert got == want

@@ -1484,6 +1484,48 @@ def test_update_mor_commutes_with_append_conflicts_with_rewrite(base, spark):
     log.try_commit = orig
 
 
+def test_update_mor_conflicts_with_concurrent_update_mor(base, spark):
+    """Two MOR updates racing from the same snapshot must NOT both
+    commit (Delta's ConcurrentDeleteDelete class): each racer's pairs
+    mask only the base rows it read, not the other racer's appended
+    new-version — merging leaves BOTH new versions live, so a key
+    updated by both surfaces twice (measured before the scoped-DV-list
+    conflict rule: k=3 came back as two rows). The loser must also
+    unlink its DV artifact — _dvs/ is outside vacuum's sweep."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racing_update_mor(version, files, op, extra=None):
+        if not state["raced"] and op == "update-mor":
+            state["raced"] = True
+            # a second handle = a second writer; its commit lands first
+            TableLog(base).update_mor(
+                spark, "k = 3", {"tag": "tag + 200"}, ["k"]
+            )
+        return orig(version, files, op, extra)
+
+    log.try_commit = racing_update_mor
+    with pytest.raises(CommitConflict, match="scoped-DV list changed"):
+        log.update_mor(spark, "k = 3", {"tag": "tag + 100"}, ["k"])
+    log.try_commit = orig
+
+    rows = log.snapshot_mor(spark).filter("k = 3").collect()
+    assert len(rows) == 1, "both racers' new versions went live"
+    assert rows[0]["tag"] == 200  # the winner's update, exactly once
+    dvs = list((Path(base) / "_dvs").glob("*"))
+    assert len(dvs) == 1, "CAS loser leaked its scoped-DV artifact"
+
+    # the caller's prescribed recovery — re-run on the new snapshot —
+    # stacks cleanly on the winner's commit
+    res = log.update_mor(spark, "k = 3", {"tag": "tag + 100"}, ["k"])
+    assert res["n_matched"] == 1
+    rows = log.snapshot_mor(spark).filter("k = 3").collect()
+    assert len(rows) == 1 and rows[0]["tag"] == 300
+
+
 def test_optimize_conflicts_with_concurrent_mor_update(base, spark):
     """The dual race: OPTIMIZE must not merge past a MOR update that
     attached pairs to files the rewrite is dropping — the update's old
