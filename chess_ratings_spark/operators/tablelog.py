@@ -68,7 +68,7 @@ from pyspark.sql import DataFrame, SparkSession
 #: (and may resurrect) rows relative to the current version.
 _DATA_CHANGE_PREFIXES = (
     "append", "delete", "stream-batch", "overwrite", "publish", "restore",
-    "update",
+    "update", "merge",
 )
 
 
@@ -1325,6 +1325,157 @@ class TableLog:
             "files_appended": len(new),
             "files_rewritten": 0,
             "scoped_dv": dv_path,
+        }
+
+    def merge_mor(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        *,
+        n_files: int = 1,
+        tag: str = "merge-mor",
+    ) -> dict:
+        """Merge-on-read MERGE (Delta ``MERGE INTO`` with deletion
+        vectors, upsert shape: WHEN MATCHED THEN UPDATE SET * / WHEN
+        NOT MATCHED THEN INSERT *): target rows whose ``key_cols``
+        appear in ``source`` are masked by a FILE-SCOPED delete vector
+        and the ENTIRE source lands as appended files — zero existing
+        files rewritten. The MOR completion of the verb family
+        (delete_mor / update_mor / merge_mor): at 100 TB a daily upsert
+        of 0.01% of keys writes O(source) bytes, not O(touched files).
+
+        Contract (both checked with bounded count actions, never
+        driver-side data):
+        - source keys must be UNIQUE (Delta raises on multiple source
+          rows matching one target row; so do we);
+        - matched target keys must be unique across the TARGET too
+          (a key in two live target rows would collapse 2 -> 1 on
+          upsert — ambiguous, refused; same price as update_mor's
+          in-file uniqueness, extended table-wide because the mask and
+          the insert are keyed globally here).
+
+        Concurrency — STRICTER than update_mor: conflicts on ANY
+        file-set change, appends included. update_mor's predicate is
+        evaluated against its read snapshot, so a concurrent append
+        commutes; MERGE's correctness additionally depends on global
+        key uniqueness, and a concurrent append can insert a key this
+        merge also inserts — invisible to both writers, surfacing
+        later as duplicate keys. (Delta's Serializable level makes the
+        same call: MERGE reads the whole table, so any concurrent
+        file change conflicts.)
+
+        ``op="merge-mor"`` is a data change; the CDF replays it as
+        delete(masked old versions) + insert(the appended source) via
+        the generic scoped-DV path in :meth:`changes_between`.
+
+        Returns a census dict: version, rows updated (masked), rows
+        inserted, files appended (0 rewritten, by construction).
+        """
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        n_source = source.count()
+        if n_source == 0:
+            m = self.read_manifest()
+            return {"version": int(m["version"]), "n_updated": 0,
+                    "n_inserted": 0, "files_appended": 0,
+                    "files_rewritten": 0}
+        n_keys = source.select(*key_cols).distinct().count()
+        if n_keys != n_source:
+            raise ValueError(
+                f"source has {n_source} rows but {n_keys} distinct"
+                f" {key_cols}: MERGE requires unique source keys"
+                " (multiple source rows would match one target row)"
+            )
+
+        m = self.read_manifest()
+        if m.get("sharded"):
+            raise ValueError(
+                "protocol mix: merge_mor targets full-list tables —"
+                " sharded tables carry their deltas in shard refs"
+            )
+        read_files = set(m.get("files", []))
+        read_scoped = set(m.get("delete_vectors_scoped", []))
+
+        dv_path: str | None = None
+        n_matched = 0
+        if read_files:
+            base = self._with_scoped_dvs_applied(
+                spark, sorted(read_files), m
+            )
+            live = _apply_delete_vectors(
+                spark, base, m.get("delete_vectors", [])
+            )
+            src_keys = source.select(*key_cols)
+            matched = live.join(F.broadcast(src_keys), key_cols, "left_semi")
+            n_matched = matched.count()
+            if n_matched:
+                n_matched_keys = (
+                    matched.select(*key_cols).distinct().count()
+                )
+                if n_matched_keys != n_matched:
+                    raise ValueError(
+                        f"{n_matched} target rows share"
+                        f" {n_matched_keys} distinct {key_cols}:"
+                        " MERGE needs table-wide unique target keys"
+                        " (an upsert would collapse duplicates)"
+                    )
+                dv_dir = self.base / "_dvs"
+                dv_dir.mkdir(parents=True, exist_ok=True)
+                dv_path = str(
+                    dv_dir / f"{tag}-{uuid.uuid4().hex[:12]}.parquet"
+                )
+                matched.select("_dv_file", *key_cols).coalesce(1).write.mode(
+                    "errorifexists"
+                ).parquet(dv_path)
+
+        new = self._land(source, n_files, tag=tag)
+
+        def rebase(prev: dict | None) -> tuple[list[str], dict]:
+            if prev is None:
+                return sorted(new), {}
+            if prev.get("sharded"):
+                raise ValueError(
+                    "protocol mix: table's latest manifest is sharded —"
+                    " merge_mor cannot rebase onto it"
+                )
+            if set(prev.get("files", [])) != read_files or (
+                set(prev.get("delete_vectors_scoped", [])) != read_scoped
+            ):
+                raise CommitConflict(
+                    "concurrent commit during MERGE (file set or"
+                    " scoped-DV list changed); re-run on the new"
+                    " snapshot — a racing writer may have touched or"
+                    " inserted keys this MERGE read or inserts"
+                )
+            carry: dict = {}
+            scoped = list(prev.get("delete_vectors_scoped", []))
+            if dv_path is not None:
+                scoped = scoped + [dv_path]
+            if scoped:
+                carry["delete_vectors_scoped"] = scoped
+            for k in ("delete_vectors", "file_stats"):
+                if k in prev:
+                    carry[k] = prev[k]
+            return sorted(read_files | set(new)), carry
+
+        try:
+            v = self.commit(op="merge-mor", build=rebase)
+        except CommitConflict:
+            import shutil
+
+            if dv_path is not None:
+                shutil.rmtree(dv_path, ignore_errors=True)
+            raise
+        return {
+            "version": int(v),
+            "n_updated": int(n_matched),
+            "n_inserted": int(n_source - n_matched),
+            "files_appended": len(new),
+            "files_rewritten": 0,
+            **({"scoped_dv": dv_path} if dv_path else {}),
         }
 
     def snapshot_pruned(

@@ -2852,3 +2852,140 @@ def lake_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_merge_mor",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    upd AS (
+      SELECT count(*) AS n, coalesce(sum(vc + 5000), 0) AS s FROM e
+      WHERE event_type = 'view' AND user_id % 15 = 2
+    ),
+    ins AS (
+      SELECT count(*) AS n, coalesce(sum(vc + 7), 0) AS s FROM e
+      WHERE event_type = 'purchase' AND user_id % 15 = 3
+    ),
+    tot AS (SELECT count(*) AS n, sum(vc) AS s FROM e),
+    upd_old AS (
+      SELECT coalesce(sum(vc), 0) AS s FROM e
+      WHERE event_type = 'view' AND user_id % 15 = 2
+    )
+    SELECT CAST(tot.n + ins.n AS BIGINT) AS n_rows,
+           CAST(upd.n AS BIGINT) AS n_updated,
+           CAST(ins.n AS BIGINT) AS n_inserted,
+           CAST(tot.s AS BIGINT) AS vc_v0,
+           CAST(tot.s - upd_old.s + upd.s + ins.s AS BIGINT) AS vc_after,
+           CAST(0 AS INT) AS files_rewritten,
+           CAST(1 AS INT) AS files_appended,
+           true AS originals_untouched,
+           true AS time_travel_v0_intact,
+           true AS cdf_delete_plus_insert
+    FROM tot, upd, ins, upd_old
+    """,
+    doc="Merge-on-read MERGE INTO (TableLog.merge_mor — Delta MERGE "
+    "with deletion vectors, upsert shape): matched target rows are "
+    "masked by a file-scoped (file, key) DV artifact and the ENTIRE "
+    "source batch lands as ONE appended file — zero existing files "
+    "rewritten; the MOR family completion (delete_mor masks, "
+    "update_mor masks+re-appends matched, merge_mor masks matched + "
+    "appends matched-updates AND brand-new keys in one commit). The "
+    "source mixes updates (existing event_ids with vc+5000) and "
+    "inserts (offset event_ids with vc+7); both source-key and "
+    "matched-target-key uniqueness are contract-checked in-verb. "
+    "files_appended=1 is protocol-constant (n_files=1 repartitions "
+    "the source into exactly one file at any sf). The change feed "
+    "replays delete(masked old versions) + insert(appended source) "
+    "through the generic scoped-DV CDF path — asserted against the "
+    "census counts. At 100 TB a daily upsert of 0.01% of keys writes "
+    "O(source) bytes instead of copy-on-write's O(touched files).",
+    tags=("lakehouse", "merge", "time-travel", "events"),
+)
+def lake_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_mmor_")
+    try:
+        log = TableLog(base)
+        log.append_range_bucketed(ev, "user_id", 25, tag="base")
+        m0 = log.read_manifest()
+        v0 = log.snapshot_mor(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+
+        updates = ev.filter(
+            "event_type = 'view' AND user_id % 15 = 2"
+        ).withColumn("vc", F.col("vc") + 5000)
+        inserts = ev.filter(
+            "event_type = 'purchase' AND user_id % 15 = 3"
+        ).select(
+            (F.col("event_id") + 100_000_000).alias("event_id"),
+            "user_id",
+            "event_type",
+            (F.col("vc") + 7).alias("vc"),
+        )
+        res = log.merge_mor(
+            spark, updates.unionByName(inserts), ["event_id"]
+        )
+        m1 = log.read_manifest()
+        after = log.snapshot_mor(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        tt = log.snapshot_mor(spark, 0).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        feed = log.changes_between(spark, 0, res["version"])
+        cdf = {
+            r["_change_type"]: r["n"]
+            for r in feed.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        return tables.local_row(
+            spark,
+            ("n_rows", int(after["n"]), "bigint"),
+            ("n_updated", int(res["n_updated"]), "bigint"),
+            ("n_inserted", int(res["n_inserted"]), "bigint"),
+            ("vc_v0", int(v0["s"]), "bigint"),
+            ("vc_after", int(after["s"]), "bigint"),
+            ("files_rewritten", int(res["files_rewritten"]), "int"),
+            ("files_appended", int(res["files_appended"]), "int"),
+            (
+                "originals_untouched",
+                bool(set(m0["files"]) <= set(m1["files"])),
+                "boolean",
+            ),
+            (
+                "time_travel_v0_intact",
+                bool(
+                    tt["n"] == v0["n"]
+                    and tt["s"] == v0["s"]
+                    and after["n"] == v0["n"] + res["n_inserted"]
+                ),
+                "boolean",
+            ),
+            (
+                "cdf_delete_plus_insert",
+                bool(
+                    cdf.get("delete", 0) == res["n_updated"]
+                    and cdf.get("insert", 0)
+                    == res["n_updated"] + res["n_inserted"]
+                ),
+                "boolean",
+            ),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -74,16 +74,18 @@ DRIVER_ORDER: tuple[str, ...] = (
     #         dedup_exact_hash, which rejoin their family blocks in
     #         the r12 rotation (both are age-7 non-§2 rows whose
     #         siblings carry fresher evidence)
-    #   35-39 plans/oracles changed after their latest driver row by
-    #         the round-11 ADVICE fixes: dedup_incremental_minhash
-    #         (LSH index now cached per (app,sf), not rebuilt+leaked),
-    #         stream_sink_optimize (oracle derives files_after from
-    #         row count instead of hardcoding protocol constants),
-    #         lake_clone_shallow (vacuum-guard pointer now written
-    #         BEFORE the clone's v0 commit), lake_optimize_sharded
-    #         (CAS-losing rebase attempts unlink their shard JSONs),
-    #         join_skew_salted (verdict #5: fronted with its new plan
-    #         assertion that no single task reads a whole hot key)
+    #   35-39 ADVICE-touched re-checks and late registrations:
+    #         dedup_incremental_minhash (LSH index now cached per
+    #         (app,sf), not rebuilt+leaked), stream_sink_optimize
+    #         (oracle derives files_after from row count instead of
+    #         hardcoding protocol constants), lake_merge_mor (SIXTH
+    #         r11 registration: MOR MERGE INTO — it took the slot of
+    #         lake_clone_shallow, whose pointer-ordering ADVICE fix is
+    #         unit-tested and r10-green; clone re-checks in a later
+    #         rotation), lake_optimize_sharded (CAS-losing rebase
+    #         attempts unlink their shard JSONs), join_skew_salted
+    #         (verdict #5: fronted with its new plan assertion that
+    #         no single task reads a whole hot key)
     #   40-50 the oldest non-§2 evidence (all r4 = age 7): the
     #         LLM-pipeline block first, then TPC-H in registration
     #         order (q1/q9/q17/q21 were judge re-verified at r10 HEAD,
@@ -140,7 +142,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "geo_grid_join",
     "dedup_incremental_minhash",
     "stream_sink_optimize",
-    "lake_clone_shallow",
+    "lake_merge_mor",
     "lake_optimize_sharded",
     "join_skew_salted",
     "udf_vector_norm",
@@ -156,6 +158,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "lake_update_mor",
     # ============ post-window: prior evidence, all green ============
     "dedup_exact_hash",
+    "lake_clone_shallow",
     "graph_kcore",
     "ts_seasonal_decompose",
     "sim_pq_adc",

@@ -1582,3 +1582,118 @@ def test_changes_between_emits_mor_update_as_delete_plus_insert(base, spark):
     assert (42, 0, "delete") in rows
     assert (42, 9, "insert") in rows
     assert len(rows) == 2
+
+
+# -- merge_mor: MOR MERGE INTO (upsert via scoped DVs) -----------------
+
+
+def test_merge_mor_upserts_without_rewriting(base, spark):
+    """MERGE: matched keys masked + replaced, new keys inserted, ZERO
+    files rewritten; v0 time travel intact; CDF = delete(masked) +
+    insert(all source rows)."""
+    log = TableLog(base)
+    _bucketed(log, spark)  # k 0..99, tag 0
+    m0_files = set(log.read_manifest()["files"])
+
+    src = _tiny(spark, n=10, tag=5).withColumn(
+        "k", F.col("k") - 5000 + 90
+    )  # keys 90..99 (updates) -- tag 5
+    new = _tiny(spark, n=5, tag=7).withColumn("k", F.col("k") - 7000 + 200)
+    res = log.merge_mor(spark, src.unionByName(new), ["k"])
+    assert res["files_rewritten"] == 0
+    assert res["files_appended"] == 1
+    assert res["n_updated"] == 10
+    assert res["n_inserted"] == 5
+    m1 = log.read_manifest()
+    assert m0_files <= set(m1["files"])
+    assert m1["data_change"] is True
+    rows = {r.k: r.tag for r in log.snapshot_mor(spark).collect()}
+    assert len(rows) == 105
+    assert all(rows[k] == 5 for k in range(90, 100))
+    assert all(rows[k] == 7 for k in range(200, 205))
+    assert all(rows[k] == 0 for k in range(0, 90))
+    # v0 untouched
+    assert all(r.tag == 0 for r in log.snapshot_mor(spark, 0).collect())
+    feed = log.changes_between(spark, 0, res["version"])
+    cdf = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert cdf == {"delete": 10, "insert": 15}
+
+
+def test_merge_mor_refuses_ambiguous_keys(base, spark):
+    log = TableLog(base)
+    _bucketed(log, spark)
+    # duplicate source keys: two source rows would match one target row
+    dup = _tiny(spark, n=2, tag=1).withColumn("k", F.lit(3))
+    try:
+        log.merge_mor(spark, dup, ["k"])
+        raise AssertionError("duplicate source keys accepted")
+    except ValueError as e:
+        assert "unique source keys" in str(e)
+    # duplicate TARGET keys: upsert would collapse two rows into one
+    log.append(_tiny(spark, n=1, tag=2).withColumn("k", F.lit(3)), 1, "dup")
+    one = _tiny(spark, n=1, tag=9).withColumn("k", F.lit(3))
+    try:
+        log.merge_mor(spark, one, ["k"])
+        raise AssertionError("duplicate target keys accepted")
+    except ValueError as e:
+        assert "unique target keys" in str(e)
+    # no partial state leaked: no scoped DV, no new version beyond the dup append
+    m = log.read_manifest()
+    assert not m.get("delete_vectors_scoped")
+
+
+def test_merge_mor_conflicts_with_any_concurrent_commit(base, spark):
+    """MERGE is stricter than update_mor: even a concurrent APPEND
+    conflicts (it may insert keys this merge also inserts — invisible
+    to both writers, surfacing later as duplicates). The loser's DV
+    artifact is unlinked."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+
+    orig = log.try_commit
+    state = {"raced": False}
+
+    def racing_append(version, files, op, extra=None):
+        if not state["raced"] and op == "merge-mor":
+            state["raced"] = True
+            TableLog(base).append(_tiny(spark, n=5, tag=9), 1, "late")
+        return orig(version, files, op, extra)
+
+    log.try_commit = racing_append
+    src = _tiny(spark, n=3, tag=5).withColumn("k", F.col("k") - 5000)
+    with pytest.raises(CommitConflict, match="concurrent commit during MERGE"):
+        log.merge_mor(spark, src, ["k"])
+    log.try_commit = orig
+    assert not list((Path(base) / "_dvs").glob("*")), "loser leaked its DV"
+    # prescribed recovery: re-run on the new snapshot
+    res = log.merge_mor(spark, src, ["k"])
+    assert res["n_updated"] == 3
+    snap = log.snapshot_mor(spark)
+    assert snap.count() == 105  # 100 + racer's 5 (keys 9000..) + 0 new
+    assert snap.filter("tag = 5").count() == 3
+
+
+def test_merge_mor_stacks_and_optimize_materializes(base, spark):
+    """Sequential merges compose (second masks the first's appended
+    versions); OPTIMIZE rewrites everything with masks materialized and
+    drops the now-inert scoped DVs."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+    one = _tiny(spark, n=1, tag=1).withColumn("k", F.lit(42))
+    log.merge_mor(spark, one, ["k"])
+    two = _tiny(spark, n=1, tag=2).withColumn("k", F.lit(42))
+    log.merge_mor(spark, two, ["k"])
+    rows = log.snapshot_mor(spark).filter("k = 42").collect()
+    assert len(rows) == 1 and rows[0]["tag"] == 2
+    before = log.snapshot_mor(spark).orderBy("k", "tag").collect()
+    log.optimize(spark, target_rows_per_file=1_000)
+    after = log.snapshot_mor(spark).orderBy("k", "tag").collect()
+    assert before == after
+    assert not log.read_manifest().get("delete_vectors_scoped"), (
+        "OPTIMIZE must consume materialized scoped DVs"
+    )

@@ -40,6 +40,12 @@ from chess_ratings_spark.operators.tablelog import TableLog
 #   (update_mor, round 11): old versions masked by (file, k) pairs,
 #   identical rows re-appended — also a live-set no-op, exercising
 #   pair survival through deletes/COW and materialization by OPTIMIZE;
+# ("merge", m) is a MOR MERGE (merge_mor, round 11): source = the live
+#   keys k % 7 == m re-asserted (masks their old versions, appends
+#   identical ones — live-set no-op) PLUS 5 brand-new keys (the model
+#   gains them), all in one commit — exercising mixed update+insert
+#   upserts interleaved with deletes/COW/OPTIMIZE and time travel over
+#   the resulting scoped-DV stacks;
 # ("race", m) runs the protocol's layout verb with a CONCURRENT append
 #   injected between its manifest read and its commit (the
 #   OPTIMIZE-vs-append rebase): the append's keys enter the model, and
@@ -53,6 +59,7 @@ _ops = st.lists(
         st.tuples(st.just("maint"), st.integers(0, 1)),
         st.tuples(st.just("update"), st.integers(0, 6)),
         st.tuples(st.just("umor"), st.integers(0, 6)),
+        st.tuples(st.just("merge"), st.integers(0, 6)),
         st.tuples(st.just("race"), st.integers(0, 9)),
     ),
     min_size=2,
@@ -139,6 +146,20 @@ def test_tablelog_matches_model(spark, tmp_path_factory, protocol, ops):
             if res["n_matched"] == 0:
                 continue  # no commit happened
             v = res["version"]
+        elif kind == "merge" and appended_any and protocol == "full":
+            # MOR MERGE: re-assert k % 7 == arg (masked + re-appended,
+            # live-set no-op) and insert 5 fresh keys in one commit
+            upd = sorted(k for k in model if k % 7 == arg)
+            lo = 200_000 + arg * 20 + i * 200
+            ins = list(range(lo, lo + 5))
+            src = spark.createDataFrame(
+                [(k,) for k in upd + ins], "k bigint"
+            )
+            res = log.merge_mor(spark, src, ["k"])
+            assert res["n_updated"] == len(upd)
+            assert res["n_inserted"] == len(ins)
+            v = res["version"]
+            model |= set(ins)
         elif kind == "race" and appended_any:
             lo = 100_000 + arg * 20 + i * 200
             raced_keys = set(range(lo, lo + 20))
