@@ -209,3 +209,47 @@ def test_knn_join_exact_on_random_points(spark, stores, probes):
         for rn, (d2, i) in enumerate(ranked[:3], start=1):
             want.add((j, i, d2, rn))
     assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    stores=_pts,
+    probes=_pts,
+    side=st.sampled_from([5, 16, 40, 333]),
+    k=st.integers(1, 4),
+)
+def test_knn_side_is_pure_performance_knob(spark, stores, probes, side, k):
+    """The doc claims any cell side returns the identical exact answer
+    (production tunes it from density stats without re-validating).
+    Pin that: arbitrary sides and k against the quadratic reference."""
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.operators.joins import knn_join_grid
+
+    n_cells = 1000 // side + 1
+    s = tables.local_table(
+        spark,
+        [(i, x, y) for i, (x, y) in enumerate(stores)],
+        [("sid", "bigint"), ("sx", "bigint"), ("sy", "bigint")],
+    )
+    p = tables.local_table(
+        spark,
+        [(i, x, y) for i, (x, y) in enumerate(probes)],
+        [("pid", "bigint"), ("px", "bigint"), ("py", "bigint")],
+    )
+    got = {
+        (r.pid, r.sid, r.d2, r.rn)
+        for r in knn_join_grid(p, s, k=k, side=side, n_cells=n_cells).collect()
+    }
+    want = set()
+    for j, (px, py) in enumerate(probes):
+        ranked = sorted(
+            (((sx - px) ** 2 + (sy - py) ** 2), i)
+            for i, (sx, sy) in enumerate(stores)
+        )
+        for rn, (d2, i) in enumerate(ranked[:k], start=1):
+            want.add((j, i, d2, rn))
+    assert got == want
