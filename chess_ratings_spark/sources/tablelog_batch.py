@@ -27,9 +27,18 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
 class TableLogFilePartition(InputPartition):
-    def __init__(self, data_file: str, dv_files: list[str]):
+    def __init__(
+        self,
+        data_file: str,
+        dv_files: list[str],
+        scoped_dv_files: list[str] | None = None,
+    ):
         self.data_file = data_file
         self.dv_files = dv_files
+        # FILE-SCOPED (file, key) pair artifacts (the round-11 MOR
+        # UPDATE/MERGE mask) — applied per-partition where only the
+        # pairs naming THIS file bite
+        self.scoped_dv_files = scoped_dv_files or []
 
 
 class TableLogBatchReader(DataSourceReader):
@@ -128,7 +137,8 @@ class TableLogBatchReader(DataSourceReader):
                 if f not in stats or self._stats_admit(stats[f])
             ]
         dvs = list(m.get("delete_vectors", []))
-        return [TableLogFilePartition(f, dvs) for f in files]
+        scoped = list(m.get("delete_vectors_scoped", []))
+        return [TableLogFilePartition(f, dvs, scoped) for f in files]
 
     def read(self, partition: TableLogFilePartition):
         import pyarrow as pa
@@ -139,6 +149,35 @@ class TableLogBatchReader(DataSourceReader):
         for dv in partition.dv_files:
             keys = pq.read_table(dv)[self.key_col]
             mask = pc.is_in(tbl[self.key_col], value_set=keys.combine_chunks())
+            tbl = tbl.filter(pc.invert(mask))
+        for dv in partition.scoped_dv_files:
+            # scoped pairs mask (file, key): only pairs naming THIS
+            # partition's file apply — pairs for other files (or for
+            # files no longer in the manifest) are inert here, exactly
+            # snapshot_mor's join semantics, applied per partition
+            pairs = pq.read_table(dv)
+            pairs = pairs.filter(
+                pc.equal(pairs["_dv_file"], partition.data_file)
+            )
+            if pairs.num_rows == 0:
+                continue
+            key_cols = [c for c in pairs.column_names if c != "_dv_file"]
+            if len(key_cols) == 1:
+                mask = pc.is_in(
+                    tbl[key_cols[0]],
+                    value_set=pairs[key_cols[0]].combine_chunks(),
+                )
+            else:
+                doomed = set(
+                    zip(*(pairs[c].to_pylist() for c in key_cols))
+                )
+                mask = pa.array(
+                    [
+                        t in doomed
+                        for t in zip(*(tbl[c].to_pylist() for c in key_cols))
+                    ],
+                    pa.bool_(),
+                )
             tbl = tbl.filter(pc.invert(mask))
         if set(self.columns) == set(tbl.column_names):
             out = pa.table(

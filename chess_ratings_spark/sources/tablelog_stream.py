@@ -102,14 +102,17 @@ class TableLogCdfReader(DataSourceStreamReader):
         sv, ev = start["version"], end["version"]
         prev_files: set[str] = set()
         prev_dvs: set[str] = set()
+        prev_scoped: set[str] = set()
         if sv >= 0:
             m = self._manifest(sv)
             prev_files = self._files_of(m)
             prev_dvs = set(m.get("delete_vectors", []))
+            prev_scoped = set(m.get("delete_vectors_scoped", []))
         for v in range(max(sv, -1) + 1, ev + 1):
             m = self._manifest(v)
             files = self._files_of(m)
             dvs = set(m.get("delete_vectors", []))
+            scoped = set(m.get("delete_vectors_scoped", []))
             if m.get("data_change", True):
                 for f in sorted(files - prev_files):
                     parts.append(CdfPartition(v, "insert", f, None))
@@ -125,7 +128,16 @@ class TableLogCdfReader(DataSourceStreamReader):
                 for dv in sorted(dvs - prev_dvs):
                     for f in sorted(prev_files):
                         parts.append(CdfPartition(v, "delete", f, dv))
-            prev_files, prev_dvs = files, dvs
+                for dv in sorted(scoped - prev_scoped):
+                    # FILE-SCOPED (file, key) pairs (MOR UPDATE/MERGE):
+                    # the masked OLD versions are the commit's deletes
+                    # (its appended files already fed as inserts above).
+                    # One partition per (prior file, pair artifact);
+                    # executors skip files the artifact doesn't name —
+                    # the driver keeps touching only file names.
+                    for f in sorted(prev_files):
+                        parts.append(CdfPartition(v, "delete-scoped", f, dv))
+            prev_files, prev_dvs, prev_scoped = files, dvs, scoped
         return parts or [CdfPartition(ev, "empty", "", None)]
 
     # -- executor-side read -----------------------------------------------
@@ -156,6 +168,34 @@ class TableLogCdfReader(DataSourceStreamReader):
 
             keys = pq.read_table(partition.dv_file)[self.key_col]
             mask = pc.is_in(tbl[self.key_col], value_set=keys.combine_chunks())
+            tbl = tbl.filter(mask)
+        elif partition.kind == "delete-scoped":
+            # scoped-pair delete: only the pairs naming THIS file bite
+            # (pairs for other files are other partitions' work; pairs
+            # for dropped files are inert — snapshot_mor's semantics)
+            import pyarrow.compute as pc
+
+            pairs = pq.read_table(partition.dv_file)
+            pairs = pairs.filter(
+                pc.equal(pairs["_dv_file"], partition.data_file)
+            )
+            if pairs.num_rows == 0:
+                return
+            key_cols = [c for c in pairs.column_names if c != "_dv_file"]
+            if len(key_cols) == 1:
+                mask = pc.is_in(
+                    tbl[key_cols[0]],
+                    value_set=pairs[key_cols[0]].combine_chunks(),
+                )
+            else:
+                doomed = set(zip(*(pairs[c].to_pylist() for c in key_cols)))
+                mask = pa.array(
+                    [
+                        t in doomed
+                        for t in zip(*(tbl[c].to_pylist() for c in key_cols))
+                    ],
+                    pa.bool_(),
+                )
             tbl = tbl.filter(mask)
         ct = "insert" if partition.kind == "insert" else "delete"
         if set(self.columns) == set(tbl.column_names):

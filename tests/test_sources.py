@@ -278,3 +278,49 @@ def test_pyds_filter_pushdown_prunes_planned_partitions(spark, tmp_path):
     assert plain.rdd.getNumPartitions() == 8
     assert sorted(r.k for r in pruned.collect()) == list(range(25, 45))
     assert sorted(r.k for r in plain.collect()) == list(range(25, 45))
+
+
+def test_pyds_batch_reader_applies_scoped_dvs(spark, tmp_path):
+    """A MOR UPDATE/MERGE masks old row versions with FILE-SCOPED
+    (file, key) pairs; the batch DataSource must apply them like
+    snapshot_mor does — without this, reading an updated table through
+    the standard reader API shows BOTH versions of every updated key
+    (the round-11 cross-feature gap this test pins)."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+    from chess_ratings_spark.sources.tablelog_batch import TableLogBatchSource
+
+    try:
+        spark.dataSource.register(TableLogBatchSource)
+    except Exception:
+        pass
+    log = TableLog(tmp_path / "t")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), F.lit(0).cast("bigint").alias("v")
+    )
+    log.append_range_bucketed(df, "k", width=10, tag="r")
+    log.update_mor(spark, "k BETWEEN 5 AND 14", {"v": "v + 7"}, ["k"])
+    log.merge_mor(
+        spark,
+        spark.range(38, 44).select(
+            F.col("id").alias("k"), F.lit(9).cast("bigint").alias("v")
+        ),
+        ["k"],
+    )
+
+    got = (
+        spark.read.format("crs_tablelog")
+        .option("path", str(tmp_path / "t"))
+        .option("schema", "k bigint, v bigint")
+        .option("key_col", "k")
+        .load()
+    )
+    want = log.snapshot_mor(spark)
+    assert sorted((r.k, r.v) for r in got.collect()) == sorted(
+        (r.k, r.v) for r in want.collect()
+    )
+    rows = {r.k: r.v for r in got.collect()}
+    assert len(rows) == 44  # 40 + 4 fresh merge inserts, NO duplicates
+    assert all(rows[k] == 7 for k in range(5, 15))
+    assert all(rows[k] == 9 for k in range(38, 44))
