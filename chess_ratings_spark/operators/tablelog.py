@@ -709,7 +709,8 @@ class TableLog:
         br = TableLog(self.base, log_subdir=f"_branches/{name}/_log")
         carry = {
             k: m[k]
-            for k in ("delete_vectors", "file_stats", "manifest_shards", "sharded")
+            for k in ("delete_vectors", "delete_vectors_scoped",
+                      "file_stats", "manifest_shards", "sharded")
             if k in m
         }
         carry["forked_from"] = int(m["version"])

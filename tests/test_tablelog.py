@@ -1697,3 +1697,27 @@ def test_merge_mor_stacks_and_optimize_materializes(base, spark):
     assert not log.read_manifest().get("delete_vectors_scoped"), (
         "OPTIMIZE must consume materialized scoped DVs"
     )
+
+
+def test_branch_fork_carries_scoped_dvs(base, spark):
+    """A branch forked after MOR updates must carry the scoped-DV list:
+    without it the fork's snapshot_mor resurrects the masked OLD
+    versions (every updated key comes back twice). Publish must then
+    round-trip the branch's own scoped state back to main."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+    log.update_mor(spark, "k BETWEEN 10 AND 14", {"tag": "tag + 50"}, ["k"])
+
+    br = log.create_branch("audit")
+    main_rows = sorted((r.k, r.tag) for r in log.snapshot_mor(spark).collect())
+    br_rows = sorted((r.k, r.tag) for r in br.snapshot_mor(spark).collect())
+    assert br_rows == main_rows, "fork lost the scoped-DV masks"
+
+    # a further MOR update ON the branch stays branch-local, then
+    # publishes — scoped list intact end to end
+    br.update_mor(spark, "k = 12", {"tag": "tag + 1"}, ["k"])
+    assert log.snapshot_mor(spark).filter("k = 12").collect()[0]["tag"] == 50
+    log.fast_forward(br, "audit")
+    rows = {r.k: r.tag for r in log.snapshot_mor(spark).collect()}
+    assert len(rows) == 100
+    assert rows[12] == 51 and rows[11] == 50 and rows[9] == 0
