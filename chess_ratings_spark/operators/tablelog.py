@@ -771,6 +771,14 @@ class TableLog:
                         # which point the pointer is finalized and
                         # vacuum reads the clone's own log instead
                         "pending_files": sorted(self.manifest_files(m)),
+                        # scoped-DV artifacts the pending clone will
+                        # reference — protected from the DV sweep the
+                        # same way (a clone of an old version may
+                        # reference an artifact no retained source
+                        # manifest still lists)
+                        "pending_dvs": sorted(
+                            m.get("delete_vectors_scoped", [])
+                        ),
                     }
                 )
             )
@@ -1746,6 +1754,9 @@ class TableLog:
         live: set[str] = set()
         for v in keep_vs:
             live.update(self.resolve_files(v))
+            live.update(
+                self.read_manifest(v).get("delete_vectors_scoped", [])
+            )
         live.update(self._clone_referenced_files(prune_stale=True))
         for sibling in sorted(self.base.glob("_branches/*/_log")):
             if sibling == self.log_dir:
@@ -1754,6 +1765,7 @@ class TableLog:
             for v in br_vs[-retain_versions:]:
                 m = json.loads((sibling / f"{v:020d}.json").read_text())
                 live.update(self.manifest_files(m))
+                live.update(m.get("delete_vectors_scoped", []))
         if self.log_dir != self.base / "_log" and (self.base / "_log").exists():
             # vacuum called on a branch handle: main's snapshots are live
             main_vs = sorted(
@@ -1762,6 +1774,7 @@ class TableLog:
             for v in main_vs[-retain_versions:]:
                 m = json.loads((self.base / "_log" / f"{v:020d}.json").read_text())
                 live.update(self.manifest_files(m))
+                live.update(m.get("delete_vectors_scoped", []))
         all_files = {str(p) for p in self.data_dir.glob("*.parquet")}
         # second clone scan right before deletion: a clone registered
         # after the first pass (its pointer now on disk) keeps its
@@ -1770,9 +1783,32 @@ class TableLog:
         dead = sorted(all_files - live - late_live)
         for p in dead:
             os.unlink(p)
+        # scoped-DV artifacts (MOR UPDATE/MERGE pair parquets under
+        # _dvs/) are swept by the same liveness rule: referenced by a
+        # retained manifest of ANY sibling log, by a registered
+        # clone's manifests, or by a pending clone pointer => live.
+        # Superseded artifacts (OPTIMIZE/COW materialized their masks,
+        # or their version aged out of retention) are reclaimed here —
+        # they previously accumulated forever. Global key-list DVs are
+        # caller-owned paths outside the table base and are never
+        # swept. Same in-flight-writer caveat as data files: a real
+        # deployment adds a retention horizon on artifact mtime.
+        import shutil as _shutil
+
+        dv_root = self.base / "_dvs"
+        all_dvs = (
+            {str(p) for p in dv_root.glob("*")} if dv_root.exists() else set()
+        )
+        dead_dvs = sorted(all_dvs - live - late_live)
+        for p in dead_dvs:
+            if os.path.isdir(p):
+                _shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.unlink(p)
         return {
             "n_live": len(live | late_live),
             "n_removed": len(dead),
+            "n_dvs_removed": len(dead_dvs),
             "retained_versions": keep_vs,
         }
 
@@ -1809,6 +1845,7 @@ class TableLog:
                 # v0 commit in flight (or crashed mid-clone): protect
                 # its staged read set — never keyed on dir existence
                 live.update(body["pending_files"])
+                live.update(body.get("pending_dvs", []))
             manifests: list[Path] = []
             try:
                 manifests = sorted((clone_base / "_log").glob("*.json"))
@@ -1816,9 +1853,14 @@ class TableLog:
                 pass  # unreachable clone log: stay safe, prune nothing
             for mp in manifests:
                 try:
-                    live.update(self.manifest_files(json.loads(mp.read_text())))
+                    cm = json.loads(mp.read_text())
                 except (OSError, ValueError):
                     continue
+                live.update(self.manifest_files(cm))
+                # the clone's manifests reference OUR scoped-DV
+                # artifacts (clone_to carries the list verbatim):
+                # protect them from the DV sweep too
+                live.update(cm.get("delete_vectors_scoped", []))
             if prune_stale and own and "pending_files" not in body and not manifests:
                 try:
                     os.stat(clone_base)

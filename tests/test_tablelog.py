@@ -1721,3 +1721,41 @@ def test_branch_fork_carries_scoped_dvs(base, spark):
     rows = {r.k: r.tag for r in log.snapshot_mor(spark).collect()}
     assert len(rows) == 100
     assert rows[12] == 51 and rows[11] == 50 and rows[9] == 0
+
+
+def test_vacuum_reclaims_superseded_scoped_dvs(base, spark):
+    """Scoped-DV artifacts must be swept by vacuum's liveness rule:
+    referenced by a retained manifest (any sibling log), a registered
+    clone, or a pending clone pointer => live; superseded (OPTIMIZE
+    materialized the masks) and aged-out => reclaimed. They previously
+    accumulated forever."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+    log.update_mor(spark, "k BETWEEN 5 AND 9", {"tag": "tag + 1"}, ["k"])
+    log.update_mor(spark, "k = 50", {"tag": "tag + 2"}, ["k"])
+    dvs = lambda: {p.name for p in (Path(base) / "_dvs").glob("*")}  # noqa: E731
+    assert len(dvs()) == 2
+
+    # both artifacts still referenced by the latest manifest: live
+    res = log.vacuum(retain_versions=1)
+    assert res["n_dvs_removed"] == 0 and len(dvs()) == 2
+
+    # OPTIMIZE materializes the masks and drops the scoped list; with
+    # only the optimized version retained, both artifacts are dead
+    log.optimize(spark, target_rows_per_file=1_000)
+    before = log.snapshot_mor(spark).orderBy("k").collect()
+    res = log.vacuum(retain_versions=1)
+    assert res["n_dvs_removed"] == 2 and dvs() == set()
+    assert log.snapshot_mor(spark).orderBy("k").collect() == before
+
+    # a registered CLONE of a scoped version keeps its artifacts live
+    log.update_mor(spark, "k = 7", {"tag": "tag + 5"}, ["k"])
+    clone_base = Path(base) / "clone_dest"
+    log.clone_to(clone_base)
+    log.optimize(spark, target_rows_per_file=1_000)
+    res = log.vacuum(retain_versions=1)
+    assert res["n_dvs_removed"] == 0 and len(dvs()) == 1, (
+        "vacuum destroyed an artifact a registered clone references"
+    )
+    clone = TableLog(clone_base)
+    assert clone.snapshot_mor(spark).filter("k = 7").collect()[0]["tag"] == 6
