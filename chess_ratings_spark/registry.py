@@ -96,16 +96,20 @@ DRIVER_ORDER: tuple[str, ...] = (
     # rounds; each round's spare slots front the oldest evidence.
     # Round-12+ capacity plan (computed at r11 HEAD from the union of
     # CORRECTNESS_r1..r11-projected): §2 latest-evidence cohorts are
-    # r7×30, r8×43, r9×46, r10×42, r11×38 — so the 4-round floor
-    # mandates 30 slots at r12 but 43/46/42 at r13/r14/r15, leaving
-    # only 4-8 spare slots those rounds. Round 12 should therefore
-    # spend its ~20 spare slots as: the oldest non-§2 evidence (20
-    # names at r4 = age 8: the TPC-H q-block minus q3, plus
-    # sample_hash_split/contamination_ngram-class leftovers), MINUS a
-    # few traded for (a) any new registrations and (b) 3-5 names
-    # PRE-EMPTED from the r8×43 cohort (registration order) to smooth
-    # r13's squeeze. Never let a cohort reach >50: front part of it a
-    # round early instead.
+    # r7×30, r8×43, r9×46, r10×42, r11×40 (the 38 planned + the two
+    # late registrations geo_knn_join / lake_merge_mor) — so the
+    # 4-round floor mandates 30 slots at r12 but 43/46/42 at
+    # r13/r14/r15, leaving only 4-8 spare slots those rounds. Round 12
+    # should therefore spend its ~20 spare slots as: FIRST the three
+    # names this round displaced for late registrations
+    # (q3_shipping_priority, dedup_exact_hash — both r4 = age 8 — and
+    # the lake_clone_shallow re-check, r10-green but its verb changed
+    # in r11), then the rest of the age-8 non-§2 block (the TPC-H
+    # q-block, sample_hash_split/contamination_ngram-class leftovers),
+    # MINUS a few traded for (a) any new registrations and (b) 3-5
+    # names PRE-EMPTED from the r8×43 cohort (registration order) to
+    # smooth r13's squeeze. Never let a cohort reach >50: front part
+    # of it a round early instead.
     "agg_histogram_2d",
     "agg_mad_outliers",
     "corpus_prepare_v2",
