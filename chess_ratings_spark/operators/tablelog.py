@@ -1417,6 +1417,23 @@ class TableLog:
             live = _apply_delete_vectors(
                 spark, base, m.get("delete_vectors", [])
             )
+            # schema-on-WRITE check (Delta's MERGE contract): a source
+            # whose column types diverge from the table would land a
+            # file the union scan can no longer read — every later
+            # snapshot fails loudly. Refuse before committing instead.
+            table_schema = {
+                f.name: f.dataType for f in base.schema.fields
+                if f.name != "_dv_file"
+            }
+            src_schema = {f.name: f.dataType for f in source.schema.fields}
+            if src_schema != table_schema:
+                raise ValueError(
+                    f"source schema {sorted(src_schema.items(), key=str)}"
+                    " does not match the table's"
+                    f" {sorted(table_schema.items(), key=str)}: MERGE"
+                    " refuses a type-divergent source (the committed"
+                    " file would break every later snapshot read)"
+                )
             src_keys = source.select(*key_cols)
             matched = live.join(F.broadcast(src_keys), key_cols, "left_semi")
             n_matched = matched.count()

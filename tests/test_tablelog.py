@@ -1628,15 +1628,19 @@ def test_merge_mor_refuses_ambiguous_keys(base, spark):
     log = TableLog(base)
     _bucketed(log, spark)
     # duplicate source keys: two source rows would match one target row
-    dup = _tiny(spark, n=2, tag=1).withColumn("k", F.lit(3))
+    dup = _tiny(spark, n=2, tag=1).withColumn("k", F.lit(3).cast("bigint"))
     try:
         log.merge_mor(spark, dup, ["k"])
         raise AssertionError("duplicate source keys accepted")
     except ValueError as e:
         assert "unique source keys" in str(e)
     # duplicate TARGET keys: upsert would collapse two rows into one
-    log.append(_tiny(spark, n=1, tag=2).withColumn("k", F.lit(3)), 1, "dup")
-    one = _tiny(spark, n=1, tag=9).withColumn("k", F.lit(3))
+    log.append(
+        _tiny(spark, n=1, tag=2).withColumn("k", F.lit(3).cast("bigint")),
+        1,
+        "dup",
+    )
+    one = _tiny(spark, n=1, tag=9).withColumn("k", F.lit(3).cast("bigint"))
     try:
         log.merge_mor(spark, one, ["k"])
         raise AssertionError("duplicate target keys accepted")
@@ -1684,9 +1688,9 @@ def test_merge_mor_stacks_and_optimize_materializes(base, spark):
     drops the now-inert scoped DVs."""
     log = TableLog(base)
     _bucketed(log, spark)
-    one = _tiny(spark, n=1, tag=1).withColumn("k", F.lit(42))
+    one = _tiny(spark, n=1, tag=1).withColumn("k", F.lit(42).cast("bigint"))
     log.merge_mor(spark, one, ["k"])
-    two = _tiny(spark, n=1, tag=2).withColumn("k", F.lit(42))
+    two = _tiny(spark, n=1, tag=2).withColumn("k", F.lit(42).cast("bigint"))
     log.merge_mor(spark, two, ["k"])
     rows = log.snapshot_mor(spark).filter("k = 42").collect()
     assert len(rows) == 1 and rows[0]["tag"] == 2
@@ -1759,3 +1763,91 @@ def test_vacuum_reclaims_superseded_scoped_dvs(base, spark):
     )
     clone = TableLog(clone_base)
     assert clone.snapshot_mor(spark).filter("k = 7").collect()[0]["tag"] == 6
+
+
+def test_mor_writers_concurrent_soak(base, spark):
+    """Threaded soak for the round-11 MOR writers, past the
+    deterministic race injections: 3 threads each run 4 MOR
+    upserts/updates against DISJOINT key ranges, retrying through
+    CommitConflict (the prescribed recovery — every writer conflicts
+    on any concurrent scoped-DV change, so contention is the norm
+    here, not the exception). Invariants at the end: every thread's
+    final value won exactly once per key (nothing lost, nothing
+    duplicated, no stale version resurfaced), the scoped-DV stack
+    replays through snapshot_mor AND time travel, and no thread hit a
+    non-conflict error or livelocked past its retry budget."""
+    import threading
+
+    log = TableLog(base)
+    _bucketed(log, spark)  # k 0..99, tag 0
+    errors: list[str] = []
+    gaveup: list[str] = []
+
+    def writer(tid: int):
+        # each thread owns keys [tid*20, tid*20+5) — disjoint ranges,
+        # so all interleavings are serializable to the same final state
+        own = TableLog(base)  # separate handle: no shared mutable state
+        lo = tid * 20
+        for step in range(1, 5):
+            for attempt in range(80):
+                try:
+                    if step % 2:
+                        own.update_mor(
+                            spark,
+                            f"k BETWEEN {lo} AND {lo + 4}",
+                            {"tag": f"{tid * 1000 + step}"},
+                            ["k"],
+                        )
+                    else:
+                        src = spark.range(lo, lo + 5).select(
+                            F.col("id").alias("k"),
+                            F.lit(tid * 1000 + step).cast("int").alias(
+                                "tag"
+                            ),
+                        )
+                        own.merge_mor(spark, src, ["k"])
+                    break
+                except CommitConflict:
+                    continue
+                except Exception as e:  # pragma: no cover
+                    errors.append(f"t{tid} step{step}: {type(e).__name__}: {e}")
+                    return
+            else:
+                gaveup.append(f"t{tid} step{step}")
+                return
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
+    assert not gaveup, f"livelock: {gaveup}"
+    rows = {r.k: r.tag for r in log.snapshot_mor(spark).collect()}
+    assert len(rows) == 100, "row lost or duplicated under contention"
+    for tid in range(3):
+        for k in range(tid * 20, tid * 20 + 5):
+            assert rows[k] == tid * 1000 + 4, (k, rows[k])
+    assert all(
+        rows[k] == 0
+        for k in range(100)
+        if not any(t * 20 <= k < t * 20 + 5 for t in range(3))
+    )
+    # the whole stacked history stays time-travelable
+    assert all(r.tag == 0 for r in log.snapshot_mor(spark, 0).collect())
+
+
+def test_merge_mor_refuses_type_divergent_source(base, spark):
+    """A merge source whose column types diverge from the table would
+    commit a file the union scan can no longer read (every later
+    snapshot_mor fails with a parquet type mismatch — the soak test
+    found this the hard way). merge_mor must refuse at write time."""
+    log = TableLog(base)
+    _bucketed(log, spark)  # tag is INT
+    bad = _tiny(spark, n=1, tag=1).withColumn(
+        "tag", F.col("tag").cast("bigint")
+    )
+    with pytest.raises(ValueError, match="type-divergent source"):
+        log.merge_mor(spark, bad, ["k"])
+    # nothing committed, table still reads
+    assert log.snapshot_mor(spark).count() == 100
