@@ -76,6 +76,28 @@ def _is_data_change(op: str) -> bool:
     return any(op.startswith(p) for p in _DATA_CHANGE_PREFIXES)
 
 
+def _refuse_type_divergence(before, after, verb: str) -> None:
+    """Schema-on-WRITE guard shared by the rewrite verbs: an assign
+    expression that changes a column's type (``tag * 1.1`` on an INT
+    column) would land a file the union scan can no longer read —
+    every later snapshot dies with a parquet type mismatch. Analysis-
+    only (no action): compares resolved schemas and refuses loudly
+    BEFORE anything is committed."""
+    b = {f.name: f.dataType for f in before.fields}
+    a = {f.name: f.dataType for f in after.fields}
+    if a != b:
+        diverged = sorted(
+            f"{n}: {b[n].simpleString()} -> {a[n].simpleString()}"
+            for n in a
+            if n in b and a[n] != b[n]
+        )
+        raise ValueError(
+            f"{verb} assignment changes column types ({'; '.join(diverged)}):"
+            " the committed file would break every later snapshot read —"
+            " cast the expression back to the column's type"
+        )
+
+
 def _read_umask_once() -> int:
     """Probe the process umask exactly once, at import time. os.umask
     is the only portable read, but it is a process-global WRITE too —
@@ -1097,6 +1119,7 @@ class TableLog:
             out = out.withColumn(
                 col_name, F.when(cond, F.expr(expr)).otherwise(F.col(col_name))
             )
+        _refuse_type_divergence(src.schema, out.schema, "UPDATE")
         new = self._land(out, len(touched), tag=tag)
 
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
@@ -1286,6 +1309,9 @@ class TableLog:
         out = matched.drop("_dv_file")
         for col_name, expr in assign.items():
             out = out.withColumn(col_name, F.expr(expr))
+        _refuse_type_divergence(
+            matched.drop("_dv_file").schema, out.schema, "UPDATE"
+        )
         new = self._land(out, n_files, tag=tag)
 
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
@@ -1365,14 +1391,22 @@ class TableLog:
           the insert are keyed globally here).
 
         Concurrency — STRICTER than update_mor: conflicts on ANY
-        file-set change, appends included. update_mor's predicate is
-        evaluated against its read snapshot, so a concurrent append
-        commutes; MERGE's correctness additionally depends on global
-        key uniqueness, and a concurrent append can insert a key this
-        merge also inserts — invisible to both writers, surfacing
-        later as duplicate keys. (Delta's Serializable level makes the
-        same call: MERGE reads the whole table, so any concurrent
-        file change conflicts.)
+        file-set OR delete-vector-list change, appends included.
+        update_mor's predicate is evaluated against its read snapshot,
+        so a concurrent append commutes; MERGE's correctness
+        additionally depends on global key uniqueness, and a
+        concurrent append can insert a key this merge also inserts —
+        invisible to both writers, surfacing later as duplicate keys.
+        A concurrent key-global DELETE is just as dangerous: its key
+        list would re-mask this merge's appended rows. (Delta's
+        Serializable level makes the same call: MERGE reads the whole
+        table, so any concurrent change conflicts.)
+
+        Key-global DVs also bound what a merge can express AT READ
+        time: a source key already masked by a global DV cannot be
+        upserted (the carried list would mask the new version too) —
+        the verb refuses and prescribes OPTIMIZE, which materializes
+        global DVs and drops them.
 
         ``op="merge-mor"`` is a data change; the CDF replays it as
         delete(masked old versions) + insert(the appended source) via
@@ -1385,13 +1419,16 @@ class TableLog:
 
         from pyspark.sql import functions as F
 
-        n_source = source.count()
+        src_stats = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(*key_cols).alias("nk"),
+        ).collect()[0]
+        n_source, n_keys = int(src_stats["n"]), int(src_stats["nk"])
         if n_source == 0:
             m = self.read_manifest()
             return {"version": int(m["version"]), "n_updated": 0,
                     "n_inserted": 0, "files_appended": 0,
                     "files_rewritten": 0}
-        n_keys = source.select(*key_cols).distinct().count()
         if n_keys != n_source:
             raise ValueError(
                 f"source has {n_source} rows but {n_keys} distinct"
@@ -1407,6 +1444,7 @@ class TableLog:
             )
         read_files = set(m.get("files", []))
         read_scoped = set(m.get("delete_vectors_scoped", []))
+        read_global = list(m.get("delete_vectors", []))
 
         dv_path: str | None = None
         n_matched = 0
@@ -1414,9 +1452,7 @@ class TableLog:
             base = self._with_scoped_dvs_applied(
                 spark, sorted(read_files), m
             )
-            live = _apply_delete_vectors(
-                spark, base, m.get("delete_vectors", [])
-            )
+            live = _apply_delete_vectors(spark, base, read_global)
             # schema-on-WRITE check (Delta's MERGE contract): a source
             # whose column types diverge from the table would land a
             # file the union scan can no longer read — every later
@@ -1434,28 +1470,53 @@ class TableLog:
                     " refuses a type-divergent source (the committed"
                     " file would break every later snapshot read)"
                 )
-            src_keys = source.select(*key_cols)
-            matched = live.join(F.broadcast(src_keys), key_cols, "left_semi")
-            n_matched = matched.count()
-            if n_matched:
-                n_matched_keys = (
-                    matched.select(*key_cols).distinct().count()
-                )
-                if n_matched_keys != n_matched:
+            if read_global:
+                # key-GLOBAL delete vectors mask a key in EVERY file —
+                # including the file this merge is about to append. A
+                # source row whose key sits in a global DV would be
+                # counted as an insert and then silently re-masked on
+                # every read (the upsert vanishes). Inexpressible
+                # without rewriting the caller-owned DV artifacts:
+                # refuse, and point at OPTIMIZE (which materializes
+                # global DVs and drops them).
+                n_visible = _apply_delete_vectors(
+                    spark, source, read_global
+                ).count()
+                if n_visible != n_source:
                     raise ValueError(
-                        f"{n_matched} target rows share"
-                        f" {n_matched_keys} distinct {key_cols}:"
-                        " MERGE needs table-wide unique target keys"
-                        " (an upsert would collapse duplicates)"
+                        f"{n_source - n_visible} source keys are masked"
+                        " by key-global delete vectors, which would"
+                        " also mask their merged new versions — run"
+                        " OPTIMIZE first to materialize the deletes,"
+                        " then re-run the MERGE"
                     )
-                dv_dir = self.base / "_dvs"
-                dv_dir.mkdir(parents=True, exist_ok=True)
-                dv_path = str(
-                    dv_dir / f"{tag}-{uuid.uuid4().hex[:12]}.parquet"
-                )
-                matched.select("_dv_file", *key_cols).coalesce(1).write.mode(
-                    "errorifexists"
-                ).parquet(dv_path)
+            src_keys = source.select(*key_cols)
+            matched = live.join(
+                F.broadcast(src_keys), key_cols, "left_semi"
+            ).persist()
+            try:
+                n_matched = matched.count()
+                if n_matched:
+                    n_matched_keys = (
+                        matched.select(*key_cols).distinct().count()
+                    )
+                    if n_matched_keys != n_matched:
+                        raise ValueError(
+                            f"{n_matched} target rows share"
+                            f" {n_matched_keys} distinct {key_cols}:"
+                            " MERGE needs table-wide unique target keys"
+                            " (an upsert would collapse duplicates)"
+                        )
+                    dv_dir = self.base / "_dvs"
+                    dv_dir.mkdir(parents=True, exist_ok=True)
+                    dv_path = str(
+                        dv_dir / f"{tag}-{uuid.uuid4().hex[:12]}.parquet"
+                    )
+                    matched.select("_dv_file", *key_cols).coalesce(
+                        1
+                    ).write.mode("errorifexists").parquet(dv_path)
+            finally:
+                matched.unpersist()
 
         new = self._land(source, n_files, tag=tag)
 
@@ -1467,14 +1528,17 @@ class TableLog:
                     "protocol mix: table's latest manifest is sharded —"
                     " merge_mor cannot rebase onto it"
                 )
-            if set(prev.get("files", [])) != read_files or (
-                set(prev.get("delete_vectors_scoped", [])) != read_scoped
+            if (
+                set(prev.get("files", [])) != read_files
+                or set(prev.get("delete_vectors_scoped", [])) != read_scoped
+                or list(prev.get("delete_vectors", [])) != read_global
             ):
                 raise CommitConflict(
-                    "concurrent commit during MERGE (file set or"
-                    " scoped-DV list changed); re-run on the new"
-                    " snapshot — a racing writer may have touched or"
-                    " inserted keys this MERGE read or inserts"
+                    "concurrent commit during MERGE (file set or a"
+                    " delete-vector list changed); re-run on the new"
+                    " snapshot — a racing writer may have touched,"
+                    " deleted, or inserted keys this MERGE read or"
+                    " inserts"
                 )
             carry: dict = {}
             scoped = list(prev.get("delete_vectors_scoped", []))

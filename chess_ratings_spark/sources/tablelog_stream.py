@@ -159,6 +159,22 @@ class TableLogCdfReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if partition.kind == "delete-scoped":
+            # read the (tiny) pairs artifact FIRST: a scoped DV names
+            # only the files its update touched, so most of the
+            # (prior file × artifact) partitions the planner emits
+            # return here without ever opening their data file —
+            # otherwise one MOR update on a 10k-file table would cost
+            # 10k full data-file reads to discard 9,998 of them
+            import pyarrow.compute as pc
+
+            pairs = pq.read_table(partition.dv_file)
+            pairs = pairs.filter(
+                pc.equal(pairs["_dv_file"], partition.data_file)
+            )
+            if pairs.num_rows == 0:
+                return
+
         tbl = pq.read_table(partition.data_file)
         if partition.kind == "delete" and partition.dv_file is not None:
             # DV-delete: only the file's rows matching the delete-vector
@@ -172,15 +188,10 @@ class TableLogCdfReader(DataSourceStreamReader):
         elif partition.kind == "delete-scoped":
             # scoped-pair delete: only the pairs naming THIS file bite
             # (pairs for other files are other partitions' work; pairs
-            # for dropped files are inert — snapshot_mor's semantics)
+            # for dropped files are inert — snapshot_mor's semantics);
+            # `pairs` was pre-filtered above, before the data read
             import pyarrow.compute as pc
 
-            pairs = pq.read_table(partition.dv_file)
-            pairs = pairs.filter(
-                pc.equal(pairs["_dv_file"], partition.data_file)
-            )
-            if pairs.num_rows == 0:
-                return
             key_cols = [c for c in pairs.column_names if c != "_dv_file"]
             if len(key_cols) == 1:
                 mask = pc.is_in(

@@ -1851,3 +1851,49 @@ def test_merge_mor_refuses_type_divergent_source(base, spark):
         log.merge_mor(spark, bad, ["k"])
     # nothing committed, table still reads
     assert log.snapshot_mor(spark).count() == 100
+
+
+def test_merge_mor_refuses_globally_deleted_source_keys(base, spark):
+    """A source key masked by a key-GLOBAL delete vector cannot be
+    upserted: the carried-forward DV would re-mask the appended new
+    version on every read — the 'insert' would count in the census and
+    never become visible. The verb must refuse and prescribe OPTIMIZE
+    (which materializes global DVs and drops them); after OPTIMIZE the
+    same merge resurrects the key cleanly."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+    # key-global MOR delete of k=7 (the lake_delete_mor shape)
+    dv = Path(base) / "global_dv"
+    spark.createDataFrame([(7,)], "k bigint").coalesce(1).write.parquet(str(dv))
+    m = log.read_manifest()
+    log.commit(
+        m["files"], op="delete-mor",
+        extra={"delete_vectors": [str(dv)]},
+    )
+    assert log.snapshot_mor(spark).filter("k = 7").count() == 0
+
+    src = _tiny(spark, n=1, tag=3).withColumn("k", F.lit(7).cast("bigint"))
+    with pytest.raises(ValueError, match="masked by key-global delete"):
+        log.merge_mor(spark, src, ["k"])
+    # the prescribed path: OPTIMIZE materializes, then the merge works
+    log.optimize(spark, target_rows_per_file=1_000)
+    res = log.merge_mor(spark, src, ["k"])
+    assert res["n_inserted"] == 1 and res["n_updated"] == 0
+    rows = log.snapshot_mor(spark).filter("k = 7").collect()
+    assert len(rows) == 1 and rows[0]["tag"] == 3
+
+
+def test_update_verbs_refuse_type_changing_assignments(base, spark):
+    """An assign expression that changes a column's type would commit a
+    file the union scan can't read (the merge_mor schema guard's
+    failure mode through the sibling verbs). Both UPDATE flavors must
+    refuse before landing anything."""
+    log = TableLog(base)
+    _bucketed(log, spark)  # tag INT
+    with pytest.raises(ValueError, match="changes column types"):
+        log.update_mor(spark, "k = 3", {"tag": "tag * 1.1"}, ["k"])
+    with pytest.raises(ValueError, match="changes column types"):
+        log.update_cow(spark, "k = 3", {"tag": "cast(tag as bigint)"})
+    # nothing committed, table still reads, version unmoved
+    assert log.latest_version() == 0
+    assert log.snapshot_mor(spark).count() == 100
