@@ -873,3 +873,69 @@ def test_ewma_forecast_matches_pure_python_recurrence(spark):
             got_keys.add(key)
             assert out[key] == int(expected), key
     assert got_keys == set(out), "query emitted days the reference lacks"
+
+
+def test_merge_mor_matches_pure_python_upsert(spark, tmp_path):
+    """lake_merge_mor's census oracle is a logical replay in SQL; this
+    recomputes the end state with a pure-Python dict upsert over the
+    collected fixture rows — an unrelated route that would catch a
+    shared derivation error in both the verb and its oracle (which
+    rows count as updates vs inserts, what the post-merge sum is)."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = (
+        tables.load(spark, SF_SMOKE, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+        )
+    )
+    rows = ev.collect()
+    table = {r["event_id"]: r.asDict() for r in rows}
+    n0 = len(table)
+
+    # the registered query's exact source recipe, replayed in Python
+    updates, inserts = {}, {}
+    for r in rows:
+        if r["event_type"] == "view" and r["user_id"] % 15 == 2:
+            d = r.asDict()
+            d["vc"] += 5000
+            updates[d["event_id"]] = d
+        if r["event_type"] == "purchase" and r["user_id"] % 15 == 3:
+            d = r.asDict()
+            d["event_id"] += 100_000_000
+            d["vc"] += 7
+            inserts[d["event_id"]] = d
+    for k, d in {**updates, **inserts}.items():
+        table[k] = d  # dict upsert IS merge semantics
+
+    log = TableLog(tmp_path / "t")
+    log.append_range_bucketed(ev, "user_id", 25, tag="base")
+    src_updates = ev.filter(
+        "event_type = 'view' AND user_id % 15 = 2"
+    ).withColumn("vc", F.col("vc") + 5000)
+    src_inserts = ev.filter(
+        "event_type = 'purchase' AND user_id % 15 = 3"
+    ).select(
+        (F.col("event_id") + 100_000_000).alias("event_id"),
+        "user_id",
+        "event_type",
+        (F.col("vc") + 7).alias("vc"),
+    )
+    res = log.merge_mor(spark, src_updates.unionByName(src_inserts), ["event_id"])
+    assert res["n_updated"] == len(updates)
+    assert res["n_inserted"] == len(inserts)
+
+    got = {
+        r["event_id"]: (r["user_id"], r["event_type"], r["vc"])
+        for r in log.snapshot_mor(spark).collect()
+    }
+    want = {
+        k: (d["user_id"], d["event_type"], d["vc"]) for k, d in table.items()
+    }
+    assert got == want
+    assert len(got) == n0 + len(inserts)
