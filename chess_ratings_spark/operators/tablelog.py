@@ -1575,7 +1575,13 @@ class TableLog:
         """Data skipping from manifest stats: scan ONLY files whose
         recorded [min, max] of ``col`` overlaps [lo, hi] (the exact
         predicate is still applied on top — stats pruning must be a
-        superset). Returns (frame, files_total, files_scanned)."""
+        superset). Returns (frame, files_total, files_scanned).
+
+        RAW by design, like :meth:`snapshot`: no delete vectors of
+        either kind are applied — this is the pruning primitive, and
+        MOR-aware readers compose it with :meth:`snapshot_mor`'s
+        semantics (or use the batch DataSource, which prunes AND
+        applies both DV kinds)."""
         from pyspark.sql import functions as F
 
         m = self.read_manifest(version)
