@@ -423,3 +423,142 @@ def test_cdf_stream_replays_scoped_dv_updates(spark, tmp_path):
     got = sorted((r.k, r.v) for r in net.collect())
     want = sorted((r.k, r.v) for r in log.snapshot_mor(spark).collect())
     assert got == want
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+#: random TableLog op sequences for the stream-vs-batch CDF property:
+#: appends, key-global MOR deletes, scoped-DV updates, MOR merges, and
+#: OPTIMIZEs (which must contribute NOTHING to either feed)
+_cdf_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 5)),
+        st.tuples(st.just("delete"), st.integers(0, 4)),
+        st.tuples(st.just("umor"), st.integers(0, 6)),
+        st.tuples(st.just("merge"), st.integers(0, 6)),
+        st.tuples(st.just("opt"), st.just(0)),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_cdf_ops)
+def test_cdf_stream_equals_changes_between_on_random_histories(
+    spark, tmp_path_factory, ops
+):
+    """The streaming CDF source and TableLog.changes_between are
+    PARALLEL implementations of the same feed (driver-side manifest
+    diff vs Spark-side file reads) — exactly where silent divergence
+    hides. Property: for ARBITRARY op histories (appends, global-DV
+    deletes, scoped-DV updates, MOR merges, OPTIMIZEs), one availableNow
+    drain emits the identical (key, change_type, commit_version)
+    multiset as the batch twin over the full version range."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+    from chess_ratings_spark.sources.tablelog_stream import TableLogCdfSource
+
+    try:
+        spark.dataSource.register(TableLogCdfSource)
+    except Exception:
+        pass
+    tmp = tmp_path_factory.mktemp("cdfprop")
+    log = TableLog(tmp / "t")
+    log.append(
+        spark.range(20).select(F.col("id").alias("k")), n_files=2, tag="seed"
+    )
+    model_live = set(range(20))
+    n_dv = 0
+    for i, (kind, arg) in enumerate(ops):
+        if kind == "append":
+            lo = 1000 + arg * 20 + i * 200
+            log.append(
+                spark.range(lo, lo + 10).select(F.col("id").alias("k")),
+                n_files=1,
+                tag=f"a{i}",
+            )
+            model_live |= set(range(lo, lo + 10))
+        elif kind == "delete":
+            doomed = sorted(k for k in model_live if k % 5 == arg)
+            if not doomed:
+                continue
+            n_dv += 1
+            p = str(tmp / f"dv{n_dv}")
+            spark.createDataFrame(
+                [(k,) for k in doomed], "k bigint"
+            ).coalesce(1).write.parquet(p)
+            m = log.read_manifest()
+            extra = {"delete_vectors": m.get("delete_vectors", []) + [p]}
+            if "delete_vectors_scoped" in m:
+                extra["delete_vectors_scoped"] = m["delete_vectors_scoped"]
+            log.commit(m["files"], op="delete-mor", extra=extra)
+            model_live -= set(doomed)
+        elif kind == "umor":
+            res = log.update_mor(spark, f"k % 7 = {arg}", {"k": "k"}, ["k"])
+            _ = res
+        elif kind == "merge":
+            if log.read_manifest().get("delete_vectors"):
+                continue  # globally-masked keys are refused by contract
+            upd = sorted(k for k in model_live if k % 7 == arg)
+            lo = 100_000 + arg * 10 + i * 100
+            ins = list(range(lo, lo + 3))
+            log.merge_mor(
+                spark,
+                spark.createDataFrame([(k,) for k in upd + ins], "k bigint"),
+                ["k"],
+            )
+            model_live |= set(ins)
+        else:
+            log.optimize(spark, target_rows_per_file=1_000_000)
+
+    latest = log.latest_version()
+    if latest == 0:
+        return
+
+    def census(df):
+        return {
+            (r["k"], r["_change_type"], r["_commit_version"]): r["n"]
+            for r in df.groupBy("k", "_change_type", "_commit_version")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    try:
+        batch = census(
+            log.changes_between(spark, 0, latest).withColumn(
+                "_commit_version", F.col("_commit_version").cast("int")
+            )
+        )
+    except ValueError:
+        # an all-OPTIMIZE history: the batch twin refuses the empty
+        # range by contract; the stream twin must then emit nothing
+        batch = {}
+    out_dir = str(tmp / "out")
+    src = (
+        spark.readStream.format("crs_tablelog_cdf")
+        .option("path", str(tmp / "t"))
+        .option("schema", "k bigint")
+        .option("key_col", "k")
+        .load()
+    ).filter(F.col("_commit_version") > 0)  # changes_between starts AT v0
+    q = (
+        src.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        stream = census(spark.read.parquet(out_dir))
+    except Exception:
+        stream = {}  # nothing emitted -> no parquet output at all
+    assert stream == batch
