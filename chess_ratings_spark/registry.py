@@ -38,78 +38,94 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
-#: Driver-facing emission order. Two rounds of evidence fixed the cap:
-#: the driver oracle-checks exactly the FIRST 50 names in ``queries()``
-#: iteration order (a fixed 50, not proportional). Round-9 rotation
-#: (the r8 verdict's single mandate): round 8 left 67 names with no
-#: driver CORRECTNESS row ever (all round-8 additions, former slots
-#: 51-117). The round-9 window fronts the OLDEST 50 of that queue in
-#: original registration order; the remaining 17 sit at slots 51-67 so
-#: they lead round 10's window, leaving ~33 round-10 slots for new
-#: work. Round 9 registers (almost) nothing new by design.
+#: Driver-facing emission order. The driver oracle-checks exactly the
+#: FIRST 50 names in ``queries()`` iteration order (a fixed 50, not
+#: proportional — established rounds 8-9).
 #:
-#: Rotation-freshness policy (adopted round 9, after the queue clears):
-#: no §2 operator's latest driver row may be older than 4 rounds —
-#: once the never-checked queue is empty, each round's spare slots
-#: front the names with the oldest driver evidence (r8 cleared all
-#: r1/r2 debt this way; post-r9 the oldest evidence is r5×14, r6×37).
-#: Names here must exist in REGISTRY once plans are imported —
-#: ``queries()`` raises on a stale entry.
+#: Rotation-freshness policy (adopted round 9; enforced by
+#: tests/test_contract.py::test_survey2_evidence_freshness): no SURVEY
+#: §2 operator's latest driver CORRECTNESS row may be older than 4
+#: rounds; each round's window fronts the operators whose evidence hits
+#: the floor, and spare slots go to new registrations, re-checks of
+#: operators whose behavior changed, pre-emptions from the NEXT round's
+#: cohort (to keep every future mandatory cohort under 50 — also
+#: enforced, by test_next_round_cohort_fits_window), then the oldest
+#: non-§2 evidence.
+#:
+#: ================= ROUND-12 WINDOW (slots 1-50) =================
+#:   1-30  the 30 §2 operators whose latest driver row is r7 (age 5
+#:         at round 12 -- the exact list the round-11
+#:         test_survey2_evidence_freshness failure named).
+#:  31-33  the three names round 11's late registrations displaced:
+#:         q3_shipping_priority and dedup_exact_hash (both r4 = age
+#:         8, the oldest evidence anywhere in the registry) and the
+#:         lake_clone_shallow re-check (r10-green, but its verb
+#:         gained the vacuum-guard pointer-ordering fix in r11).
+#:  34-38  five names PRE-EMPTED from the r8x43 cohort in
+#:         registration order, so round 13's mandatory cohort drops
+#:         to 38 and keeps ~12 spare slots (the r8/r9 cohorts are 43
+#:         and 46 wide -- without pre-emption rounds 13-14 would have
+#:         almost no room for new registrations).
+#:  39-50  the rest of the age-8 block: TPC-H q1/q4-q14 in query
+#:         order (q2 is r6-fresh; q9/q17/q21 were judge re-verified
+#:         at r10 HEAD but their driver rows are still r4 -- q15-q22
+#:         front round 13's spare slots next).
+#: Round-13+ capacity, recomputed at r12 HEAD: mandatory cohorts are
+#: r13: 38 (r8x43 minus the 5 pre-empted), r14: 46 (r9), r15: 43
+#: (r10). r14 is the tight one -- round 13's ~12 spare slots should
+#: pre-empt 4-6 of the r9 cohort the same way.
 DRIVER_ORDER: tuple[str, ...] = (
-    # ================= ROUND-11 WINDOW (slots 1-50) =================
-    # The driver oracle-checks exactly the FIRST 50 names. Composition
-    # per the round-10 verdict's mandate #1 (rotate the 31 age-5 names)
-    # plus this round's changes:
-    #   1-31  the 31 SURVEY-2 names whose latest driver row is r6
-    #         (age 5 at round 11 -- the 4-round freshness floor; the
-    #         exact list test_survey2_evidence_freshness was failing
-    #         on at round-10 HEAD). Green rows here make every §2
-    #         operator's evidence <=4 rounds old for the first time.
-    #   32-34 round-11 new registrations (ts_ewma_forecast,
-    #         lake_update_cow, geo_grid_join); slots 49-50 are the
-    #         FOURTH and FIFTH r11 registrations, geo_knn_join (exact
-    #         kNN join via grid-ring expansion) and lake_update_mor
-    #         (file-scoped-DV MOR UPDATE), both built late in the
-    #         round — they displaced q3_shipping_priority and
-    #         dedup_exact_hash, which rejoin their family blocks in
-    #         the r12 rotation (both are age-7 non-§2 rows whose
-    #         siblings carry fresher evidence)
-    #   35-39 ADVICE-touched re-checks and late registrations:
-    #         dedup_incremental_minhash (LSH index now cached per
-    #         (app,sf), not rebuilt+leaked), stream_sink_optimize
-    #         (oracle derives files_after from row count instead of
-    #         hardcoding protocol constants), lake_merge_mor (SIXTH
-    #         r11 registration: MOR MERGE INTO — it took the slot of
-    #         lake_clone_shallow, whose pointer-ordering ADVICE fix is
-    #         unit-tested and r10-green; clone re-checks in a later
-    #         rotation), lake_optimize_sharded (CAS-losing rebase
-    #         attempts unlink their shard JSONs), join_skew_salted
-    #         (verdict #5: fronted with its new plan assertion that
-    #         no single task reads a whole hot key)
-    #   40-50 the oldest non-§2 evidence (all r4 = age 7): the
-    #         LLM-pipeline block first, then TPC-H in registration
-    #         order (q1/q9/q17/q21 were judge re-verified at r10 HEAD,
-    #         so the remaining TPC-H block rotates next round)
-    # Freshness policy (tests/test_plans.py pins it since round 10;
-    # test_contract.py::test_survey2_evidence_freshness enforces it):
-    # no SURVEY-2 operator's latest driver row may be older than 4
-    # rounds; each round's spare slots front the oldest evidence.
-    # Round-12+ capacity plan (computed at r11 HEAD from the union of
-    # CORRECTNESS_r1..r11-projected): §2 latest-evidence cohorts are
-    # r7×30, r8×43, r9×46, r10×42, r11×40 (the 38 planned + the two
-    # late registrations geo_knn_join / lake_merge_mor) — so the
-    # 4-round floor mandates 30 slots at r12 but 43/46/42 at
-    # r13/r14/r15, leaving only 4-8 spare slots those rounds. Round 12
-    # should therefore spend its ~20 spare slots as: FIRST the three
-    # names this round displaced for late registrations
-    # (q3_shipping_priority, dedup_exact_hash — both r4 = age 8 — and
-    # the lake_clone_shallow re-check, r10-green but its verb changed
-    # in r11), then the rest of the age-8 non-§2 block (the TPC-H
-    # q-block, sample_hash_split/contamination_ngram-class leftovers),
-    # MINUS a few traded for (a) any new registrations and (b) 3-5
-    # names PRE-EMPTED from the r8×43 cohort (registration order) to
-    # smooth r13's squeeze. Never let a cohort reach >50: front part
-    # of it a round early instead.
+    "agg_countmin_heavyhitters",
+    "fn_collation",
+    "fn_try_arith",
+    "fn_variant_json",
+    "graph_label_propagation",
+    "join_asof_forward",
+    "lake_delete_mor",
+    "lake_optimize_commit",
+    "lake_partition_evolution",
+    "lake_stats_prune",
+    "lake_time_travel",
+    "lake_vacuum_retention",
+    "lake_zorder_locality",
+    "lakehouse_lifecycle",
+    "mm_audio_energy",
+    "mm_video_scene_stats",
+    "pipeline_cdc_apply",
+    "scan_csv_permissive",
+    "scd2_history",
+    "sim_containment_join",
+    "sink_manifest_atomic",
+    "sql_pipe_syntax",
+    "sql_recursive_cte",
+    "stream_progress_metrics",
+    "stream_sink_tablelog",
+    "stream_stateful_tws",
+    "text_bpe_merges",
+    "text_perplexity_filter",
+    "text_repetition_stats",
+    "udtf_doc_chunks",
+    "q3_shipping_priority",
+    "dedup_exact_hash",
+    "lake_clone_shallow",
+    "agg_distribution_shape",
+    "agg_hll_setops",
+    "fn_recode_map",
+    "fn_month_code",
+    "fn_format_string",
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_values",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    # ============ post-window: prior evidence, all green ============
     "agg_histogram_2d",
     "agg_mad_outliers",
     "corpus_prepare_v2",
@@ -160,9 +176,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "doc_chunk_split",
     "geo_knn_join",
     "lake_update_mor",
-    # ============ post-window: prior evidence, all green ============
-    "dedup_exact_hash",
-    "lake_clone_shallow",
     "graph_kcore",
     "ts_seasonal_decompose",
     "sim_pq_adc",
@@ -256,9 +269,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_ks_test",
     "agg_autocorr",
     "lake_changes_between",
-    "agg_distribution_shape",
     "lake_merge_cdf",
-    "agg_hll_setops",
     "scan_metadata_columns",
     "agg_distinct",
     "agg_hash_group",
@@ -271,10 +282,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fn_array_ops",
     "fn_cast_datetime_year",
     "fn_date_range",
-    "fn_format_string",
     "fn_math_std",
-    "fn_month_code",
-    "fn_recode_map",
     "fn_regex_match",
     "fn_replace_null",
     "join_broadcast",
@@ -305,38 +313,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_ntile_rank",
     "win_rank_topk",
     "win_running",
-    "lake_partition_evolution",
-    "lake_delete_mor",
-    "stream_sink_tablelog",
-    "lake_time_travel",
-    "lake_optimize_commit",
-    "stream_stateful_tws",
-    "udtf_doc_chunks",
-    "scd2_history",
-    "sink_manifest_atomic",
     "text_idf_topk",
     "sim_ann_ivf",
-    "text_repetition_stats",
-    "text_perplexity_filter",
-    "lake_stats_prune",
-    "lake_vacuum_retention",
-    "agg_countmin_heavyhitters",
-    "text_bpe_merges",
-    "lake_zorder_locality",
-    "sim_containment_join",
-    "graph_label_propagation",
-    "fn_try_arith",
-    "scan_csv_permissive",
-    "mm_audio_energy",
-    "join_asof_forward",
-    "pipeline_cdc_apply",
-    "sql_recursive_cte",
-    "fn_variant_json",
-    "sql_pipe_syntax",
-    "fn_collation",
-    "stream_progress_metrics",
-    "lakehouse_lifecycle",
-    "mm_video_scene_stats",
     "agg_stats",
     "win_percent_cume",
     "agg_collect_list",
@@ -386,19 +364,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "mm_frame_sample",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q11_important_values",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_share",
     "q15_top_supplier",
     "q16_parts_supplier_count",
     "q17_small_quantity_revenue",

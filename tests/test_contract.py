@@ -63,6 +63,31 @@ def test_survey2_evidence_freshness():
     assert not never, f"never-driver-checked §2 IDs not scheduled: {never}"
 
 
+def test_next_round_cohort_fits_window():
+    """Round-11 verdict #2: manage the cohort squeeze BEFORE it lands.
+    Simulate the current window going green (every windowed name gets
+    this round's evidence), then check that NEXT round's mandatory
+    cohort — the §2 IDs that would hit the freshness floor — fits in a
+    50-slot window with headroom for new registrations. Without this,
+    a >50 cohort would make the freshness test unsatisfiable a round
+    too late to fix."""
+    ids = _survey2_ids()
+    latest, current_round = _latest_green()
+    window = list(registry.queries())[:50]
+    simulated = dict(latest)
+    for n in window:
+        simulated[n] = current_round  # assume the driver refreshes the window
+    next_round = current_round + 1
+    mandatory = sorted(
+        n for n in ids if next_round - simulated.get(n, next_round) > MAX_EVIDENCE_AGE
+    )
+    # leave >=8 slots for next round's new registrations + re-checks
+    assert len(mandatory) <= 42, (
+        f"round-{next_round} mandatory §2 cohort is {len(mandatory)} wide — "
+        f"pre-empt some of it into this round's spare slots: {mandatory}"
+    )
+
+
 def test_registry_coverage_survey_counts_in_lockstep():
     """Round-10 verdict #7: |registry| == COVERAGE.md's stated total ==
     COVERAGE.md's table row count == SURVEY's stated total, so a drift
