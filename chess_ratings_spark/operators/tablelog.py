@@ -86,15 +86,25 @@ def _refuse_type_divergence(before, after, verb: str) -> None:
     b = {f.name: f.dataType for f in before.fields}
     a = {f.name: f.dataType for f in after.fields}
     if a != b:
-        diverged = sorted(
+        # name every divergence class, so a refusal over an added or
+        # removed column is self-explanatory instead of an empty
+        # "changes column types ():" (round-11 ADVICE)
+        parts = sorted(
             f"{n}: {b[n].simpleString()} -> {a[n].simpleString()}"
             for n in a
             if n in b and a[n] != b[n]
         )
+        added = sorted(set(a) - set(b))
+        removed = sorted(set(b) - set(a))
+        if added:
+            parts.append(f"added: {', '.join(added)}")
+        if removed:
+            parts.append(f"removed: {', '.join(removed)}")
         raise ValueError(
-            f"{verb} assignment changes column types ({'; '.join(diverged)}):"
+            f"{verb} assignment changes the schema ({'; '.join(parts)}):"
             " the committed file would break every later snapshot read —"
-            " cast the expression back to the column's type"
+            " cast the expression back to the column's type and assign"
+            " only existing columns"
         )
 
 
@@ -160,6 +170,26 @@ def _apply_delete_vectors(spark: SparkSession, df: DataFrame, dvs) -> DataFrame:
         keys = spark.read.parquet(dv)
         df = df.join(F.broadcast(keys), keys.columns, "left_anti")
     return df
+
+
+def _require_dv_artifact(dv_path: str, verb: str) -> None:
+    """Pre-publish guard (round-11 ADVICE): a scoped-DV artifact is
+    written BEFORE the commit that references it, so a concurrent
+    vacuum running with no grace window could sweep it as unreferenced
+    — and the writer would then publish a manifest pointing at a
+    missing artifact, breaking every MOR read of a commit that
+    "succeeded". Re-checked on every commit attempt, immediately before
+    the CAS publish; vacuum's mtime grace horizon on ``_dvs/`` closes
+    the remaining check-to-publish window for any grace period longer
+    than a commit attempt."""
+    if not Path(dv_path).exists():
+        raise RuntimeError(
+            f"{verb}'s scoped delete-vector artifact {dv_path} vanished"
+            " before publish (a concurrent vacuum with dv_grace_seconds=0"
+            " can sweep not-yet-referenced artifacts) — aborting the"
+            " commit instead of publishing a manifest that references a"
+            " missing artifact; re-run the verb"
+        )
 
 
 class CommitConflict(Exception):
@@ -1340,16 +1370,19 @@ class TableLog:
             for k in ("delete_vectors", "file_stats"):
                 if k in prev:
                     carry[k] = prev[k]
+            _require_dv_artifact(dv_path, "UPDATE")
             return sorted(pfiles | set(new)), carry
 
         try:
             v = self.commit(op="update-mor", build=rebase)
         except CommitConflict:
-            # the loser's DV artifact is referenced by no manifest and
-            # _dvs/ is outside vacuum's sweep — unlink it (the landed
-            # data files stay as orphans, invisible by snapshot
-            # isolation and reclaimed with the data dir; same cleanup
-            # contract as the sharded-OPTIMIZE CAS loser's shard JSONs)
+            # the loser's DV artifact is referenced by no manifest —
+            # unlink it eagerly so the orphan doesn't wait for the next
+            # vacuum (whose _dvs/ sweep only reclaims unreferenced
+            # artifacts past the grace horizon). The landed data files
+            # stay as orphans, invisible by snapshot isolation and
+            # reclaimed with the data dir; same cleanup contract as the
+            # sharded-OPTIMIZE CAS loser's shard JSONs.
             import shutil
 
             shutil.rmtree(dv_path, ignore_errors=True)
@@ -1549,6 +1582,8 @@ class TableLog:
             for k in ("delete_vectors", "file_stats"):
                 if k in prev:
                     carry[k] = prev[k]
+            if dv_path is not None:
+                _require_dv_artifact(dv_path, "MERGE")
             return sorted(read_files | set(new)), carry
 
         try:
@@ -1792,7 +1827,9 @@ class TableLog:
 
     # -- retention --------------------------------------------------------
 
-    def vacuum(self, retain_versions: int = 1) -> dict:
+    def vacuum(
+        self, retain_versions: int = 1, *, dv_grace_seconds: float = 600.0
+    ) -> dict:
         """Physically delete data files not referenced by the newest
         ``retain_versions`` manifests (their log entries stay, so
         history is auditable even when no longer readable — Delta's
@@ -1833,7 +1870,13 @@ class TableLog:
         close with a retention horizon, and is documented rather than
         claimed closed. Hand-rolled unregistered clones remain
         the documented vacuum-breaks-clones hazard in
-        :func:`plans.lakehouse`."""
+        :func:`plans.lakehouse`.
+
+        ``dv_grace_seconds``: unreferenced ``_dvs/`` artifacts younger
+        than this are NOT reclaimed — an in-flight MOR verb writes its
+        artifact before the manifest that references it, and sweeping
+        that window would break a commit that still succeeds. Pass 0
+        only in tests that assert immediate reclamation."""
         import os
 
         versions = self.versions()
@@ -1878,15 +1921,31 @@ class TableLog:
         # or their version aged out of retention) are reclaimed here —
         # they previously accumulated forever. Global key-list DVs are
         # caller-owned paths outside the table base and are never
-        # swept. Same in-flight-writer caveat as data files: a real
-        # deployment adds a retention horizon on artifact mtime.
+        # swept. Unlike a swept data file (an uncommitted landing
+        # simply orphans), a swept DV would break a commit that still
+        # succeeds — the artifact is written BEFORE the manifest that
+        # references it — so unreferenced artifacts younger than
+        # ``dv_grace_seconds`` are left alone (Delta's retention-
+        # horizon answer to the same race; the MOR verbs additionally
+        # re-check the artifact exists right before publishing).
         import shutil as _shutil
+        import time as _time
 
+        now = _time.time()
         dv_root = self.base / "_dvs"
         all_dvs = (
             {str(p) for p in dv_root.glob("*")} if dv_root.exists() else set()
         )
-        dead_dvs = sorted(all_dvs - live - late_live)
+        dead_dvs: list[str] = []
+        n_dvs_in_grace = 0
+        for p in sorted(all_dvs - live - late_live):
+            try:
+                if now - os.stat(p).st_mtime < dv_grace_seconds:
+                    n_dvs_in_grace += 1
+                    continue
+            except FileNotFoundError:
+                continue  # a conflict loser unlinked it mid-scan
+            dead_dvs.append(p)
         for p in dead_dvs:
             if os.path.isdir(p):
                 _shutil.rmtree(p, ignore_errors=True)
@@ -1896,6 +1955,7 @@ class TableLog:
             "n_live": len(live | late_live),
             "n_removed": len(dead),
             "n_dvs_removed": len(dead_dvs),
+            "n_dvs_in_grace": n_dvs_in_grace,
             "retained_versions": keep_vs,
         }
 

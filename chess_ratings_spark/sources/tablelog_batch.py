@@ -13,7 +13,10 @@ mechanics stay an implementation detail — exactly Delta's contract).
 Planning is driver-side manifest metadata only: one
 :class:`InputPartition` per data file (shard references resolved for
 sharded manifests), each carrying the delete-vector paths of its
-version so executors apply the anti-filter where the rows are read.
+version so executors apply the anti-filter where the rows are read;
+file-scoped pair artifacts are pre-grouped by the files they name (one
+tiny single-column read per artifact, at plan time), so each partition
+opens only the artifacts that can mask its rows.
 ``read`` yields Arrow RecordBatches reordered to the declared schema —
 rows cross the Python/JVM boundary as Arrow buffers, never pickled
 tuples (same measured ~2x marginal-path win as the streaming twin)."""
@@ -138,7 +141,27 @@ class TableLogBatchReader(DataSourceReader):
             ]
         dvs = list(m.get("delete_vectors", []))
         scoped = list(m.get("delete_vectors_scoped", []))
-        return [TableLogFilePartition(f, dvs, scoped) for f in files]
+        # Pre-group scoped pair artifacts by the files they name
+        # (round-11 ADVICE): planning reads ONLY each artifact's
+        # _dv_file column, once, driver-side — so a table with many
+        # stacked MOR commits costs O(artifacts) tiny reads at plan
+        # time instead of O(files x artifacts) re-reads inside every
+        # partition, and a partition whose file no artifact names
+        # skips the DV machinery entirely.
+        by_file: dict[str, list[str]] = {}
+        if scoped:
+            import pyarrow.parquet as pq
+
+            for dv in scoped:
+                for f in set(
+                    pq.read_table(dv, columns=["_dv_file"])
+                    .column("_dv_file")
+                    .to_pylist()
+                ):
+                    by_file.setdefault(f, []).append(dv)
+        return [
+            TableLogFilePartition(f, dvs, by_file.get(f, [])) for f in files
+        ]
 
     def read(self, partition: TableLogFilePartition):
         import pyarrow as pa
@@ -151,10 +174,11 @@ class TableLogBatchReader(DataSourceReader):
             mask = pc.is_in(tbl[self.key_col], value_set=keys.combine_chunks())
             tbl = tbl.filter(pc.invert(mask))
         for dv in partition.scoped_dv_files:
-            # scoped pairs mask (file, key): only pairs naming THIS
-            # partition's file apply — pairs for other files (or for
-            # files no longer in the manifest) are inert here, exactly
-            # snapshot_mor's join semantics, applied per partition
+            # scoped pairs mask (file, key): planning already grouped
+            # artifacts by the files they name, so every artifact here
+            # has pairs for THIS file — but one artifact can name many
+            # files, so the per-file filter still applies (exactly
+            # snapshot_mor's join semantics, applied per partition)
             pairs = pq.read_table(dv)
             pairs = pairs.filter(
                 pc.equal(pairs["_dv_file"], partition.data_file)
@@ -167,18 +191,23 @@ class TableLogBatchReader(DataSourceReader):
                     tbl[key_cols[0]],
                     value_set=pairs[key_cols[0]].combine_chunks(),
                 )
+                tbl = tbl.filter(pc.invert(mask))
             else:
-                doomed = set(
-                    zip(*(pairs[c].to_pylist() for c in key_cols))
+                # composite keys: Arrow hash anti-join (is_in has no
+                # struct kernel in this pyarrow) — vectorized, replaces
+                # the former Python to_pylist tuple-set loop. The join
+                # does not guarantee row order, so carry a row index
+                # and restore file order after.
+                idx = pa.array(range(tbl.num_rows), pa.int64())
+                doomed = pa.table(
+                    {c: pairs[c].combine_chunks() for c in key_cols}
                 )
-                mask = pa.array(
-                    [
-                        t in doomed
-                        for t in zip(*(tbl[c].to_pylist() for c in key_cols))
-                    ],
-                    pa.bool_(),
+                tbl = (
+                    tbl.append_column("__crs_row_idx", idx)
+                    .join(doomed, keys=key_cols, join_type="left anti")
+                    .sort_by("__crs_row_idx")
+                    .drop_columns(["__crs_row_idx"])
                 )
-            tbl = tbl.filter(pc.invert(mask))
         if set(self.columns) == set(tbl.column_names):
             out = pa.table(
                 [tbl[c].combine_chunks() for c in self.columns],

@@ -324,3 +324,58 @@ def test_pyds_batch_reader_applies_scoped_dvs(spark, tmp_path):
     assert len(rows) == 44  # 40 + 4 fresh merge inserts, NO duplicates
     assert all(rows[k] == 7 for k in range(5, 15))
     assert all(rows[k] == 9 for k in range(38, 44))
+
+
+def test_pyds_batch_reader_composite_key_scoped_dvs(spark, tmp_path):
+    """Composite (2-column) scoped-DV keys exercise the reader's Arrow
+    anti-join path (single keys take the is_in kernel; pyarrow has no
+    struct is_in) — masking and row content must match snapshot_mor
+    exactly, and planning must hand each partition only the artifacts
+    that name its file."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+    from chess_ratings_spark.sources.tablelog_batch import (
+        TableLogBatchReader,
+        TableLogBatchSource,
+    )
+
+    try:
+        spark.dataSource.register(TableLogBatchSource)
+    except Exception:
+        pass
+    log = TableLog(tmp_path / "t")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("g"),
+        F.lit(0).cast("bigint").alias("v"),
+    )
+    log.append_range_bucketed(df, "k", width=10, tag="r")
+    log.update_mor(spark, "k BETWEEN 5 AND 14", {"v": "v + 7"}, ["k", "g"])
+
+    got = (
+        spark.read.format("crs_tablelog")
+        .option("path", str(tmp_path / "t"))
+        .option("schema", "k bigint, g bigint, v bigint")
+        .option("key_col", "k")
+        .load()
+    )
+    want = log.snapshot_mor(spark)
+    assert sorted((r.k, r.g, r.v) for r in got.collect()) == sorted(
+        (r.k, r.g, r.v) for r in want.collect()
+    )
+    rows = {r.k: r.v for r in got.collect()}
+    assert len(rows) == 40 and all(rows[k] == 7 for k in range(5, 15))
+
+    # planning pre-groups artifacts by file: a partition whose file no
+    # pair names carries NO scoped artifacts (round-11 ADVICE — the
+    # reader used to re-open every artifact in every partition)
+    m = log.read_manifest()
+    r = TableLogBatchReader(str(tmp_path / "t"), "k", ["k", "g", "v"], None)
+    parts = r.partitions()
+    assert len(m.get("delete_vectors_scoped", [])) == 1
+    n_with = sum(1 for p in parts if p.scoped_dv_files)
+    # the update touched k in [5, 14] => exactly 2 of the 4 width-10
+    # buckets; the other partitions must carry zero artifacts
+    assert n_with == 2
+    assert all(p.scoped_dv_files == [] for p in parts if not p.scoped_dv_files)

@@ -1491,7 +1491,8 @@ def test_update_mor_conflicts_with_concurrent_update_mor(base, spark):
     new-version — merging leaves BOTH new versions live, so a key
     updated by both surfaces twice (measured before the scoped-DV-list
     conflict rule: k=3 came back as two rows). The loser must also
-    unlink its DV artifact — _dvs/ is outside vacuum's sweep."""
+    unlink its DV artifact eagerly, so the orphan doesn't sit until a
+    vacuum's _dvs/ sweep ages it past the grace horizon."""
     log = TableLog(base)
     _bucketed(log, spark)
 
@@ -1745,19 +1746,28 @@ def test_vacuum_reclaims_superseded_scoped_dvs(base, spark):
     assert res["n_dvs_removed"] == 0 and len(dvs()) == 2
 
     # OPTIMIZE materializes the masks and drops the scoped list; with
-    # only the optimized version retained, both artifacts are dead
+    # only the optimized version retained, both artifacts are dead —
+    # but the default mtime grace horizon protects young unreferenced
+    # artifacts (an in-flight MOR writer's artifact exists before the
+    # manifest that references it), so reclamation needs grace=0
     log.optimize(spark, target_rows_per_file=1_000)
     before = log.snapshot_mor(spark).orderBy("k").collect()
     res = log.vacuum(retain_versions=1)
+    assert res["n_dvs_removed"] == 0 and res["n_dvs_in_grace"] == 2, (
+        "default grace horizon must protect young unreferenced artifacts"
+    )
+    res = log.vacuum(retain_versions=1, dv_grace_seconds=0)
     assert res["n_dvs_removed"] == 2 and dvs() == set()
     assert log.snapshot_mor(spark).orderBy("k").collect() == before
 
     # a registered CLONE of a scoped version keeps its artifacts live
+    # (grace=0 so the clone guard, not the grace horizon, is what's
+    # being proven)
     log.update_mor(spark, "k = 7", {"tag": "tag + 5"}, ["k"])
     clone_base = Path(base) / "clone_dest"
     log.clone_to(clone_base)
     log.optimize(spark, target_rows_per_file=1_000)
-    res = log.vacuum(retain_versions=1)
+    res = log.vacuum(retain_versions=1, dv_grace_seconds=0)
     assert res["n_dvs_removed"] == 0 and len(dvs()) == 1, (
         "vacuum destroyed an artifact a registered clone references"
     )
@@ -1890,10 +1900,80 @@ def test_update_verbs_refuse_type_changing_assignments(base, spark):
     refuse before landing anything."""
     log = TableLog(base)
     _bucketed(log, spark)  # tag INT
-    with pytest.raises(ValueError, match="changes column types"):
+    with pytest.raises(ValueError, match=r"changes the schema.*tag: int -> "):
         log.update_mor(spark, "k = 3", {"tag": "tag * 1.1"}, ["k"])
-    with pytest.raises(ValueError, match="changes column types"):
+    with pytest.raises(ValueError, match=r"changes the schema.*tag: int -> bigint"):
         log.update_cow(spark, "k = 3", {"tag": "cast(tag as bigint)"})
+    # an assignment that INTRODUCES a column refuses too — and the
+    # message must name the added column, not print an empty list
+    # (round-11 ADVICE: 'changes column types ():')
+    with pytest.raises(ValueError, match=r"added: brand_new"):
+        log.update_mor(spark, "k = 3", {"brand_new": "1"}, ["k"])
     # nothing committed, table still reads, version unmoved
     assert log.latest_version() == 0
     assert log.snapshot_mor(spark).count() == 100
+
+
+def test_mor_commit_refuses_vanished_dv_artifact(base, spark):
+    """A scoped-DV artifact exists BEFORE the manifest that references
+    it; a concurrent vacuum with dv_grace_seconds=0 can sweep it in
+    that window. The verbs must re-check the artifact right before
+    publishing and abort — publishing would reference a missing
+    artifact and break every MOR read of a commit that 'succeeded'
+    (round-11 ADVICE). Injection: sweep _dvs/ inside _land, i.e. after
+    the artifact write but before the commit attempt."""
+    import shutil as _sh
+
+    log = TableLog(base)
+    _bucketed(log, spark)
+    orig_land = log._land
+
+    def land_then_hostile_vacuum(df, n_files, tag):
+        out = orig_land(df, n_files, tag)
+        _sh.rmtree(Path(base) / "_dvs", ignore_errors=True)
+        return out
+
+    log._land = land_then_hostile_vacuum
+    with pytest.raises(RuntimeError, match="vanished before publish"):
+        log.update_mor(spark, "k = 3", {"tag": "tag + 1"}, ["k"])
+    log._land = orig_land
+    # nothing published: version unmoved, table reads clean
+    assert log.latest_version() == 0
+    assert log.snapshot_mor(spark).count() == 100
+
+    log._land = land_then_hostile_vacuum
+    # tag=0 keys (k=0,1) MATCH existing rows, so the merge writes a DV
+    with pytest.raises(RuntimeError, match="vanished before publish"):
+        log.merge_mor(spark, _tiny(spark, n=2, tag=0), ["k"])
+    log._land = orig_land
+    assert log.latest_version() == 0
+    assert log.snapshot_mor(spark).count() == 100
+
+
+def test_vacuum_grace_protects_inflight_dv_artifact(base, spark):
+    """The race the grace horizon closes: an artifact written but not
+    yet referenced by any manifest must survive a concurrent vacuum at
+    the default grace, and an aged-out artifact (mtime backdated past
+    the horizon) is reclaimed."""
+    import os
+
+    log = TableLog(base)
+    _bucketed(log, spark)
+    # hand-write an unreferenced artifact the way update_mor does,
+    # simulating the instant before its commit publishes
+    dv_dir = Path(base) / "_dvs"
+    dv_dir.mkdir(exist_ok=True)
+    inflight = dv_dir / "inflight.parquet"
+    spark.range(1).select(
+        F.lit("somefile").alias("_dv_file"), F.col("id").alias("k")
+    ).coalesce(1).write.parquet(str(inflight))
+
+    res = log.vacuum(retain_versions=1)
+    assert res["n_dvs_removed"] == 0 and res["n_dvs_in_grace"] == 1
+    assert inflight.exists(), "vacuum swept an in-flight DV artifact"
+
+    # age it past the horizon: now it's an orphan, reclaimed
+    old = 10_000
+    os.utime(inflight, (os.stat(inflight).st_atime, os.stat(inflight).st_mtime - old))
+    res = log.vacuum(retain_versions=1, dv_grace_seconds=old / 2)
+    assert res["n_dvs_removed"] == 1 and not inflight.exists()
