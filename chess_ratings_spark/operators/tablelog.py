@@ -1403,10 +1403,17 @@ class TableLog:
         *,
         n_files: int = 1,
         tag: str = "merge-mor",
+        delete_unmatched: str | None = None,
     ) -> dict:
         """Merge-on-read MERGE (Delta ``MERGE INTO`` with deletion
         vectors, upsert shape: WHEN MATCHED THEN UPDATE SET * / WHEN
-        NOT MATCHED THEN INSERT *): target rows whose ``key_cols``
+        NOT MATCHED THEN INSERT *; with ``delete_unmatched`` also the
+        third Delta clause, WHEN NOT MATCHED BY SOURCE [AND <pred>]
+        THEN DELETE — pass ``"true"`` for the unconditional form, any
+        boolean SQL expression for the conditional one; target rows
+        not keyed by the source that satisfy it are masked by the SAME
+        scoped-DV artifact as the matched updates, still zero files
+        rewritten): target rows whose ``key_cols``
         appear in ``source`` are masked by a FILE-SCOPED delete vector
         and the ENTIRE source lands as appended files — zero existing
         files rewritten. The MOR completion of the verb family
@@ -1446,7 +1453,8 @@ class TableLog:
         the generic scoped-DV path in :meth:`changes_between`.
 
         Returns a census dict: version, rows updated (masked), rows
-        inserted, files appended (0 rewritten, by construction).
+        inserted, rows deleted (by the not-matched-by-source clause),
+        files appended (0 rewritten, by construction).
         """
         import uuid
 
@@ -1457,10 +1465,10 @@ class TableLog:
             F.countDistinct(*key_cols).alias("nk"),
         ).collect()[0]
         n_source, n_keys = int(src_stats["n"]), int(src_stats["nk"])
-        if n_source == 0:
+        if n_source == 0 and delete_unmatched is None:
             m = self.read_manifest()
             return {"version": int(m["version"]), "n_updated": 0,
-                    "n_inserted": 0, "files_appended": 0,
+                    "n_inserted": 0, "n_deleted": 0, "files_appended": 0,
                     "files_rewritten": 0}
         if n_keys != n_source:
             raise ValueError(
@@ -1481,6 +1489,7 @@ class TableLog:
 
         dv_path: str | None = None
         n_matched = 0
+        n_deleted = 0
         if read_files:
             base = self._with_scoped_dvs_applied(
                 spark, sorted(read_files), m
@@ -1540,18 +1549,54 @@ class TableLog:
                             " MERGE needs table-wide unique target keys"
                             " (an upsert would collapse duplicates)"
                         )
+                pairs = matched.select("_dv_file", *key_cols)
+                if delete_unmatched is not None:
+                    # WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN
+                    # DELETE: live target rows with no source key,
+                    # filtered by the clause predicate, join the SAME
+                    # mask. Guard: a doomed (file, key) pair masks
+                    # every live row with that pair — a doomed key
+                    # shared with a surviving same-file row would
+                    # silently delete the survivor; refuse instead
+                    # (bounded count actions, no driver data).
+                    doomed = live.join(
+                        F.broadcast(src_keys), key_cols, "left_anti"
+                    ).filter(F.expr(delete_unmatched)).persist()
+                    try:
+                        n_deleted = doomed.count()
+                        if n_deleted:
+                            on = ["_dv_file", *key_cols]
+                            dpairs = doomed.select(*on)
+                            n_masked = live.join(
+                                F.broadcast(dpairs), on, "left_semi"
+                            ).count()
+                            if n_masked != n_deleted:
+                                raise ValueError(
+                                    f"delete_unmatched pairs mask"
+                                    f" {n_masked} live rows but the"
+                                    f" clause matched {n_deleted}:"
+                                    f" {key_cols} must uniquely identify"
+                                    " a row within its file for MOR"
+                                    " DELETE"
+                                )
+                            pairs = pairs.unionByName(dpairs)
+                    finally:
+                        doomed.unpersist()
+                if n_matched or n_deleted:
                     dv_dir = self.base / "_dvs"
                     dv_dir.mkdir(parents=True, exist_ok=True)
                     dv_path = str(
                         dv_dir / f"{tag}-{uuid.uuid4().hex[:12]}.parquet"
                     )
-                    matched.select("_dv_file", *key_cols).coalesce(
-                        1
-                    ).write.mode("errorifexists").parquet(dv_path)
+                    pairs.coalesce(1).write.mode(
+                        "errorifexists"
+                    ).parquet(dv_path)
             finally:
                 matched.unpersist()
 
-        new = self._land(source, n_files, tag=tag)
+        # an empty source with a delete_unmatched clause is a pure
+        # delete: nothing to land
+        new = self._land(source, n_files, tag=tag) if n_source else []
 
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
             if prev is None:
@@ -1598,6 +1643,7 @@ class TableLog:
             "version": int(v),
             "n_updated": int(n_matched),
             "n_inserted": int(n_source - n_matched),
+            "n_deleted": int(n_deleted),
             "files_appended": len(new),
             "files_rewritten": 0,
             **({"scoped_dv": dv_path} if dv_path else {}),

@@ -2989,3 +2989,151 @@ def lake_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "lake_merge_full",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    upd AS (
+      SELECT count(*) AS n, coalesce(sum(vc + 5000), 0) AS s FROM e
+      WHERE event_type = 'view' AND user_id % 15 = 2
+    ),
+    ins AS (
+      SELECT count(*) AS n, coalesce(sum(vc + 7), 0) AS s FROM e
+      WHERE event_type = 'purchase' AND user_id % 15 = 3
+    ),
+    del AS (
+      SELECT count(*) AS n, coalesce(sum(vc), 0) AS s FROM e
+      WHERE event_type = 'click' AND user_id % 10 = 4
+    ),
+    tot AS (SELECT count(*) AS n, sum(vc) AS s FROM e),
+    upd_old AS (
+      SELECT coalesce(sum(vc), 0) AS s FROM e
+      WHERE event_type = 'view' AND user_id % 15 = 2
+    )
+    SELECT CAST(tot.n + ins.n - del.n AS BIGINT) AS n_rows,
+           CAST(upd.n AS BIGINT) AS n_updated,
+           CAST(ins.n AS BIGINT) AS n_inserted,
+           CAST(del.n AS BIGINT) AS n_deleted,
+           CAST(tot.s AS BIGINT) AS vc_v0,
+           CAST(tot.s - upd_old.s + upd.s + ins.s - del.s AS BIGINT)
+             AS vc_after,
+           CAST(0 AS INT) AS files_rewritten,
+           CAST(1 AS INT) AS files_appended,
+           true AS originals_untouched,
+           true AS time_travel_v0_intact,
+           true AS cdf_replay_ok
+    FROM tot, upd, ins, del, upd_old
+    """,
+    doc="Three-clause Delta MERGE, merge-on-read (TableLog.merge_mor "
+    "with delete_unmatched — WHEN MATCHED THEN UPDATE SET * / WHEN "
+    "NOT MATCHED THEN INSERT * / WHEN NOT MATCHED BY SOURCE AND "
+    "<pred> THEN DELETE): matched rows and clause-doomed unmatched "
+    "rows share ONE file-scoped (file, key) DV artifact, the source "
+    "lands as one appended file, zero existing files rewritten. The "
+    "round-11 verdict's missing MERGE shape: updates are 'view' rows "
+    "of user_id%15=2 (vc+5000), inserts offset 'purchase' rows of "
+    "user_id%15=3 (vc+7), and the delete clause reaps 'click' rows "
+    "of user_id%10=4 that the source doesn't key. The change feed "
+    "must replay delete(masked updates + clause deletes) + "
+    "insert(appended source), asserted against the census. At 100 TB "
+    "this is the retention/compliance MERGE (refresh a dimension AND "
+    "purge rows that left the source) at O(source + deletes) write "
+    "cost instead of copy-on-write's O(touched files).",
+    tags=("lakehouse", "merge", "time-travel", "events"),
+)
+def lake_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    base = tempfile.mkdtemp(prefix="crs_mfull_")
+    try:
+        log = TableLog(base)
+        log.append_range_bucketed(ev, "user_id", 25, tag="base")
+        m0 = log.read_manifest()
+        v0 = log.snapshot_mor(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+
+        updates = ev.filter(
+            "event_type = 'view' AND user_id % 15 = 2"
+        ).withColumn("vc", F.col("vc") + 5000)
+        inserts = ev.filter(
+            "event_type = 'purchase' AND user_id % 15 = 3"
+        ).select(
+            (F.col("event_id") + 100_000_000).alias("event_id"),
+            "user_id",
+            "event_type",
+            (F.col("vc") + 7).alias("vc"),
+        )
+        res = log.merge_mor(
+            spark,
+            updates.unionByName(inserts),
+            ["event_id"],
+            delete_unmatched="event_type = 'click' AND user_id % 10 = 4",
+        )
+        m1 = log.read_manifest()
+        after = log.snapshot_mor(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        tt = log.snapshot_mor(spark, 0).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
+        ).collect()[0]
+        feed = log.changes_between(spark, 0, res["version"])
+        cdf = {
+            r["_change_type"]: r["n"]
+            for r in feed.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        return tables.local_row(
+            spark,
+            ("n_rows", int(after["n"]), "bigint"),
+            ("n_updated", int(res["n_updated"]), "bigint"),
+            ("n_inserted", int(res["n_inserted"]), "bigint"),
+            ("n_deleted", int(res["n_deleted"]), "bigint"),
+            ("vc_v0", int(v0["s"]), "bigint"),
+            ("vc_after", int(after["s"]), "bigint"),
+            ("files_rewritten", int(res["files_rewritten"]), "int"),
+            ("files_appended", int(res["files_appended"]), "int"),
+            (
+                "originals_untouched",
+                bool(set(m0["files"]) <= set(m1["files"])),
+                "boolean",
+            ),
+            (
+                "time_travel_v0_intact",
+                bool(
+                    tt["n"] == v0["n"]
+                    and tt["s"] == v0["s"]
+                    and after["n"]
+                    == v0["n"] + res["n_inserted"] - res["n_deleted"]
+                ),
+                "boolean",
+            ),
+            (
+                "cdf_replay_ok",
+                bool(
+                    cdf.get("delete", 0)
+                    == res["n_updated"] + res["n_deleted"]
+                    and cdf.get("insert", 0)
+                    == res["n_updated"] + res["n_inserted"]
+                ),
+                "boolean",
+            ),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1353,3 +1353,91 @@ def sharded_sink_optimize_stream(spark: SparkSession, ev: DataFrame) -> DataFram
             ("one_commit_per_batch", "boolean"),
         ],
     )
+
+
+def state_reader_snapshot(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Spark 4 state data source (``spark.read.format("statestore")``):
+    read a streaming checkpoint's state store as a plain DataFrame —
+    the surface that lets an oracle check MID-stream state instead of
+    only a query's final output (round-11 verdict #5).
+
+    Protocol: the events slice with even user_id is staged and drained
+    through a grouped count/sum aggregate (availableNow, round 1); the
+    state store is then read OFFLINE between runs — that snapshot must
+    equal the aggregate of ONLY the first slice. The odd-user_id slice
+    then lands in the same source dir and a second query instance
+    drains it over the SAME checkpoint (round 2); the state read now
+    must equal the full-input aggregate. Both snapshots come back as
+    one row per group: (event_type, n_mid, vc_mid, n_final, vc_final),
+    every number independently recomputable from the logical input —
+    the registered oracle does exactly that in SQL.
+
+    The state rows arrive as (key struct, value struct, partition_id);
+    the value struct's field names are the aggregate buffer's
+    (``count``, ``sum``), not the query aliases. Reading uses the
+    checkpoint's OWN partitioning — no shuffle; the in-stream
+    aggregation runs at the harness state-partition floor like every
+    other stateful query here."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="crs_stateread_")
+    indir = root + "/in"
+    ckpt = root + "/ckpt"
+    slice_a = ev.filter("user_id % 2 = 0").select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
+    )
+    slice_b = ev.filter("user_id % 2 = 1").select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
+    )
+    slice_a.write.mode("overwrite").parquet(indir)
+
+    def drain_round() -> None:
+        with _state_partitions(spark):
+            name = "snk_" + uuid.uuid4().hex[:12]
+            q = (
+                spark.readStream.schema("event_type string, vc bigint")
+                .parquet(indir)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s"))
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        spark.catalog.dropTempView(name)
+
+    def state_now(n_name: str, s_name: str) -> DataFrame:
+        return (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").alias(n_name),
+                F.col("value.sum").alias(s_name),
+            )
+        )
+
+    drain_round()
+    # offline mid-stream snapshot: only slice A has been aggregated.
+    # Materialize NOW — the frame is lazy, and round 2 advances the
+    # store underneath a late read.
+    mid = spark.createDataFrame(
+        state_now("n_mid", "vc_mid").collect(),
+        schema="event_type string, n_mid bigint, vc_mid bigint",
+    )
+    slice_b.write.mode("append").parquet(indir)
+    drain_round()
+    fin = state_now("n_final", "vc_final")
+    return (
+        fin.join(F.broadcast(mid), "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("n_mid", F.lit(0)).cast("bigint").alias("n_mid"),
+            F.coalesce("vc_mid", F.lit(0)).cast("bigint").alias("vc_mid"),
+            F.col("n_final").cast("bigint"),
+            F.col("vc_final").cast("bigint"),
+        )
+    )

@@ -45,6 +45,22 @@ def test_survey2_ids_all_registered():
     assert not missing, f"SURVEY §2 IDs without a registered query: {missing}"
 
 
+def test_new_registrations_land_survey2_rows_same_round():
+    """Round-11 verdict #7: the §2 inventory table must not lag the
+    registry. The registry legitimately carries depth queries beyond
+    §2 (TPC-H, plan-proofs, format round-trips) — that backlog is
+    PINNED here by count; a new registration must either add a §2
+    table row (the default for a new operator) or consciously bump
+    this pin (a deliberate depth query)."""
+    ids = _survey2_ids()
+    non_survey2 = sorted(set(registry.REGISTRY) - ids)
+    assert len(non_survey2) == 94, (
+        f"registry has {len(non_survey2)} non-§2 queries (pinned: 94) — "
+        "a new registration is missing its SURVEY §2 row, or bump this "
+        f"pin deliberately for a depth query. Non-§2 set: {non_survey2}"
+    )
+
+
 def test_survey2_evidence_freshness():
     ids = _survey2_ids()
     latest, current_round = _latest_green()

@@ -562,3 +562,33 @@ def test_cdf_stream_equals_changes_between_on_random_histories(
     except Exception:
         stream = {}  # nothing emitted -> no parquet output at all
     assert stream == batch
+
+
+def test_state_reader_mid_and_final_snapshots(spark):
+    """The statestore data source must expose the checkpoint's state
+    between availableNow rounds: the mid snapshot equals the even-
+    user_id slice's aggregate, the final snapshot the full aggregate —
+    both recomputed here directly from the input frame."""
+    ev = tables.load(spark, SF_SMOKE, "events")
+    got = {
+        r.event_type: (r.n_mid, r.vc_mid, r.n_final, r.vc_final)
+        for r in stream_ops.state_reader_snapshot(spark, ev).collect()
+    }
+    vc = F.floor(F.col("value") * 100).cast("bigint")
+    mid = {
+        r.event_type: (r.n, r.s)
+        for r in ev.filter("user_id % 2 = 0")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(vc).alias("s"))
+        .collect()
+    }
+    fin = {
+        r.event_type: (r.n, r.s)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(vc).alias("s"))
+        .collect()
+    }
+    assert set(got) == set(fin)
+    for et, (nm, vm, nf, vf) in got.items():
+        assert (nm, vm) == mid.get(et, (0, 0)), f"mid state drifted for {et}"
+        assert (nf, vf) == fin[et], f"final state drifted for {et}"

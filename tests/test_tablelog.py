@@ -1977,3 +1977,91 @@ def test_vacuum_grace_protects_inflight_dv_artifact(base, spark):
     os.utime(inflight, (os.stat(inflight).st_atime, os.stat(inflight).st_mtime - old))
     res = log.vacuum(retain_versions=1, dv_grace_seconds=old / 2)
     assert res["n_dvs_removed"] == 1 and not inflight.exists()
+
+
+def test_merge_mor_delete_unmatched_full_three_clause(base, spark):
+    """Delta's 3-clause MERGE (WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT / WHEN NOT MATCHED BY SOURCE DELETE): matched rows take the
+    source version, new keys insert, unmatched target rows satisfying
+    the clause predicate are masked — all in ONE commit, one scoped-DV
+    artifact, zero files rewritten."""
+    log = TableLog(base)
+    _bucketed(log, spark)  # k 0..99, tag 0
+    upd = _tiny(spark, n=10, tag=0).withColumn("tag", F.lit(5))  # k 0..9
+    ins = _tiny(spark, n=5, tag=1)  # k 1000..1004, tag 1
+    res = log.merge_mor(
+        spark, upd.unionByName(ins), ["k"], delete_unmatched="k >= 90"
+    )
+    assert res["n_updated"] == 10
+    assert res["n_inserted"] == 5
+    assert res["n_deleted"] == 10
+    assert res["files_rewritten"] == 0 and res["files_appended"] == 1
+
+    rows = {r.k: r.tag for r in log.snapshot_mor(spark).collect()}
+    assert len(rows) == 95  # 100 - 10 deleted + 5 inserted
+    assert all(rows[k] == 5 for k in range(10))
+    assert all(rows[k] == 0 for k in range(10, 90))
+    assert all(rows[k] == 1 for k in range(1000, 1005))
+    assert not any(k in rows for k in range(90, 100))
+
+    # CDF replays delete(masked updates + clause deletes) + insert
+    feed = log.changes_between(spark, 0, res["version"])
+    cdf = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert cdf.get("delete", 0) == res["n_updated"] + res["n_deleted"]
+    assert cdf.get("insert", 0) == res["n_updated"] + res["n_inserted"]
+
+    # time travel: v0 fully intact underneath the masks
+    assert log.snapshot_mor(spark, 0).count() == 100
+
+
+def test_merge_mor_delete_unmatched_unconditional_replaces(base, spark):
+    """delete_unmatched='true' makes the 3-clause MERGE a full logical
+    replace: the table's live content IS the source afterwards — while
+    v0 stays readable (a rewrite would have destroyed it)."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+    src = _tiny(spark, n=7, tag=3)  # k 3000..3006: all inserts
+    res = log.merge_mor(spark, src, ["k"], delete_unmatched="true")
+    assert res["n_updated"] == 0 and res["n_inserted"] == 7
+    assert res["n_deleted"] == 100
+    got = sorted((r.k, r.tag) for r in log.snapshot_mor(spark).collect())
+    want = sorted((r.k, r.tag) for r in src.collect())
+    assert got == want
+    assert log.snapshot_mor(spark, 0).count() == 100
+
+
+def test_merge_mor_delete_unmatched_empty_source_pure_delete(base, spark):
+    """An EMPTY source with the delete clause is a pure predicate
+    delete through MERGE: no keys match, nothing lands (no empty files
+    appended), the clause masks what it selects."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+    empty = _tiny(spark, n=0, tag=0)
+    res = log.merge_mor(spark, empty, ["k"], delete_unmatched="k < 30")
+    assert res["n_updated"] == 0 and res["n_inserted"] == 0
+    assert res["n_deleted"] == 30
+    assert res["files_appended"] == 0
+    assert log.snapshot_mor(spark).count() == 70
+    assert log.snapshot_mor(spark).filter("k < 30").count() == 0
+
+
+def test_merge_mor_delete_unmatched_refuses_ambiguous_mask(base, spark):
+    """The scoped mask is (file, key) pairs: if the delete clause dooms
+    one of two same-key rows in a file, the pair would ALSO mask the
+    survivor — the verb must refuse rather than silently over-delete."""
+    log = TableLog(base)
+    df = spark.range(20).select(
+        (F.col("id") % 10).alias("k"), (F.col("id") / 10).cast("int").alias("tag")
+    )  # every k twice: tag 0 and tag 1, same bucket file per k
+    log.append_range_bucketed(df, "k", width=100, tag="dup")
+    src = _tiny(spark, n=1, tag=7)  # k 7000: pure insert, matches nothing
+    with pytest.raises(ValueError, match="uniquely identify"):
+        log.merge_mor(spark, src, ["k"], delete_unmatched="tag = 1")
+    # nothing committed
+    assert log.latest_version() == 0
+    assert log.snapshot_mor(spark).count() == 20
