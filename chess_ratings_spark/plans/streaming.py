@@ -731,26 +731,42 @@ def stream_replicate_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         dv_counter = {"n": 0}
 
         def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-            ins = batch_df.filter(
-                F.col("_change_type") == "insert"
-            ).select("event_id", "user_id", "event_type", "vc")
-            dels = batch_df.filter(
-                F.col("_change_type") == "delete"
-            ).select("event_id")
-            if ins.limit(1).count():
-                b.append(ins, n_files=4, tag=f"batch{batch_id}")
-            if dels.limit(1).count():
-                dv_counter["n"] += 1
-                dv = str(Path(root) / "b_dv" / f"d{dv_counter['n']}")
-                dels.coalesce(1).write.mode("overwrite").parquet(dv)
-                m = b.read_manifest()
-                b.commit(
-                    m["files"],
-                    op="delete-mor",
-                    extra={
-                        "delete_vectors": m.get("delete_vectors", []) + [dv]
-                    },
-                )
+            # one cached scan of the (Python-source-backed) batch: the
+            # former per-kind limit(1).count() probes each re-read the
+            # CDF partitions, so a batch cost up to 4 source scans
+            # (2 probes + 2 writes); now the census is a single action
+            # and the writes read the cache (r11 bench-tail item)
+            batch_df.persist()
+            try:
+                census = {
+                    r["_change_type"]: r["n"]
+                    for r in batch_df.groupBy("_change_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                if census.get("insert", 0):
+                    ins = batch_df.filter(
+                        F.col("_change_type") == "insert"
+                    ).select("event_id", "user_id", "event_type", "vc")
+                    b.append(ins, n_files=4, tag=f"batch{batch_id}")
+                if census.get("delete", 0):
+                    dels = batch_df.filter(
+                        F.col("_change_type") == "delete"
+                    ).select("event_id")
+                    dv_counter["n"] += 1
+                    dv = str(Path(root) / "b_dv" / f"d{dv_counter['n']}")
+                    dels.coalesce(1).write.mode("overwrite").parquet(dv)
+                    m = b.read_manifest()
+                    b.commit(
+                        m["files"],
+                        op="delete-mor",
+                        extra={
+                            "delete_vectors": m.get("delete_vectors", [])
+                            + [dv]
+                        },
+                    )
+            finally:
+                batch_df.unpersist()
 
         def drain_round() -> None:
             src = (
