@@ -724,3 +724,112 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT 'event_type' AS src, event_type AS item,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'o_orderpriority' AS src, o_orderpriority AS item,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="approx_top_k (Spark 4.1, SPARK-49981): heavy-hitter sketch as "
+    "a BUILT-IN aggregate — the JVM/codegen answer to the repo's "
+    "hand-rolled count-min heavy-hitters (agg_countmin_heavyhitters, "
+    "which keeps its planted-falsifier bound check; this entry covers "
+    "the engine surface). Called with k and maxItemsTracked both "
+    "ABOVE the column's distinct cardinality, the sketch degenerates "
+    "to exact counts of every value — which makes the whole result "
+    "SQL-oracle-checkable as a plain GROUP BY, no approximation "
+    "tolerance needed, while still exercising the sketch "
+    "accumulate/merge path across partitions. Two sketches (events."
+    "event_type, orders.o_orderpriority) exploded to (src, item, n) "
+    "rows. At 100 TB the sketch path is the point: constant state "
+    "per partition, one merge, no full shuffle of the grouped keys.",
+    tags=("agg", "spark4", "sketch", "events", "orders"),
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    o = tables.load(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("crs_atk_events")
+    o.createOrReplaceTempView("crs_atk_orders")
+    out = spark.sql(
+        """
+        SELECT src, x.item AS item, x.count AS n FROM (
+          SELECT 'event_type' AS src,
+                 explode(approx_top_k(event_type, 50, 10000)) AS x
+          FROM crs_atk_events
+          UNION ALL
+          SELECT 'o_orderpriority' AS src,
+                 explode(approx_top_k(o_orderpriority, 50, 10000)) AS x
+          FROM crs_atk_orders
+        )
+        """
+    )
+    spark.catalog.dropTempView("crs_atk_events")
+    spark.catalog.dropTempView("crs_atk_orders")
+    return out
+
+
+@register(
+    "udtf_analyze_polymorphic",
+    oracle="""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS w1,
+           split_part(text, ' ', 2) AS w2,
+           split_part(text, ' ', 3) AS w3,
+           split_part(text, ' ', 4) AS w4,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+    FROM documents
+    """,
+    doc="Polymorphic Python UDTF (SPARK-44503: static analyze()): the "
+    "output SCHEMA is computed at plan time from the call's constant "
+    "argument — leading_words(text, 4) resolves to columns w1..w4 + "
+    "n_tokens before any data moves, the surface udtf_doc_chunks "
+    "(static returnType) cannot express. The UDTF pads short "
+    "documents with '' to match SQL split_part semantics, so the "
+    "DuckDB oracle is a plain split_part projection. Consumed via "
+    "SQL LATERAL join over documents; row-at-a-time Python remains "
+    "the documented slow path (the expression twin for real width-N "
+    "extraction is a split+getItem projection) — this entry covers "
+    "the analyze-time-schema API, as the §2.9 UDF/UDTF family does "
+    "per surface.",
+    tags=("udtf", "spark4", "documents", "text"),
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LeadingWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a positive integer literal")
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"w{i + 1}", StringType())
+            return AnalyzeResult(schema=schema.add("n_tokens", IntegerType()))
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else "" for i in range(n)
+            ) + (len(toks),)
+
+    spark.udtf.register("crs_leading_words", LeadingWords)
+    d = tables.load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("crs_poly_docs")
+    out = spark.sql(
+        """
+        SELECT d.doc_id, f.w1, f.w2, f.w3, f.w4, f.n_tokens
+        FROM crs_poly_docs d, LATERAL crs_leading_words(d.text, 4) f
+        """
+    )
+    spark.catalog.dropTempView("crs_poly_docs")
+    return out

@@ -447,3 +447,48 @@ def test_ewma_forecast_fanout_is_post_aggregation(spark):
     assert "text" not in scan
     assert p.count("HashAggregate") >= 4  # two partial+final pairs
     assert "CartesianProduct" not in p
+
+
+def test_udtf_analyze_schema_is_argument_driven(spark):
+    """The polymorphic UDTF's schema must come from analyze(): the SAME
+    function called with different n resolves to different column sets
+    at plan time, and a non-positive n is rejected during analysis —
+    before any data moves."""
+    import pytest
+
+    import chess_ratings_spark.plans  # noqa: F401
+    from chess_ratings_spark.registry import REGISTRY
+
+    from .conftest import SF_SMOKE
+
+    out = REGISTRY["udtf_analyze_polymorphic"].fn(spark, SF_SMOKE)
+    assert out.columns == ["doc_id", "w1", "w2", "w3", "w4", "n_tokens"]
+    # same registered function, different constant -> different schema
+    two = spark.sql("SELECT * FROM crs_leading_words('alpha beta gamma', 2)")
+    assert two.columns == ["w1", "w2", "n_tokens"]
+    assert two.collect()[0].asDict() == {"w1": "alpha", "w2": "beta", "n_tokens": 3}
+    with pytest.raises(Exception, match="positive"):
+        spark.sql("SELECT * FROM crs_leading_words('x', 0)").collect()
+
+
+def test_approx_topk_exact_at_full_cardinality(spark):
+    """approx_top_k with k above the distinct cardinality must return
+    EXACT counts for every value (the property the oracle relies on),
+    with counts non-increasing in sketch order."""
+    import chess_ratings_spark.plans  # noqa: F401
+    from chess_ratings_spark.registry import REGISTRY
+
+    from .conftest import SF_SMOKE
+
+    rows = REGISTRY["agg_approx_topk"].fn(spark, SF_SMOKE).collect()
+    got = {(r.src, r.item): r.n for r in rows}
+    from chess_ratings_spark import tables
+    from pyspark.sql import functions as F
+
+    ev = (
+        tables.load(spark, SF_SMOKE, "events")
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    for r in ev:
+        assert got[("event_type", r.event_type)] == r.n
+    assert sum(1 for (s, _) in got if s == "event_type") == len(ev)
