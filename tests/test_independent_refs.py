@@ -939,3 +939,84 @@ def test_merge_mor_matches_pure_python_upsert(spark, tmp_path):
     }
     assert got == want
     assert len(got) == n0 + len(inserts)
+
+
+def test_merge_full_matches_pure_python_three_clause(spark, tmp_path):
+    """lake_merge_full's census oracle is a logical replay in SQL; this
+    recomputes the end state with pure-Python dict semantics — upsert
+    plus a dict sweep for the WHEN NOT MATCHED BY SOURCE clause — an
+    unrelated route that would catch a shared derivation error between
+    the verb and its oracle (which unmatched rows the clause dooms,
+    what the post-merge content is)."""
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.operators.tablelog import TableLog
+
+    ev = (
+        tables.load(spark, SF_SMOKE, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+        )
+    )
+    rows = ev.collect()
+    table = {r["event_id"]: r.asDict() for r in rows}
+
+    updates, inserts = {}, {}
+    for r in rows:
+        if r["event_type"] == "view" and r["user_id"] % 15 == 2:
+            d = r.asDict()
+            d["vc"] += 5000
+            updates[d["event_id"]] = d
+        if r["event_type"] == "purchase" and r["user_id"] % 15 == 3:
+            d = r.asDict()
+            d["event_id"] += 100_000_000
+            d["vc"] += 7
+            inserts[d["event_id"]] = d
+    src_keys = set(updates) | set(inserts)
+    # the three clauses in dict form: upsert, then sweep unmatched
+    doomed = [
+        k
+        for k, d in table.items()
+        if k not in src_keys
+        and d["event_type"] == "click"
+        and d["user_id"] % 10 == 4
+    ]
+    for k in doomed:
+        del table[k]
+    for k, d in {**updates, **inserts}.items():
+        table[k] = d
+
+    log = TableLog(tmp_path / "t")
+    log.append_range_bucketed(ev, "user_id", 25, tag="base")
+    src_updates = ev.filter(
+        "event_type = 'view' AND user_id % 15 = 2"
+    ).withColumn("vc", F.col("vc") + 5000)
+    src_inserts = ev.filter(
+        "event_type = 'purchase' AND user_id % 15 = 3"
+    ).select(
+        (F.col("event_id") + 100_000_000).alias("event_id"),
+        "user_id",
+        "event_type",
+        (F.col("vc") + 7).alias("vc"),
+    )
+    res = log.merge_mor(
+        spark,
+        src_updates.unionByName(src_inserts),
+        ["event_id"],
+        delete_unmatched="event_type = 'click' AND user_id % 10 = 4",
+    )
+    assert res["n_updated"] == len(updates)
+    assert res["n_inserted"] == len(inserts)
+    assert res["n_deleted"] == len(doomed)
+
+    got = {
+        r["event_id"]: (r["user_id"], r["event_type"], r["vc"])
+        for r in log.snapshot_mor(spark).collect()
+    }
+    want = {
+        k: (d["user_id"], d["event_type"], d["vc"]) for k, d in table.items()
+    }
+    assert got == want
