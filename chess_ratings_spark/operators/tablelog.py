@@ -308,6 +308,8 @@ class TableLog:
                 raise ValueError("commit needs files=[...] or build=callback")
             latest = self.latest_version()
             nxt = 0 if latest is None else latest + 1
+            prev = self.read_manifest(latest) if latest is not None else None
+            self._require_new_files_exist(files, prev, op)
             self.try_commit(nxt, files, op, extra)
             return nxt
         for _ in range(max_retries + 1):
@@ -316,12 +318,42 @@ class TableLog:
             prev = self.read_manifest(latest) if latest is not None else None
             built = build(prev)
             bfiles, bextra = built if isinstance(built, tuple) else (built, extra)
+            self._require_new_files_exist(bfiles, prev, op)
             try:
                 self.try_commit(nxt, bfiles, op, bextra)
                 return nxt
             except CommitConflict:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def _require_new_files_exist(
+        self, files: list[str], prev: dict | None, op: str
+    ) -> None:
+        """Pre-publish guard, the data-file twin of
+        :func:`_require_dv_artifact` (round-12 self-review #1): a verb
+        lands its data files BEFORE the manifest that references them,
+        so a concurrent vacuum with no grace window can sweep them as
+        unreferenced — and the commit would then publish a manifest
+        referencing missing files, breaking every read of a version
+        that "succeeded". Only the files NEW relative to the freshly
+        read parent are checked (carried files are referenced by the
+        parent and therefore vacuum-live): O(landing size) stats per
+        attempt, never O(table)."""
+        import os
+
+        carried = set(self.manifest_files(prev)) if prev else set()
+        missing = [
+            f for f in files if f not in carried and not os.path.exists(f)
+        ]
+        if missing:
+            raise RuntimeError(
+                f"{op}: {len(missing)} newly-landed data file(s) vanished"
+                f" before publish (e.g. {missing[0]}) — a concurrent"
+                " vacuum with no grace window can sweep"
+                " not-yet-referenced files; aborting the commit instead"
+                " of publishing a manifest that references missing"
+                " files; re-run the verb"
+            )
 
     # -- table verbs ------------------------------------------------------
 
@@ -1550,19 +1582,21 @@ class TableLog:
                             " (an upsert would collapse duplicates)"
                         )
                 pairs = matched.select("_dv_file", *key_cols)
-                if delete_unmatched is not None:
-                    # WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN
-                    # DELETE: live target rows with no source key,
-                    # filtered by the clause predicate, join the SAME
-                    # mask. Guard: a doomed (file, key) pair masks
-                    # every live row with that pair — a doomed key
-                    # shared with a surviving same-file row would
-                    # silently delete the survivor; refuse instead
-                    # (bounded count actions, no driver data).
-                    doomed = live.join(
-                        F.broadcast(src_keys), key_cols, "left_anti"
-                    ).filter(F.expr(delete_unmatched)).persist()
-                    try:
+                doomed = None
+                try:
+                    if delete_unmatched is not None:
+                        # WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN
+                        # DELETE: live target rows with no source key,
+                        # filtered by the clause predicate, join the
+                        # SAME mask. Guard: a doomed (file, key) pair
+                        # masks every live row with that pair — a
+                        # doomed key shared with a surviving same-file
+                        # row would silently delete the survivor;
+                        # refuse instead (bounded count actions, no
+                        # driver data).
+                        doomed = live.join(
+                            F.broadcast(src_keys), key_cols, "left_anti"
+                        ).filter(F.expr(delete_unmatched)).persist()
                         n_deleted = doomed.count()
                         if n_deleted:
                             on = ["_dv_file", *key_cols]
@@ -1580,19 +1614,33 @@ class TableLog:
                                     " DELETE"
                                 )
                             pairs = pairs.unionByName(dpairs)
-                    finally:
+                    if n_matched or n_deleted:
+                        # write while matched AND doomed are still
+                        # cached — unpersisting doomed first would
+                        # recompute the full live-scan inside the
+                        # write job (round-12 self-review #3)
+                        dv_dir = self.base / "_dvs"
+                        dv_dir.mkdir(parents=True, exist_ok=True)
+                        dv_path = str(
+                            dv_dir / f"{tag}-{uuid.uuid4().hex[:12]}.parquet"
+                        )
+                        pairs.coalesce(1).write.mode(
+                            "errorifexists"
+                        ).parquet(dv_path)
+                finally:
+                    if doomed is not None:
                         doomed.unpersist()
-                if n_matched or n_deleted:
-                    dv_dir = self.base / "_dvs"
-                    dv_dir.mkdir(parents=True, exist_ok=True)
-                    dv_path = str(
-                        dv_dir / f"{tag}-{uuid.uuid4().hex[:12]}.parquet"
-                    )
-                    pairs.coalesce(1).write.mode(
-                        "errorifexists"
-                    ).parquet(dv_path)
             finally:
                 matched.unpersist()
+
+        if n_source == 0 and dv_path is None:
+            # empty source whose delete clause matched nothing: a
+            # commit here would publish a data-change version identical
+            # to its parent (round-12 self-review #2) — report the
+            # no-op instead
+            return {"version": int(m["version"]), "n_updated": 0,
+                    "n_inserted": 0, "n_deleted": 0, "files_appended": 0,
+                    "files_rewritten": 0}
 
         # an empty source with a delete_unmatched clause is a pure
         # delete: nothing to land
@@ -1874,7 +1922,11 @@ class TableLog:
     # -- retention --------------------------------------------------------
 
     def vacuum(
-        self, retain_versions: int = 1, *, dv_grace_seconds: float = 600.0
+        self,
+        retain_versions: int = 1,
+        *,
+        dv_grace_seconds: float = 600.0,
+        data_grace_seconds: float = 0.0,
     ) -> dict:
         """Physically delete data files not referenced by the newest
         ``retain_versions`` manifests (their log entries stay, so
@@ -1918,11 +1970,22 @@ class TableLog:
         the documented vacuum-breaks-clones hazard in
         :func:`plans.lakehouse`.
 
-        ``dv_grace_seconds``: unreferenced ``_dvs/`` artifacts younger
-        than this are NOT reclaimed — an in-flight MOR verb writes its
-        artifact before the manifest that references it, and sweeping
-        that window would break a commit that still succeeds. Pass 0
-        only in tests that assert immediate reclamation."""
+        ``dv_grace_seconds`` / ``data_grace_seconds``: unreferenced
+        artifacts/files younger than the horizon are NOT reclaimed —
+        every in-flight verb writes its bytes (data landing, DV
+        artifact) BEFORE the manifest that references them, and
+        sweeping that window targets a commit that still succeeds.
+        The same race exists for BOTH kinds; both are double-covered:
+        the mtime horizon here, plus the commit path re-checking that
+        its new files and DV artifact still exist immediately before
+        the CAS publish (``_require_new_files_exist`` /
+        ``_require_dv_artifact``), so even a grace-0 sweep produces a
+        loud abort, never a corrupt table. ``data_grace_seconds``
+        defaults to 0 because the local fixtures assert immediate
+        reclamation (a production deployment sets it to hours, like
+        Delta's retention horizon); the DV default is 10 minutes
+        because no registered plan sweeps a table with in-flight
+        scoped DVs."""
         import os
 
         versions = self.versions()
@@ -1956,7 +2019,20 @@ class TableLog:
         # after the first pass (its pointer now on disk) keeps its
         # files out of the dead set
         late_live = self._clone_referenced_files(prune_stale=False)
-        dead = sorted(all_files - live - late_live)
+        import time as _time
+
+        now = _time.time()
+        dead = []
+        n_data_in_grace = 0
+        for p in sorted(all_files - live - late_live):
+            if data_grace_seconds > 0:
+                try:
+                    if now - os.stat(p).st_mtime < data_grace_seconds:
+                        n_data_in_grace += 1
+                        continue
+                except FileNotFoundError:
+                    continue
+            dead.append(p)
         for p in dead:
             os.unlink(p)
         # scoped-DV artifacts (MOR UPDATE/MERGE pair parquets under
@@ -1967,17 +2043,14 @@ class TableLog:
         # or their version aged out of retention) are reclaimed here —
         # they previously accumulated forever. Global key-list DVs are
         # caller-owned paths outside the table base and are never
-        # swept. Unlike a swept data file (an uncommitted landing
-        # simply orphans), a swept DV would break a commit that still
-        # succeeds — the artifact is written BEFORE the manifest that
-        # references it — so unreferenced artifacts younger than
-        # ``dv_grace_seconds`` are left alone (Delta's retention-
-        # horizon answer to the same race; the MOR verbs additionally
-        # re-check the artifact exists right before publishing).
+        # swept. A swept DV (or data file — the race is identical for
+        # both: bytes land BEFORE the manifest that references them)
+        # would target a commit that still succeeds, so unreferenced
+        # artifacts younger than ``dv_grace_seconds`` are left alone
+        # (Delta's retention-horizon answer), and the commit path
+        # re-checks both kinds right before publishing.
         import shutil as _shutil
-        import time as _time
 
-        now = _time.time()
         dv_root = self.base / "_dvs"
         all_dvs = (
             {str(p) for p in dv_root.glob("*")} if dv_root.exists() else set()
@@ -2000,6 +2073,7 @@ class TableLog:
         return {
             "n_live": len(live | late_live),
             "n_removed": len(dead),
+            "n_data_in_grace": n_data_in_grace,
             "n_dvs_removed": len(dead_dvs),
             "n_dvs_in_grace": n_dvs_in_grace,
             "retained_versions": keep_vs,

@@ -376,6 +376,6 @@ def test_pyds_batch_reader_composite_key_scoped_dvs(spark, tmp_path):
     assert len(m.get("delete_vectors_scoped", [])) == 1
     n_with = sum(1 for p in parts if p.scoped_dv_files)
     # the update touched k in [5, 14] => exactly 2 of the 4 width-10
-    # buckets; the other partitions must carry zero artifacts
-    assert n_with == 2
-    assert all(p.scoped_dv_files == [] for p in parts if not p.scoped_dv_files)
+    # buckets carry the artifact; the other 2 buckets AND the update's
+    # own landed file carry none (5 partitions total)
+    assert n_with == 2 and len(parts) == 5

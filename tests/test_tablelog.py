@@ -667,6 +667,13 @@ def test_commit_publish_is_atomic_under_concurrent_reads(base):
     log = TableLog(base)
     stop = threading.Event()
     torn: list[str] = []
+    # real (empty) files: the round-12 pre-publish guard refuses
+    # phantom paths, and a refused commit must not strand the readers
+    paths = []
+    for i in range(300):
+        p = Path(base) / "data" / f"f{i}.parquet"
+        p.touch()
+        paths.append(str(p))
 
     def reader():
         while not stop.is_set():
@@ -685,11 +692,13 @@ def test_commit_publish_is_atomic_under_concurrent_reads(base):
     readers = [threading.Thread(target=reader) for _ in range(3)]
     for t in readers:
         t.start()
-    for i in range(300):
-        log.commit(files=[f"/data/f{i}.parquet"], op="append")
-    stop.set()
-    for t in readers:
-        t.join()
+    try:
+        for i in range(300):
+            log.commit(files=[paths[i]], op="append")
+    finally:
+        stop.set()
+        for t in readers:
+            t.join()
     assert not torn, torn[:3]
     assert log.versions() == list(range(300))
 
@@ -2065,3 +2074,66 @@ def test_merge_mor_delete_unmatched_refuses_ambiguous_mask(base, spark):
     # nothing committed
     assert log.latest_version() == 0
     assert log.snapshot_mor(spark).count() == 20
+
+
+def test_commit_refuses_vanished_data_files(base, spark):
+    """The data-file twin of the DV pre-publish guard (round-12
+    self-review #1): landed files can be swept by a grace-0 vacuum
+    before the manifest referencing them publishes — the commit must
+    abort loudly instead of publishing a manifest that references
+    missing files. Injection: unlink the landing between _land and
+    commit."""
+    import os
+
+    log = TableLog(base)
+    _bucketed(log, spark)
+    orig_land = log._land
+
+    def land_then_sweep(df, n_files, tag):
+        out = orig_land(df, n_files, tag)
+        for f in out:
+            os.unlink(f)
+        return out
+
+    log._land = land_then_sweep
+    with pytest.raises(RuntimeError, match="vanished before publish"):
+        log.append(_tiny(spark, n=5, tag=1), n_files=1, tag="x")
+    log._land = orig_land
+    assert log.latest_version() == 0
+    assert log.snapshot_mor(spark).count() == 100
+
+
+def test_merge_mor_noop_clause_does_not_commit(base, spark):
+    """An empty source whose delete clause matches nothing must NOT
+    publish a data-change version identical to its parent (round-12
+    self-review #2)."""
+    log = TableLog(base)
+    _bucketed(log, spark)
+    res = log.merge_mor(
+        spark, _tiny(spark, n=0), ["k"], delete_unmatched="k > 1000000"
+    )
+    assert res == {
+        "version": 0, "n_updated": 0, "n_inserted": 0, "n_deleted": 0,
+        "files_appended": 0, "files_rewritten": 0,
+    }
+    assert log.latest_version() == 0
+
+
+def test_vacuum_data_grace_protects_young_orphans(base, spark):
+    """data_grace_seconds (default 0 for the local fixtures) must,
+    when set, protect young unreferenced data files — the in-flight
+    landing's window — while aged-out orphans are still reclaimed."""
+    import os
+
+    log = TableLog(base)
+    _bucketed(log, spark)
+    orphan = Path(base) / "data" / "orphan-000.parquet"
+    orphan.write_bytes(b"PAR1 not really parquet PAR1")
+
+    res = log.vacuum(retain_versions=1, data_grace_seconds=3600)
+    assert res["n_removed"] == 0 and res["n_data_in_grace"] == 1
+    assert orphan.exists()
+
+    os.utime(orphan, (os.stat(orphan).st_atime, os.stat(orphan).st_mtime - 10_000))
+    res = log.vacuum(retain_versions=1, data_grace_seconds=3600)
+    assert res["n_removed"] == 1 and not orphan.exists()
