@@ -46,6 +46,12 @@ from chess_ratings_spark.operators.tablelog import TableLog
 #   gains them), all in one commit — exercising mixed update+insert
 #   upserts interleaved with deletes/COW/OPTIMIZE and time travel over
 #   the resulting scoped-DV stacks;
+# ("mfull", a) is the THREE-clause MERGE (round 12,
+#   merge_mor(delete_unmatched=...)): source re-asserts live keys
+#   k % 7 == a//5 and inserts 5 fresh keys, while the clause
+#   "k % 5 == a%5" reaps unmatched live keys — the model loses the
+#   doomed set and gains the inserts in ONE commit, interleaved with
+#   every other verb and time-traveled like the rest;
 # ("race", m) runs the protocol's layout verb with a CONCURRENT append
 #   injected between its manifest read and its commit (the
 #   OPTIMIZE-vs-append rebase): the append's keys enter the model, and
@@ -60,6 +66,7 @@ _ops = st.lists(
         st.tuples(st.just("update"), st.integers(0, 6)),
         st.tuples(st.just("umor"), st.integers(0, 6)),
         st.tuples(st.just("merge"), st.integers(0, 6)),
+        st.tuples(st.just("mfull"), st.integers(0, 34)),
         st.tuples(st.just("race"), st.integers(0, 9)),
     ),
     min_size=2,
@@ -160,6 +167,26 @@ def test_tablelog_matches_model(spark, tmp_path_factory, protocol, ops):
             assert res["n_inserted"] == len(ins)
             v = res["version"]
             model |= set(ins)
+        elif kind == "mfull" and appended_any and protocol == "full":
+            # 3-clause MERGE: upsert k % 7 == um + 5 inserts, and the
+            # delete-unmatched clause reaps k % 5 == dm among the
+            # UNMATCHED live keys — one commit, one scoped-DV artifact
+            um, dm = arg // 5, arg % 5
+            upd = sorted(k for k in model if k % 7 == um)
+            lo = 300_000 + arg * 20 + i * 200
+            ins = list(range(lo, lo + 5))
+            src = spark.createDataFrame(
+                [(k,) for k in upd + ins], "k bigint"
+            )
+            doomed = {k for k in model if k % 7 != um and k % 5 == dm}
+            res = log.merge_mor(
+                spark, src, ["k"], delete_unmatched=f"k % 5 = {dm}"
+            )
+            assert res["n_updated"] == len(upd)
+            assert res["n_inserted"] == len(ins)
+            assert res["n_deleted"] == len(doomed)
+            v = res["version"]
+            model = (model - doomed) | set(ins)
         elif kind == "race" and appended_any:
             lo = 100_000 + arg * 20 + i * 200
             raced_keys = set(range(lo, lo + 20))
