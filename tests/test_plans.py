@@ -492,3 +492,24 @@ def test_approx_topk_exact_at_full_cardinality(spark):
     for r in ev:
         assert got[("event_type", r.event_type)] == r.n
     assert sum(1 for (s, _) in got if s == "event_type") == len(ev)
+
+
+def test_approx_topk_plan_merges_sketches_not_rows(spark):
+    """The sketch's scale story: each partition folds its rows into a
+    constant-size sketch (partial_approx_top_k BELOW the exchange), and
+    the single-partition exchange moves sketches, not rows — at 100 TB
+    the shuffle is O(partitions), not O(rows)."""
+    p = plan_of(spark, "agg_approx_topk")
+    assert p.count("partial_approx_top_k") == 2  # one per sketched column
+    # partial must sit under its exchange in both branches
+    lines = p.splitlines()
+    for col in ("event_type", "o_orderpriority"):
+        ex = next(
+            i for i, l in enumerate(lines)
+            if "Exchange SinglePartition" in l
+            and any(col in m for m in lines[i : i + 3])
+        )
+        assert any(
+            "partial_approx_top_k" in l for l in lines[ex : ex + 3]
+        ), f"partial sketch not below the exchange for {col}"
+    assert "CartesianProduct" not in p
