@@ -592,3 +592,57 @@ def test_state_reader_mid_and_final_snapshots(spark):
     for et, (nm, vm, nf, vf) in got.items():
         assert (nm, vm) == mid.get(et, (0, 0)), f"mid state drifted for {et}"
         assert (nf, vf) == fin[et], f"final state drifted for {et}"
+
+
+def test_state_reader_join_sides_expose_buffered_state(spark, tmp_path):
+    """The statestore data source's joinSide option must expose each
+    side's buffered rows of a stream-stream interval join, and the
+    buffer contents must equal the watermark's exact eviction rule —
+    left rows kept while a.ts + 5s can still match (a.ts >= wm - 5s),
+    right rows while b.ts >= wm, with wm = max(ts) - 10s after the
+    single availableNow round."""
+    import pathlib
+
+    for side in ("l", "r"):
+        d = tmp_path / side
+        d.mkdir()
+        spark.range(50).select(
+            (F.col("id") % 5).alias("k"),
+            F.col("id").alias("v"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("id"))
+            ).alias("ts"),
+        ).write.parquet(str(d / "p"))
+
+    def src(side):
+        return (
+            spark.readStream.schema("k bigint, v bigint, ts timestamp")
+            .parquet(str(tmp_path / side) + "/*")
+            .withWatermark("ts", "10 seconds")
+        )
+
+    j = src("l").alias("a").join(
+        src("r").alias("b"),
+        F.expr("a.k = b.k AND b.ts BETWEEN a.ts AND a.ts + interval 5 seconds"),
+    )
+    ck = str(tmp_path / "ck")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("crs_jsr")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.catalog.dropTempView("crs_jsr")
+
+    # wm = 49s - 10s = 39s. Right buffer: b.ts >= 39 -> ids 39..49.
+    # Left buffer: a.ts >= wm - 5 = 34 -> ids 34..49.
+    left = spark.read.format("statestore").option("joinSide", "left").load(ck)
+    right = spark.read.format("statestore").option("joinSide", "right").load(ck)
+    lv = sorted(r["value"]["v"] for r in left.collect())
+    rv = sorted(r["value"]["v"] for r in right.collect())
+    assert lv == list(range(34, 50)), lv
+    assert rv == list(range(39, 50)), rv
