@@ -661,3 +661,95 @@ def ts_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_x65536",
         )
     )
+
+
+@register(
+    "ts_holt_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS vc
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    terms AS (
+      SELECT d.event_type,
+             d.day + o.k AS tday,
+             CASE WHEN o.k <= 10
+                  THEN d.vc * (CAST(1 AS BIGINT) << (10 - o.k))
+                  ELSE CAST(0 AS BIGINT) END AS t1,
+             d.vc * (least(o.k, 20 - o.k) + 1)
+                  * (CAST(1 AS BIGINT) << (20 - o.k)) AS t2
+      FROM daily d
+      CROSS JOIN (SELECT unnest(range(0, 21)) AS k) o
+    ),
+    sm AS (
+      SELECT t.event_type, t.tday,
+             sum(t.t1) AS s1, sum(t.t2) AS s2
+      FROM terms t
+      JOIN (SELECT DISTINCT event_type, day FROM daily) g
+        ON g.event_type = t.event_type AND g.day = t.tday
+      GROUP BY t.event_type, t.tday
+    )
+    SELECT event_type,
+           CAST(tday AS BIGINT) AS day,
+           CAST(s1 AS BIGINT) AS s1_x1024,
+           CAST(s2 AS BIGINT) AS s2_x1048576,
+           CAST(3 * s1 * 1024 - 2 * s2 AS BIGINT) AS forecast_x1048576
+    FROM sm
+    """,
+    doc="Brown's double exponential smoothing (Holt linear-trend "
+    "forecast, alpha=1/2) in exact fixed point — the trend-aware "
+    "sibling of ts_ewma_forecast. The second smoothing is the SAME "
+    "truncated dyadic kernel applied to the first, so its 21-term "
+    "weights have the closed form (min(k, 20-k)+1) * 2^(20-k) — "
+    "verified by direct kernel convolution in tests — and every term "
+    "is a BIGINT at scale 2^10 (s1) / 2^20 (s2). Brown's recurrences "
+    "at alpha=1/2 give level = 2*s1 - s2 and trend = s1 - s2, so the "
+    "one-step forecast is 3*s1 - 2*s2, emitted at the common 2^20 "
+    "scale — no float reduction anywhere, Spark and DuckDB bit-equal. "
+    "Shape matches the EWMA entry: ONE keyed daily aggregate "
+    "(map-side combine), then the convolution fans out on the daily "
+    "table (~6 orders smaller than the corpus at 100 TB), computing "
+    "BOTH smoothings in a single explode + re-aggregate; emitted days "
+    "semi-join back to observed (key, day) pairs.",
+    tags=("timeseries", "window", "events"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_date(cast(ts as date))").cast("bigint").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("vc")
+    )
+    terms = daily.withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(20)))
+    ).select(
+        "event_type",
+        (F.col("day") + F.col("k")).alias("tday"),
+        F.expr(
+            "CASE WHEN k <= 10 THEN vc * (cast(1 as bigint) << (10 - k))"
+            " ELSE cast(0 as bigint) END"
+        ).alias("t1"),
+        F.expr(
+            "vc * (least(k, 20 - k) + 1) * (cast(1 as bigint) << (20 - k))"
+        ).alias("t2"),
+    )
+    observed = daily.select("event_type", F.col("day").alias("tday")).distinct()
+    sm = (
+        terms.join(observed, ["event_type", "tday"], "inner")
+        .groupBy("event_type", "tday")
+        .agg(F.sum("t1").alias("s1"), F.sum("t2").alias("s2"))
+    )
+    return sm.select(
+        "event_type",
+        F.col("tday").cast("bigint").alias("day"),
+        F.col("s1").cast("bigint").alias("s1_x1024"),
+        F.col("s2").cast("bigint").alias("s2_x1048576"),
+        (F.lit(3) * F.col("s1") * F.lit(1024) - F.lit(2) * F.col("s2"))
+        .cast("bigint")
+        .alias("forecast_x1048576"),
+    )

@@ -56,26 +56,27 @@ REGISTRY: dict[str, Query] = {}
 #:   1-30  the 30 §2 operators whose latest driver row is r7 (age 5
 #:         at round 12 -- the exact list the round-11
 #:         test_survey2_evidence_freshness failure named).
-#:  31-34  round-12 NEW registrations: lake_merge_full (3-clause
+#:  31-35  round-12 NEW registrations: lake_merge_full (3-clause
 #:         Delta MERGE -- WHEN NOT MATCHED BY SOURCE THEN DELETE,
 #:         MOR), stream_state_reader (Spark 4 statestore data
 #:         source: mid-stream state oracled offline),
 #:         agg_approx_topk (built-in heavy-hitter sketch, exact at
 #:         k > cardinality), udtf_analyze_polymorphic (UDTF with
-#:         analyze-time schema).
-#:  35-37  the three names round 11's late registrations displaced:
+#:         analyze-time schema), ts_holt_linear (Brown double
+#:         smoothing, bit-exact fixed point).
+#:  36-38  the three names round 11's late registrations displaced:
 #:         q3_shipping_priority and dedup_exact_hash (both r4 = age
 #:         8, the oldest evidence anywhere in the registry) and the
 #:         lake_clone_shallow re-check (r10-green, but its verb
 #:         gained the vacuum-guard pointer-ordering fix in r11).
-#:  38-42  five names PRE-EMPTED from the r8x43 cohort in
+#:  39-43  five names PRE-EMPTED from the r8x43 cohort in
 #:         registration order, so round 13's mandatory cohort drops
 #:         to 38 and keeps ~12 spare slots (the r8/r9 cohorts are 43
 #:         and 46 wide -- without pre-emption rounds 13-14 would have
 #:         almost no room for new registrations).
-#:  43-50  the rest of the age-8 block: TPC-H q1/q4-q10 in query
+#:  44-50  the rest of the age-8 block: TPC-H q1/q4-q9 in query
 #:         order (q2 is r6-fresh; q9/q17/q21 were judge re-verified
-#:         at r10 HEAD but their driver rows are still r4 -- q11-q22
+#:         at r10 HEAD but their driver rows are still r4 -- q10-q22
 #:         front round 13's spare slots next, first in tail order).
 #: Round-13+ capacity, recomputed at r12 HEAD: mandatory cohorts are
 #: r13: 38 (r8x43 minus the 5 pre-empted), r14: 46 (r9), r15: 43
@@ -116,6 +117,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_state_reader",
     "agg_approx_topk",
     "udtf_analyze_polymorphic",
+    "ts_holt_linear",
     "q3_shipping_priority",
     "dedup_exact_hash",
     "lake_clone_shallow",
@@ -131,8 +133,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",
-    "q10_returned_items",
     # ============ post-window: prior evidence, all green ============
+    "q10_returned_items",
     "q11_important_values",
     "q12_shipmode_priority",
     "q13_customer_distribution",

@@ -1020,3 +1020,51 @@ def test_merge_full_matches_pure_python_three_clause(spark, tmp_path):
         k: (d["user_id"], d["event_type"], d["vc"]) for k, d in table.items()
     }
     assert got == want
+
+
+def test_holt_linear_matches_pure_python_convolution(spark):
+    """ts_holt_linear's closed-form weights and the registered plan are
+    both checked against an unrelated route: (a) the 21-term closed
+    form (min(k,20-k)+1)*2^(20-k) must equal the direct convolution of
+    the 11-term dyadic kernel with itself, and (b) the Spark result at
+    SF_SMOKE must equal a pure-Python dict replay of daily-aggregate ->
+    double convolution -> 3*s1 - 2*s2 over the collected fixture."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    # (a) closed form == composed kernel
+    a = [1 << (10 - i) for i in range(11)]
+    w = [0] * 21
+    for i in range(11):
+        for j in range(11):
+            w[i + j] += a[i] * a[j]
+    assert w == [(min(k, 20 - k) + 1) * (1 << (20 - k)) for k in range(21)]
+
+    # (b) fixture replay
+    ev = tables.load(spark, SF_SMOKE, "events")
+    daily = defaultdict(int)
+    for r in ev.select(
+        "event_type",
+        F.expr("unix_date(cast(ts as date))").cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    ).collect():
+        daily[(r.event_type, r.day)] += r.vc
+    want = {}
+    for (et, day) in daily:
+        s1 = sum(
+            a[i] * daily.get((et, day - i), 0) for i in range(11)
+        )
+        s2 = sum(
+            w[k] * daily.get((et, day - k), 0) for k in range(21)
+        )
+        want[(et, day)] = (s1, s2, 3 * s1 * 1024 - 2 * s2)
+
+    import chess_ratings_spark.plans  # noqa: F401
+    from chess_ratings_spark.registry import REGISTRY
+
+    got = {
+        (r.event_type, r.day): (r.s1_x1024, r.s2_x1048576, r.forecast_x1048576)
+        for r in REGISTRY["ts_holt_linear"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
