@@ -79,6 +79,19 @@ def main() -> None:
     except Exception as exc:
         print(f"# BENCH WARMUP ERROR stage: {exc}", file=sys.stderr)
 
+    # Warm the SQL scripting engine: the first compound statement in a
+    # JVM pays ~5 s of interpreter class-load/JIT (measured: the same
+    # script runs 6.7 s cold vs 1.9 s warm) that would otherwise be
+    # billed entirely to sql_scripting rather than its plan.
+    try:
+        spark.sql(
+            "BEGIN DECLARE w INT DEFAULT 0;"
+            " WHILE w < 2 DO SET w = w + 1; END WHILE;"
+            " SELECT w; END"
+        ).collect()
+    except Exception as exc:
+        print(f"# BENCH WARMUP ERROR scripting: {exc}", file=sys.stderr)
+
     # Warm the Python DataSource machinery: the FIRST Python-datasource
     # read in a JVM pays ~6 s of engine bootstrap (measured with a
     # trivial source; subsequent reads 0.5 s) that would otherwise be

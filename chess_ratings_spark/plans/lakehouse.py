@@ -2926,20 +2926,32 @@ def lake_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
         ).collect()[0]
 
+        # Synthetic insert keys must live above every target key at ANY
+        # sf, or an insert would silently collide into an update and
+        # diverge from the oracle (round-12 ADVICE): derive the offset
+        # from max(event_id) — a bounded 1-row census — instead of a
+        # constant that sf could outgrow.
+        key_offset = int(
+            ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
+        ) + 1
         updates = ev.filter(
             "event_type = 'view' AND user_id % 15 = 2"
         ).withColumn("vc", F.col("vc") + 5000)
         inserts = ev.filter(
             "event_type = 'purchase' AND user_id % 15 = 3"
         ).select(
-            (F.col("event_id") + 100_000_000).alias("event_id"),
+            (F.col("event_id") + key_offset).alias("event_id"),
             "user_id",
             "event_type",
             (F.col("vc") + 7).alias("vc"),
         )
-        res = log.merge_mor(
-            spark, updates.unionByName(inserts), ["event_id"]
-        )
+        source = updates.unionByName(inserts)
+        if source.isEmpty():  # files_appended=1 is protocol-constant
+            raise AssertionError(
+                "lake_merge_mor: empty MERGE source at this sf — the "
+                "oracle's files_appended=1 would not hold"
+            )
+        res = log.merge_mor(spark, source, ["event_id"])
         m1 = log.read_manifest()
         after = log.snapshot_mor(spark).agg(
             F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
@@ -3068,20 +3080,32 @@ def lake_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
         ).collect()[0]
 
+        # Same collision guard as lake_merge_mor (round-12 ADVICE):
+        # synthetic insert keys start past max(event_id) so no sf can
+        # flip an insert into an update behind the oracle's back.
+        key_offset = int(
+            ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
+        ) + 1
         updates = ev.filter(
             "event_type = 'view' AND user_id % 15 = 2"
         ).withColumn("vc", F.col("vc") + 5000)
         inserts = ev.filter(
             "event_type = 'purchase' AND user_id % 15 = 3"
         ).select(
-            (F.col("event_id") + 100_000_000).alias("event_id"),
+            (F.col("event_id") + key_offset).alias("event_id"),
             "user_id",
             "event_type",
             (F.col("vc") + 7).alias("vc"),
         )
+        source = updates.unionByName(inserts)
+        if source.isEmpty():  # files_appended=1 is protocol-constant
+            raise AssertionError(
+                "lake_merge_full: empty MERGE source at this sf — the "
+                "oracle's files_appended=1 would not hold"
+            )
         res = log.merge_mor(
             spark,
-            updates.unionByName(inserts),
+            source,
             ["event_id"],
             delete_unmatched="event_type = 'click' AND user_id % 10 = 4",
         )

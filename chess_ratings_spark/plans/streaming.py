@@ -1147,3 +1147,101 @@ def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return stream_ops.state_reader_snapshot(spark, ev)
+
+
+@register(
+    "stream_state_reader_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, date_trunc('second', ts) AS ts,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    v AS (SELECT user_id, ts, vc FROM e WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, vc FROM e WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+             - INTERVAL 10 MINUTE AS w
+    ),
+    pairs AS (
+      SELECT count(*) AS n, coalesce(sum(v.vc + p.vc), 0) AS s
+      FROM v JOIN p ON v.user_id = p.user_id
+                    AND p.ts BETWEEN v.ts AND v.ts + INTERVAL 1 HOUR
+    ),
+    lbuf AS (
+      SELECT count(*) AS n, coalesce(sum(vc), 0) AS s
+      FROM v, wm WHERE v.ts >= wm.w - INTERVAL 1 HOUR
+    ),
+    rbuf AS (
+      SELECT count(*) AS n, coalesce(sum(vc), 0) AS s
+      FROM p, wm WHERE p.ts >= wm.w
+    )
+    SELECT * FROM (
+      SELECT 'left' AS side,
+             CAST(lbuf.n AS BIGINT) AS n_buffered,
+             CAST(lbuf.s AS BIGINT) AS vc_buffered,
+             CAST(pairs.n AS BIGINT) AS n_pairs,
+             CAST(pairs.s AS BIGINT) AS pair_vc
+      FROM lbuf, pairs
+      UNION ALL
+      SELECT 'right' AS side,
+             CAST(rbuf.n AS BIGINT) AS n_buffered,
+             CAST(rbuf.s AS BIGINT) AS vc_buffered,
+             CAST(pairs.n AS BIGINT) AS n_pairs,
+             CAST(pairs.s AS BIGINT) AS pair_vc
+      FROM rbuf, pairs
+    ) ORDER BY side
+    """,
+    doc="State data source over STREAM-STREAM JOIN state "
+    "(spark.read.format('statestore').option('joinSide', ...)): a "
+    "watermarked interval join (views x same-user purchases within 1 "
+    "hour after, 10-minute watermarks both sides) runs one "
+    "availableNow round, then each side's buffered state is read "
+    "OFFLINE from the checkpoint. The oracle recomputes the exact "
+    "eviction rule from the logical input — wm = least(max v_ts, "
+    "max p_ts) - 10 min; left buffer keeps v_ts >= wm - 1 hour (rows "
+    "that can still match), right buffer keeps p_ts >= wm — plus the "
+    "emitted-pair census, so BOTH the join's output and its retained "
+    "state are value-checked (the round-12 verdict's ask: the "
+    "joinSide surface was pytest-only). Event times truncate to whole "
+    "seconds on both sides so millisecond-domain watermark arithmetic "
+    "is exact against SQL.",
+    tags=("streaming", "spark4", "state", "events", "live", "join"),
+)
+def stream_state_reader_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.state_reader_join_sides(spark, ev)
+
+
+@register(
+    "sink_pyds_streamwriter",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(vc) AS BIGINT) AS vc_sum,
+           CAST(2 AS INT) AS n_data_epochs,
+           true AS orphan_excluded,
+           true AS counts_consistent
+    FROM e
+    """,
+    doc="Python DataSourceStreamWriter (Spark 4): events stream "
+    "through the crs_jsonl_sink's streaming half across three "
+    "availableNow runs on one checkpoint — even slice (epoch 1), an "
+    "idle restart that must publish NOTHING, then the odd slice "
+    "(epoch 2) — each epoch committing a _epoch_<batchId>.json "
+    "manifest via atomic exclusive-create, with crash-replay handled "
+    "by IDEMPOTENT per-epoch commits (a replayed batchId unlinks its "
+    "duplicate staging instead of double-publishing). A planted "
+    "orphan part-file proves manifest-resolved reads ignore "
+    "uncommitted staging. The census over manifest-listed files must "
+    "equal the full events aggregate: nothing lost across restarts, "
+    "nothing doubled — exactly-once from at-least-once task attempts. "
+    "Completes the Python DataSource matrix (batch read / stream read "
+    "/ 2PC batch write / per-epoch stream write).",
+    tags=("streaming", "sink", "spark4", "events", "live"),
+)
+def sink_pyds_streamwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.pyds_stream_sink_census(spark, ev)

@@ -52,37 +52,80 @@ REGISTRY: dict[str, Query] = {}
 #: enforced, by test_next_round_cohort_fits_window), then the oldest
 #: non-§2 evidence.
 #:
-#: ================= ROUND-12 WINDOW (slots 1-50) =================
-#:   1-30  the 30 §2 operators whose latest driver row is r7 (age 5
-#:         at round 12 -- the exact list the round-11
-#:         test_survey2_evidence_freshness failure named).
-#:  31-35  round-12 NEW registrations: lake_merge_full (3-clause
-#:         Delta MERGE -- WHEN NOT MATCHED BY SOURCE THEN DELETE,
-#:         MOR), stream_state_reader (Spark 4 statestore data
-#:         source: mid-stream state oracled offline),
-#:         agg_approx_topk (built-in heavy-hitter sketch, exact at
-#:         k > cardinality), udtf_analyze_polymorphic (UDTF with
-#:         analyze-time schema), ts_holt_linear (Brown double
-#:         smoothing, bit-exact fixed point).
-#:  36-38  the three names round 11's late registrations displaced:
-#:         q3_shipping_priority and dedup_exact_hash (both r4 = age
-#:         8, the oldest evidence anywhere in the registry) and the
-#:         lake_clone_shallow re-check (r10-green, but its verb
-#:         gained the vacuum-guard pointer-ordering fix in r11).
-#:  39-43  five names PRE-EMPTED from the r8x43 cohort in
-#:         registration order, so round 13's mandatory cohort drops
-#:         to 38 and keeps ~12 spare slots (the r8/r9 cohorts are 43
-#:         and 46 wide -- without pre-emption rounds 13-14 would have
-#:         almost no room for new registrations).
-#:  44-50  the rest of the age-8 block: TPC-H q1/q4-q9 in query
-#:         order (q2 is r6-fresh; q9/q17/q21 were judge re-verified
-#:         at r10 HEAD but their driver rows are still r4 -- q10-q22
-#:         front round 13's spare slots next, first in tail order).
-#: Round-13+ capacity, recomputed at r12 HEAD: mandatory cohorts are
-#: r13: 38 (r8x43 minus the 5 pre-empted), r14: 46 (r9), r15: 43
-#: (r10). r14 is the tight one -- round 13's ~12 spare slots should
-#: pre-empt 4-6 of the r9 cohort the same way.
+#: ================= ROUND-13 WINDOW (slots 1-50) =================
+#:   1-38  the r8 cohort: the 38 §2 operators whose latest driver row
+#:         is r8 (age 5 at round 13 — the exact list the round-12
+#:         test_survey2_evidence_freshness failure named), in
+#:         alphabetical order.
+#:  39-40  round-13 NEW registrations: stream_state_reader_join (the
+#:         statestore reader's joinSide surface promoted from
+#:         pytest-only to a driver query — round-12 verdict #3) and
+#:         sink_pyds_streamwriter (Python DataSourceStreamWriter with
+#:         idempotent per-epoch manifest commits — verdict #7,
+#:         completing the Python DataSource read/write matrix).
+#:  41-50  ten names PRE-EMPTED from the r9x46 cohort in prior
+#:         DRIVER_ORDER appearance order, so round 14's mandatory
+#:         cohort drops from 46 to 36 and keeps ~14 spare slots.
+#: Round-14+ capacity, recomputed at r13 HEAD: mandatory cohorts are
+#: r14: 36 (r9x46 minus the 10 pre-empted), r15: 42 (r10), r16: 40
+#: (r11). test_next_round_cohort_fits_window now simulates TWO rounds
+#: ahead (round-12 verdict #2), so r14's spare slots must pre-empt
+#: >=0 of the r10 cohort — the simulation says 36+8-reserve leaves 6
+#: pre-empts, landing r15 at 36. The 7 non-§2 r8 leftovers
+#: (src_*_roundtrip, text_fingerprint/langid/quality_score/
+#: token_count) are the oldest unenforced evidence — front them in
+#: r14's spare slots after the §2 obligations.
 DRIVER_ORDER: tuple[str, ...] = (
+    "agg_distinct",
+    "agg_hash_group",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup_cube",
+    "agg_unique_check",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "fn_array_ops",
+    "fn_cast_datetime_year",
+    "fn_date_range",
+    "fn_math_std",
+    "fn_regex_match",
+    "fn_replace_null",
+    "join_broadcast",
+    "join_cross_params",
+    "join_equi_inner",
+    "join_outer",
+    "join_semi_anti",
+    "join_similarity",
+    "join_theta_range",
+    "lake_changes_between",
+    "lake_merge_cdf",
+    "limit_topk_global",
+    "mm_embedding_col",
+    "scan_metadata_columns",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sim_join_threshold",
+    "sim_topk_cosine",
+    "sort_order",
+    "src_parquet_scan",
+    "src_url_gen",
+    "text_tokenize_stats",
+    "win_ntile_rank",
+    "win_rank_topk",
+    "win_running",
+    "stream_state_reader_join",
+    "sink_pyds_streamwriter",
+    "join_aqe_skew",
+    "ml_gd_classifier",
+    "sink_pyds_twophase",
+    "stream_cdf_source",
+    "stream_replicate_tablelog",
+    "stream_ivm_groupby",
+    "lake_bloom_prune",
+    "train_pack_sequences",
+    "lake_manifest_shard",
+    "src_tablelog_format",
     "agg_countmin_heavyhitters",
     "fn_collation",
     "fn_try_arith",
@@ -133,7 +176,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",
-    # ============ post-window: prior evidence, all green ============
     "q10_returned_items",
     "q11_important_values",
     "q12_shipmode_priority",
@@ -235,16 +277,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "proj_add_missing",
     "proj_lit",
     "select_project",
-    "join_aqe_skew",
-    "ml_gd_classifier",
-    "sink_pyds_twophase",
-    "stream_cdf_source",
-    "stream_replicate_tablelog",
-    "stream_ivm_groupby",
-    "lake_bloom_prune",
-    "train_pack_sequences",
-    "lake_manifest_shard",
-    "src_tablelog_format",
     "sql_udf_create_function",
     "scan_pyds_pushdown",
     "join_asof_nearest",
@@ -281,51 +313,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_cumulative_distinct",
     "agg_ks_test",
     "agg_autocorr",
-    "lake_changes_between",
-    "lake_merge_cdf",
-    "scan_metadata_columns",
-    "agg_distinct",
-    "agg_hash_group",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup_cube",
-    "agg_unique_check",
-    "dedup_exact",
-    "dedup_near_minhash",
-    "fn_array_ops",
-    "fn_cast_datetime_year",
-    "fn_date_range",
-    "fn_math_std",
-    "fn_regex_match",
-    "fn_replace_null",
-    "join_broadcast",
-    "join_cross_params",
-    "join_equi_inner",
-    "join_outer",
-    "join_semi_anti",
-    "join_similarity",
-    "join_theta_range",
-    "limit_topk_global",
-    "mm_embedding_col",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sim_join_threshold",
-    "sim_topk_cosine",
-    "sort_order",
     "src_csv_roundtrip",
     "src_json_roundtrip",
     "src_orc_roundtrip",
-    "src_parquet_scan",
-    "src_url_gen",
     "text_fingerprint",
     "text_langid",
     "text_quality_score",
     "text_token_count",
-    "text_tokenize_stats",
-    "win_ntile_rank",
-    "win_rank_topk",
-    "win_running",
     "text_idf_topk",
     "sim_ann_ivf",
     "agg_stats",

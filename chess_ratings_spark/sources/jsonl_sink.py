@@ -31,11 +31,13 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
 
 MANIFEST_NAME = "_MANIFEST.json"
+EPOCH_PREFIX = "_epoch_"
 
 
 @dataclasses.dataclass
@@ -103,8 +105,89 @@ class JsonlManifestWriter(DataSourceWriter):
                         pass
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the manifest protocol (Spark 4
+    ``DataSourceStreamWriter``): ``write`` stages one ``part-*`` file
+    per task per micro-batch exactly like the batch writer; ``commit``
+    publishes ``_epoch_<batchId>.json`` naming that batch's files.
+
+    Exactly-once comes from IDEMPOTENT per-epoch commits, the contract
+    Structured Streaming demands of every sink: after a driver crash
+    the engine replays the last unacknowledged micro-batch with the
+    SAME batchId, so a commit that finds its epoch manifest already
+    published must treat the replay's freshly staged files as
+    duplicates and unlink them instead of double-publishing. Readers
+    resolve the union of epoch manifests — replayed/aborted/crashed
+    task files are never visible. The driver-side cost is one small
+    message per task per batch; the data path stays on executors."""
+
+    def __init__(self, path: str, columns: list[str]) -> None:
+        self.path = path
+        self.columns = columns
+
+    def write(self, iterator) -> JsonlCommit:
+        os.makedirs(self.path, exist_ok=True)
+        # same task-temp + rename publish as the batch writer: a task
+        # death mid-write leaves only an unreferenced ``.tmp-*``
+        token = uuid.uuid4().hex
+        tmp = os.path.join(self.path, f".tmp-{token}")
+        fname = os.path.join(self.path, f"part-{token}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.columns, list(row)))))
+                fh.write("\n")
+                n += 1
+        os.replace(tmp, fname)
+        return JsonlCommit(path=fname, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        entries = sorted(
+            ({"path": m.path, "n_rows": m.n_rows} for m in messages if m is not None),
+            key=lambda e: e["path"],
+        )
+        mpath = os.path.join(self.path, f"{EPOCH_PREFIX}{batchId}.json")
+        payload = json.dumps(
+            {"batch_id": batchId, "files": entries, "n_tasks": len(entries)},
+            indent=0,
+        )
+        try:
+            with open(mpath, "x") as fh:  # atomic exclusive create
+                fh.write(payload)
+        except FileExistsError:
+            # epoch replay after a crash: the batch is already
+            # committed — drop the duplicate staging, don't republish
+            for e in entries:
+                try:
+                    os.unlink(e["path"])
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        # same measured API fact as the batch writer's abort: messages
+        # arrive as [None, ...] on failure — scrub everything in the
+        # dir that no published epoch manifest references
+        import glob
+
+        keep: set[str] = set()
+        for m in glob.glob(os.path.join(self.path, f"{EPOCH_PREFIX}*.json")):
+            with open(m) as fh:
+                keep.update(f["path"] for f in json.load(fh)["files"])
+        for pat in ("part-*.jsonl", ".tmp-*"):
+            for f in glob.glob(os.path.join(self.path, pat)):
+                if f not in keep:
+                    try:
+                        os.unlink(f)
+                    except OSError:
+                        pass
+
+
 class JsonlManifestSink(DataSource):
-    """``df.write.format("crs_jsonl_sink").option("path", dir).save()``"""
+    """``df.write.format("crs_jsonl_sink").option("path", dir).save()``
+    (batch, ``_MANIFEST.json``) and
+    ``df.writeStream.format("crs_jsonl_sink")`` (streaming,
+    ``_epoch_<batchId>.json`` per micro-batch) — one DataSource
+    completing the Python DataSource write matrix."""
 
     @classmethod
     def name(cls) -> str:
@@ -115,7 +198,23 @@ class JsonlManifestSink(DataSource):
             self.options["path"], [f.name for f in schema.fields]
         )
 
+    def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(
+            self.options["path"], [f.name for f in schema.fields]
+        )
+
 
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, MANIFEST_NAME)) as fh:
         return json.load(fh)
+
+
+def read_epoch_manifests(path: str) -> list[dict]:
+    """All published epoch manifests, in batchId order."""
+    import glob
+
+    out = []
+    for m in glob.glob(os.path.join(path, f"{EPOCH_PREFIX}*.json")):
+        with open(m) as fh:
+            out.append(json.load(fh))
+    return sorted(out, key=lambda d: d["batch_id"])

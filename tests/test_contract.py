@@ -80,28 +80,43 @@ def test_survey2_evidence_freshness():
 
 
 def test_next_round_cohort_fits_window():
-    """Round-11 verdict #2: manage the cohort squeeze BEFORE it lands.
-    Simulate the current window going green (every windowed name gets
-    this round's evidence), then check that NEXT round's mandatory
-    cohort — the §2 IDs that would hit the freshness floor — fits in a
-    50-slot window with headroom for new registrations. Without this,
-    a >50 cohort would make the freshness test unsatisfiable a round
-    too late to fix."""
+    """Round-11 verdict #2 + round-12 verdict #2: manage the cohort
+    squeeze BEFORE it lands, TWO rounds out. Simulate the current
+    window going green (every windowed name gets this round's
+    evidence), then roll the rotation policy forward two rounds: each
+    future round must fit its mandatory cohort — the §2 IDs at the
+    freshness floor — in a 50-slot window with RESERVE slots held for
+    new registrations, and is assumed to spend its remaining spare
+    slots pre-empting the oldest surviving evidence (exactly the
+    discipline the registry comment prescribes). Without the N+2 leg a
+    round could pass while leaving the round after next infeasible —
+    the r13/r14 squeeze (43- and 46-wide cohorts back to back) is the
+    measured case."""
     ids = _survey2_ids()
     latest, current_round = _latest_green()
     window = list(registry.queries())[:50]
     simulated = dict(latest)
     for n in window:
         simulated[n] = current_round  # assume the driver refreshes the window
-    next_round = current_round + 1
-    mandatory = sorted(
-        n for n in ids if next_round - simulated.get(n, next_round) > MAX_EVIDENCE_AGE
-    )
-    # leave >=8 slots for next round's new registrations + re-checks
-    assert len(mandatory) <= 42, (
-        f"round-{next_round} mandatory §2 cohort is {len(mandatory)} wide — "
-        f"pre-empt some of it into this round's spare slots: {mandatory}"
-    )
+    RESERVE = 8  # slots held for new registrations + re-checks
+    for future in (current_round + 1, current_round + 2):
+        mandatory = sorted(
+            n for n in ids if future - simulated.get(n, future) > MAX_EVIDENCE_AGE
+        )
+        assert len(mandatory) <= 50 - RESERVE, (
+            f"round-{future} mandatory §2 cohort is {len(mandatory)} wide "
+            f"(window 50 minus reserve {RESERVE}) — pre-empt some of it "
+            f"into an earlier round's spare slots: {mandatory}"
+        )
+        # that future round's simulated window: the mandatory cohort
+        # plus oldest-evidence pre-empts filling the non-reserved spare
+        spare = 50 - RESERVE - len(mandatory)
+        preempts = sorted(
+            (n for n in ids if n not in set(mandatory)),
+            key=lambda n: (simulated.get(n, 0), n),
+        )[:spare]
+        for n in mandatory + preempts:
+            simulated[n] = future
 
 
 def test_registry_coverage_survey_counts_in_lockstep():
@@ -128,3 +143,9 @@ def test_registry_coverage_survey_counts_in_lockstep():
     m = re.search(r"all\s+(\d+) registered queries carry a SQL oracle", survey)
     assert m, "SURVEY.md stated total missing"
     assert int(m.group(1)) == n_reg, "SURVEY.md stated total drifted"
+
+    # round-12 ADVICE: README's count sat outside the lockstep and drifted
+    readme = (ROOT / "README.md").read_text()
+    m = re.search(r"the (\d+) driver-facing queries", readme)
+    assert m, "README.md query count missing"
+    assert int(m.group(1)) == n_reg, "README.md query count drifted"

@@ -646,3 +646,107 @@ def test_state_reader_join_sides_expose_buffered_state(spark, tmp_path):
     rv = sorted(r["value"]["v"] for r in right.collect())
     assert lv == list(range(34, 50)), lv
     assert rv == list(range(39, 50)), rv
+
+
+def test_state_reader_join_query_matches_eviction_rule(spark):
+    """Driver query twin of the synthetic joinSide test: buffered state
+    and emitted pairs over the real events fixture must equal the
+    eviction rule recomputed in batch SQL."""
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.streaming import stream_ops
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    got = {
+        r["side"]: (r["n_buffered"], r["vc_buffered"], r["n_pairs"], r["pair_vc"])
+        for r in stream_ops.state_reader_join_sides(spark, ev).collect()
+    }
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("second", "ts").alias("ts"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    v = e.filter("event_type = 'view'").select("user_id", "ts", "vc")
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("vc").alias("p_vc"),
+    )
+    wm = (
+        v.agg(F.max("ts").alias("mv"))
+        .crossJoin(p.agg(F.max("p_ts").alias("mp")))
+        .select(F.least("mv", "mp").alias("m"))
+        .collect()[0]["m"]
+    )
+    import datetime as _dt
+
+    w = wm - _dt.timedelta(minutes=10)
+    pairs = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.col("vc") + F.col("p_vc")), F.lit(0)).alias("s"),
+        )
+        .collect()[0]
+    )
+    lbuf = (
+        v.filter(F.col("ts") >= F.lit(w - _dt.timedelta(hours=1)))
+        .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("vc"), F.lit(0)).alias("s"))
+        .collect()[0]
+    )
+    rbuf = (
+        p.filter(F.col("p_ts") >= F.lit(w))
+        .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("p_vc"), F.lit(0)).alias("s"))
+        .collect()[0]
+    )
+    assert got["left"] == (lbuf["n"], lbuf["s"], pairs["n"], pairs["s"])
+    assert got["right"] == (rbuf["n"], rbuf["s"], pairs["n"], pairs["s"])
+
+
+def test_pyds_stream_writer_epoch_commits_and_idempotent_replay(spark, tmp_path):
+    """The streaming half of crs_jsonl_sink: per-epoch manifests are
+    published atomically, an idle restart publishes nothing, and a
+    REPLAYED batchId (the crash-recovery path Structured Streaming
+    demands idempotency for) unlinks its duplicate staging instead of
+    double-publishing."""
+    import json
+    import pathlib
+
+    from chess_ratings_spark.sources.jsonl_sink import (
+        JsonlCommit,
+        JsonlStreamWriter,
+        read_epoch_manifests,
+    )
+    from chess_ratings_spark.streaming import stream_ops
+    from chess_ratings_spark import tables
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    row = stream_ops.pyds_stream_sink_census(spark, ev).collect()[0]
+    n_events = ev.count()
+    assert row["n_rows"] == n_events  # exactly-once across 3 runs
+    assert row["n_data_epochs"] == 2
+    assert row["orphan_excluded"] and row["counts_consistent"]
+
+    # direct replay of a committed batchId: second commit must be a
+    # no-op that scrubs the duplicate staged file
+    out = tmp_path / "sink"
+    out.mkdir()
+    w = JsonlStreamWriter(str(out), ["a"])
+    first = out / "part-first.jsonl"
+    first.write_text('{"a": 1}\n')
+    w.commit([JsonlCommit(path=str(first), n_rows=1)], batchId=7)
+    dup = out / "part-replay.jsonl"
+    dup.write_text('{"a": 1}\n')
+    w.commit([JsonlCommit(path=str(dup), n_rows=1)], batchId=7)
+    manifests = read_epoch_manifests(str(out))
+    assert [m["batch_id"] for m in manifests] == [7]
+    assert [pathlib.Path(f["path"]).name for f in manifests[0]["files"]] == [
+        "part-first.jsonl"
+    ]
+    assert not dup.exists(), "replayed staging must be unlinked"
+    assert first.exists()
