@@ -1012,8 +1012,51 @@ class TableLog:
 
     # -- file statistics / data skipping ----------------------------------
 
+    @staticmethod
+    def bucketize_range(
+        df: DataFrame, bucket_col: str, width: int
+    ) -> tuple[str, dict[int, tuple[int, int]]]:
+        """The Spark half of :meth:`append_range_bucketed` — ONE
+        grouped stats aggregation plus ONE partitioned write of the
+        bucketed input to a scratch dir — factored out so callers that
+        stage the SAME fixture table repeatedly (the MOR verb queries
+        each build an identical base table) can compute it once and
+        land per-table copies via ``prestaged=``; the land step is then
+        pure file copies + a commit, no Spark jobs. Returns
+        ``(scratch_dir, {bucket: (min, max)})``; the caller owns the
+        scratch dir's lifetime when it passes it back as
+        ``prestaged``."""
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        b = df.withColumn(
+            "__bucket", F.floor(F.col(bucket_col) / width).cast("int")
+        )
+        stats = {
+            int(r["__bucket"]): (int(r["mn"]), int(r["mx"]))
+            for r in b.groupBy("__bucket")
+            .agg(F.min(bucket_col).alias("mn"), F.max(bucket_col).alias("mx"))
+            .collect()
+        }
+        scratch = Path(tempfile.mkdtemp(prefix="crs_tablelog_"))
+        if stats:
+            (
+                b.repartition(len(stats), "__bucket")
+                .write.partitionBy("__bucket")
+                .mode("overwrite")
+                .parquet(str(scratch / "w"))
+            )
+        return str(scratch), stats
+
     def append_range_bucketed(
-        self, df: DataFrame, bucket_col: str, width: int, tag: str
+        self,
+        df: DataFrame,
+        bucket_col: str,
+        width: int,
+        tag: str,
+        *,
+        prestaged: tuple[str, dict[int, tuple[int, int]]] | None = None,
     ) -> int:
         """Land ``df`` as one file per ``bucket_col`` range bucket
         (bucket i = values in [i*width, (i+1)*width), floor semantics —
@@ -1030,33 +1073,22 @@ class TableLog:
         on the 18-bucket partition-evolution query). Stats ride in the
         same single-write manifest (``extra`` payload of the commit),
         never patched in afterwards. An empty input commits an empty
-        delta (next version = previous snapshot unchanged)."""
+        delta (next version = previous snapshot unchanged). Passing
+        ``prestaged`` (from :meth:`bucketize_range`) skips the Spark
+        work entirely and lands copies of the prestaged files — the
+        scratch dir is left intact for further reuse."""
         import shutil
-        import tempfile
         import uuid
 
-        from pyspark.sql import functions as F
-
-        b = df.withColumn(
-            "__bucket", F.floor(F.col(bucket_col) / width).cast("int")
+        cleanup = prestaged is None
+        scratch_str, stats = prestaged or self.bucketize_range(
+            df, bucket_col, width
         )
-        stats = {
-            int(r["__bucket"]): (int(r["mn"]), int(r["mx"]))
-            for r in b.groupBy("__bucket")
-            .agg(F.min(bucket_col).alias("mn"), F.max(bucket_col).alias("mx"))
-            .collect()
-        }
         entries: list[dict] = []
         files: list[str] = []
         if stats:
-            scratch = Path(tempfile.mkdtemp(prefix="crs_tablelog_"))
+            scratch = Path(scratch_str)
             try:
-                (
-                    b.repartition(len(stats), "__bucket")
-                    .write.partitionBy("__bucket")
-                    .mode("overwrite")
-                    .parquet(str(scratch / "w"))
-                )
                 token = uuid.uuid4().hex[:12]
                 for i in sorted(stats):
                     parts = sorted((scratch / "w" / f"__bucket={i}").glob("*.parquet"))
@@ -1067,7 +1099,8 @@ class TableLog:
                     mn, mx = stats[i]
                     entries.append({"path": str(dst), "stats": {bucket_col: [mn, mx]}})
             finally:
-                shutil.rmtree(scratch, ignore_errors=True)
+                if cleanup:
+                    shutil.rmtree(scratch, ignore_errors=True)
 
         def rebase(prev: dict | None) -> tuple[list[str], dict]:
             if prev is not None and prev.get("sharded"):

@@ -830,6 +830,129 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_theta_setops",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT
+      CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view_users,
+      CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_users,
+      CAST((SELECT count(*) FROM (SELECT user_id FROM v UNION
+                                  SELECT user_id FROM p)) AS BIGINT)
+        AS n_view_or_purchase,
+      CAST((SELECT count(*) FROM (SELECT user_id FROM v INTERSECT
+                                  SELECT user_id FROM p)) AS BIGINT)
+        AS n_view_and_purchase,
+      CAST((SELECT count(*) FROM (SELECT user_id FROM v EXCEPT
+                                  SELECT user_id FROM p)) AS BIGINT)
+        AS n_view_only,
+      CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+        AS n_any_users
+    """,
+    doc="Theta sketches with FULL set algebra (Spark 4.1 DataSketches "
+    "surface: theta_sketch_agg / theta_union_agg / theta_union / "
+    "theta_intersection / theta_difference) — the capability HLL "
+    "cannot express: intersections and differences of distinct sets "
+    "computed entirely in sketch domain. Per-event_type sketches of "
+    "user_id build in one combinable aggregation (KB-sized partials, "
+    "map-side merged); a second tiny agg unions the per-type sketches "
+    "into view/purchase/all; pairwise set ops then answer 'viewed AND "
+    "purchased', 'viewed but never purchased' without touching rows "
+    "again. At 100 TB this is the saved-sketch rollup: per-day per-type "
+    "sketches persist as bytes, any later set-algebra question is "
+    "sketch-sized work. lgK=14 (16384 entries) keeps every sketch in "
+    "the EXACT regime at driver scale (<=15k distinct users through "
+    "sf1), so the SQL oracle pins exact values; beyond the regime the "
+    "estimate degrades to its published ~1/sqrt(2^lgK) error, "
+    "deterministically (hash-threshold sampling, no RNG).",
+    tags=("agg", "sketch", "spark4", "events"),
+)
+def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id, 14)").alias("sk")
+    )
+    row = sk.agg(
+        F.expr(
+            "theta_union_agg(CASE WHEN event_type = 'view' THEN sk END, 14)"
+        ).alias("vsk"),
+        F.expr(
+            "theta_union_agg(CASE WHEN event_type = 'purchase' THEN sk END, 14)"
+        ).alias("psk"),
+        F.expr("theta_union_agg(sk, 14)").alias("ask"),
+    )
+    est = "CAST(round(theta_sketch_estimate({})) AS BIGINT)"
+    return row.select(
+        F.expr(est.format("vsk")).alias("n_view_users"),
+        F.expr(est.format("psk")).alias("n_purchase_users"),
+        F.expr(est.format("theta_union(vsk, psk)")).alias("n_view_or_purchase"),
+        F.expr(est.format("theta_intersection(vsk, psk)")).alias(
+            "n_view_and_purchase"
+        ),
+        F.expr(est.format("theta_difference(vsk, psk)")).alias("n_view_only"),
+        F.expr(est.format("ask")).alias("n_any_users"),
+    )
+
+
+@register(
+    "agg_kll_quantile_merge",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(quantile_disc(vc, 0.10) AS BIGINT) AS q10,
+           CAST(quantile_disc(vc, 0.50) AS BIGINT) AS q50,
+           CAST(quantile_disc(vc, 0.90) AS BIGINT) AS q90,
+           CAST(quantile_disc(vc, 1.00) AS BIGINT) AS q100,
+           CAST(round((CAST((SELECT count(*) FROM e WHERE vc <= 5000)
+                             AS DOUBLE) / count(*)) * 1000000)
+                AS BIGINT) AS rank_5000_ppm
+    FROM e
+    """,
+    doc="Mergeable KLL quantile sketches (Spark 4.1 DataSketches "
+    "surface: kll_sketch_agg_bigint partials + kll_merge_agg_bigint "
+    "rollup + get_quantile / get_rank / get_n): per-event_type "
+    "sketches build independently in one combinable aggregation, and "
+    "a second agg MERGES the sketch bytes into the global "
+    "distribution — global quantiles without re-scanning rows, the "
+    "incremental-analytics shape percentile_approx (agg_sketch_"
+    "quantiles) cannot express because its buffers are not exposed "
+    "as persistable/mergeable values. k=65535 (the format maximum) "
+    "keeps driver-scale inputs (10k rows at sf0.01) in the EXACT "
+    "regime where get_quantile equals DuckDB's quantile_disc "
+    "order-statistic bit-for-bit (verified at every probed point) "
+    "and get_rank is the exact inclusive rank; past ~65k rows KLL "
+    "compacts via RANDOMIZED sampling — still mergeable with "
+    "published error, but values are no longer run-deterministic, "
+    "which is why the oracle regime is pinned. vc = floor(value*100) "
+    "keeps the sketched domain integer-exact.",
+    tags=("agg", "sketch", "spark4", "events"),
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    parts = ev.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_bigint(vc, 65535)").alias("sk")
+    )
+    merged = parts.agg(F.expr("kll_merge_agg_bigint(sk, 65535)").alias("sk"))
+    q = "kll_sketch_get_quantile_bigint(sk, {})"
+    return merged.select(
+        F.expr("kll_sketch_get_n_bigint(sk)").alias("n_rows"),
+        F.expr(q.format("0.10")).alias("q10"),
+        F.expr(q.format("0.50")).alias("q50"),
+        F.expr(q.format("0.90")).alias("q90"),
+        F.expr(q.format("1.00")).alias("q100"),
+        F.expr(
+            "CAST(round(kll_sketch_get_rank_bigint(sk, 5000) * 1000000)"
+            " AS BIGINT)"
+        ).alias("rank_5000_ppm"),
+    )
+
+
+@register(
     "udtf_analyze_polymorphic",
     oracle="""
     SELECT doc_id,

@@ -57,21 +57,25 @@ REGISTRY: dict[str, Query] = {}
 #:         is r8 (age 5 at round 13 — the exact list the round-12
 #:         test_survey2_evidence_freshness failure named), in
 #:         alphabetical order.
-#:  39-40  round-13 NEW registrations: stream_state_reader_join (the
+#:  39-42  round-13 NEW registrations: stream_state_reader_join (the
 #:         statestore reader's joinSide surface promoted from
-#:         pytest-only to a driver query — round-12 verdict #3) and
+#:         pytest-only to a driver query — round-12 verdict #3),
 #:         sink_pyds_streamwriter (Python DataSourceStreamWriter with
 #:         idempotent per-epoch manifest commits — verdict #7,
-#:         completing the Python DataSource read/write matrix).
-#:  41-50  ten names PRE-EMPTED from the r9x46 cohort in prior
+#:         completing the Python DataSource read/write matrix),
+#:         agg_theta_setops (theta-sketch set algebra: union /
+#:         intersection / difference in sketch domain) and
+#:         agg_kll_quantile_merge (mergeable KLL quantile sketches,
+#:         partial-sketch rollup).
+#:  43-50  eight names PRE-EMPTED from the r9x46 cohort in prior
 #:         DRIVER_ORDER appearance order, so round 14's mandatory
-#:         cohort drops from 46 to 36 and keeps ~14 spare slots.
+#:         cohort drops from 46 to 38 and keeps ~12 spare slots.
 #: Round-14+ capacity, recomputed at r13 HEAD: mandatory cohorts are
-#: r14: 36 (r9x46 minus the 10 pre-empted), r15: 42 (r10), r16: 40
+#: r14: 38 (r9x46 minus the 8 pre-empted), r15: 42 (r10), r16: 40
 #: (r11). test_next_round_cohort_fits_window now simulates TWO rounds
 #: ahead (round-12 verdict #2), so r14's spare slots must pre-empt
-#: >=0 of the r10 cohort — the simulation says 36+8-reserve leaves 6
-#: pre-empts, landing r15 at 36. The 7 non-§2 r8 leftovers
+#: >=0 of the r10 cohort — the simulation says 38+8-reserve leaves 4
+#: pre-empts, landing r15 at 38. The 7 non-§2 r8 leftovers
 #: (src_*_roundtrip, text_fingerprint/langid/quality_score/
 #: token_count) are the oldest unenforced evidence — front them in
 #: r14's spare slots after the §2 obligations.
@@ -116,6 +120,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_running",
     "stream_state_reader_join",
     "sink_pyds_streamwriter",
+    "agg_theta_setops",
+    "agg_kll_quantile_merge",
     "join_aqe_skew",
     "ml_gd_classifier",
     "sink_pyds_twophase",
