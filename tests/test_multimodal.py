@@ -92,22 +92,27 @@ def test_sketch_quantiles_within_certified_bounds(spark):
 
 def test_driver_order_contract():
     """The driver oracle-checks the first 50 names in queries() order
-    (fixed cap, observed rounds 1+2). Round-12 window contract: every
-    front-50 slot must be JUSTIFIED — (a) never driver-checked (this
-    round's new registrations), (b) plan- or oracle-rewritten after its
-    latest driver row (the lake_clone_shallow re-check: its verb gained
-    the r11 vacuum-guard pointer-ordering fix after its r10 row), (c) a
-    freshness refresh of the oldest driver evidence (the 30 r7 SURVEY-§2
-    names at the 4-round floor, plus the age-8 r4 non-§2 TPC-H block),
-    or (d) a PRE-EMPTION from the next round's cohort to keep every
-    future mandatory cohort under the window size (the five r8 names —
-    see registry.py's capacity plan). And the never-checked backlog must
-    ALL be in the window."""
+    (fixed cap, observed rounds 1+2). Window contract, stated as the
+    POLICY rather than any one round's instance (the round-12-pinned
+    version of this test went stale the moment the round-13 rotation
+    landed): every front-50 slot must be JUSTIFIED — (a) never
+    driver-checked (a new registration), (b) evidence at or past the
+    freshness floor relative to the round being built (age >
+    MAX_EVIDENCE_AGE = mandatory refresh; age == MAX_EVIDENCE_AGE = a
+    pre-emption from the NEXT round's mandatory cohort, the discipline
+    test_next_round_cohort_fits_window requires), or (c) an explicit
+    re-check of an operator whose plan/verb changed after its latest
+    driver row (REWRITTEN_RECHECKS below — empty unless a round edits
+    a previously-green operator's behavior). And the never-checked
+    backlog must ALL be in the window."""
     import json
     import pathlib
 
     import chess_ratings_spark.plans  # noqa: F401
     from chess_ratings_spark import registry
+
+    MAX_EVIDENCE_AGE = 4
+    REWRITTEN_RECHECKS: set[str] = set()
 
     names = list(registry.queries())
     order = list(registry.DRIVER_ORDER)
@@ -117,34 +122,22 @@ def test_driver_order_contract():
 
     root = pathlib.Path(__file__).resolve().parents[1]
     latest_green: dict[str, int] = {}
+    rounds = [0]
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         rn = int(p.stem.split("_r")[1])
-        if rn >= 12:
-            continue  # judge this round's window by pre-round evidence
+        rounds.append(rn)
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match"):
                 latest_green[name] = max(latest_green.get(name, 0), rn)
+    current_round = max(rounds) + 1  # the round being built
 
-    rewritten_r12 = {
-        # behavior changed after the latest driver row -> re-check
-        "lake_clone_shallow",  # r11 vacuum-guard pointer-ordering fix
-    }
-    preempted_r12 = {
-        # fronted from the r8x43 cohort so round 13 fits in a window
-        "agg_distribution_shape",
-        "agg_hll_setops",
-        "fn_recode_map",
-        "fn_month_code",
-        "fn_format_string",
-    }
     window = names[:50]
     unjustified = [
         n
         for n in window
         if n in latest_green
-        and n not in rewritten_r12
-        and n not in preempted_r12
-        and latest_green[n] > 7  # r4..r7 evidence = freshness refresh
+        and n not in REWRITTEN_RECHECKS
+        and current_round - latest_green[n] < MAX_EVIDENCE_AGE
     ]
     assert not unjustified, f"window slots wasted: {unjustified}"
 
