@@ -79,6 +79,17 @@ def main() -> None:
     except Exception as exc:
         print(f"# BENCH WARMUP ERROR stage: {exc}", file=sys.stderr)
 
+    # Warm the MOR fixture cache: the four MOR-verb lake queries share
+    # one bucketized staging (plans/lakehouse._MOR_FIXTURE_CACHE); the
+    # ~1.5-2 s build otherwise lands on whichever of them runs first
+    # (alphabetically lake_merge_full) and reads as a plan regression.
+    try:
+        from chess_ratings_spark.plans.lakehouse import _mor_base_prestaged
+
+        _mor_base_prestaged(spark, sf_dir)
+    except Exception as exc:
+        print(f"# BENCH WARMUP ERROR mor-fixture: {exc}", file=sys.stderr)
+
     # Warm the SQL scripting engine: the first compound statement in a
     # JVM pays ~5 s of interpreter class-load/JIT (measured: the same
     # script runs 6.7 s cold vs 1.9 s warm) that would otherwise be

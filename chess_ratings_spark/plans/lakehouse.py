@@ -48,6 +48,22 @@ def _mor_base_prestaged(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     return staged
 
 
+#: (session id, sf_dir) -> max(event_id), the collision-free offset
+#: base both MERGE queries derive synthetic insert keys from (round-12
+#: ADVICE). One bounded 1-row census per session+sf instead of one per
+#: query run.
+_MOR_MAXID_CACHE: dict[tuple[int, str], int] = {}
+
+
+def _mor_max_event_id(spark: SparkSession, sf_dir: str, ev: DataFrame) -> int:
+    key = (id(spark), sf_dir)
+    if key not in _MOR_MAXID_CACHE:
+        _MOR_MAXID_CACHE[key] = int(
+            ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
+        )
+    return _MOR_MAXID_CACHE[key]
+
+
 @register(
     "merge_upsert",
     oracle="""
@@ -2981,11 +2997,9 @@ def lake_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Synthetic insert keys must live above every target key at ANY
         # sf, or an insert would silently collide into an update and
         # diverge from the oracle (round-12 ADVICE): derive the offset
-        # from max(event_id) — a bounded 1-row census — instead of a
-        # constant that sf could outgrow.
-        key_offset = int(
-            ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
-        ) + 1
+        # from max(event_id) — a bounded 1-row census, cached per
+        # session+sf — instead of a constant that sf could outgrow.
+        key_offset = _mor_max_event_id(spark, sf_dir, ev) + 1
         updates = ev.filter(
             "event_type = 'view' AND user_id % 15 = 2"
         ).withColumn("vc", F.col("vc") + 5000)
@@ -2997,13 +3011,15 @@ def lake_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             (F.col("vc") + 7).alias("vc"),
         )
-        source = updates.unionByName(inserts)
-        if source.isEmpty():  # files_appended=1 is protocol-constant
+        res = log.merge_mor(spark, updates.unionByName(inserts), ["event_id"])
+        if res["files_appended"] != 1:
+            # an empty source at some exotic sf would append 0 files —
+            # fail loudly instead of hash-mismatching the oracle's
+            # protocol constant (round-12 ADVICE)
             raise AssertionError(
-                "lake_merge_mor: empty MERGE source at this sf — the "
-                "oracle's files_appended=1 would not hold"
+                f"lake_merge_mor: files_appended={res['files_appended']},"
+                " oracle pins 1 — empty MERGE source at this sf?"
             )
-        res = log.merge_mor(spark, source, ["event_id"])
         m1 = log.read_manifest()
         after = log.snapshot_mor(spark).agg(
             F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
@@ -3141,9 +3157,7 @@ def lake_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Same collision guard as lake_merge_mor (round-12 ADVICE):
         # synthetic insert keys start past max(event_id) so no sf can
         # flip an insert into an update behind the oracle's back.
-        key_offset = int(
-            ev.agg(F.max("event_id").alias("m")).collect()[0]["m"]
-        ) + 1
+        key_offset = _mor_max_event_id(spark, sf_dir, ev) + 1
         updates = ev.filter(
             "event_type = 'view' AND user_id % 15 = 2"
         ).withColumn("vc", F.col("vc") + 5000)
@@ -3155,18 +3169,18 @@ def lake_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             (F.col("vc") + 7).alias("vc"),
         )
-        source = updates.unionByName(inserts)
-        if source.isEmpty():  # files_appended=1 is protocol-constant
-            raise AssertionError(
-                "lake_merge_full: empty MERGE source at this sf — the "
-                "oracle's files_appended=1 would not hold"
-            )
         res = log.merge_mor(
             spark,
-            source,
+            updates.unionByName(inserts),
             ["event_id"],
             delete_unmatched="event_type = 'click' AND user_id % 10 = 4",
         )
+        if res["files_appended"] != 1:
+            # see lake_merge_mor: fail loudly, not via oracle mismatch
+            raise AssertionError(
+                f"lake_merge_full: files_appended={res['files_appended']},"
+                " oracle pins 1 — empty MERGE source at this sf?"
+            )
         m1 = log.read_manifest()
         after = log.snapshot_mor(spark).agg(
             F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s")
