@@ -1245,3 +1245,48 @@ def stream_state_reader_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_pyds_streamwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return stream_ops.pyds_stream_sink_census(spark, ev)
+
+
+@register(
+    "stream_state_changefeed",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, user_id,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    b0 AS (
+      SELECT event_type, count(*) AS n, sum(vc) AS s FROM e
+      WHERE user_id % 2 = 0 GROUP BY event_type
+    ),
+    b1 AS (
+      SELECT event_type, count(*) AS n, sum(vc) AS s FROM e
+      GROUP BY event_type
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS INT) AS batch_id, event_type,
+             'update' AS change_type,
+             CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS vc
+      FROM b0
+      UNION ALL
+      SELECT CAST(1 AS INT) AS batch_id, event_type,
+             'update' AS change_type,
+             CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS vc
+      FROM b1
+    ) ORDER BY batch_id, event_type
+    """,
+    doc="State data source CHANGE FEED (Spark 4 statestore reader with "
+    "readChangeFeed): the checkpoint's state-write log read offline as "
+    "(batch_id, change_type, key, post-image) rows. Two availableNow "
+    "rounds over one checkpoint (even user_ids, then odd); the feed "
+    "must hold exactly two 'update' post-images per event_type — "
+    "batch 0 the even slice's count/sum, batch 1 the full aggregate — "
+    "each recomputed independently by the oracle. Completes the "
+    "statestore family (snapshot, joinSide buffers, change feed). At "
+    "scale this is the state audit surface: which keys each batch "
+    "touched and what they became, without re-running the stream.",
+    tags=("streaming", "spark4", "state", "events", "live"),
+)
+def stream_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.state_changefeed(spark, ev)

@@ -57,7 +57,7 @@ REGISTRY: dict[str, Query] = {}
 #:         is r8 (age 5 at round 13 — the exact list the round-12
 #:         test_survey2_evidence_freshness failure named), in
 #:         alphabetical order.
-#:  39-42  round-13 NEW registrations: stream_state_reader_join (the
+#:  39-43  round-13 NEW registrations: stream_state_reader_join (the
 #:         statestore reader's joinSide surface promoted from
 #:         pytest-only to a driver query — round-12 verdict #3),
 #:         sink_pyds_streamwriter (Python DataSourceStreamWriter with
@@ -66,16 +66,18 @@ REGISTRY: dict[str, Query] = {}
 #:         agg_theta_setops (theta-sketch set algebra: union /
 #:         intersection / difference in sketch domain) and
 #:         agg_kll_quantile_merge (mergeable KLL quantile sketches,
-#:         partial-sketch rollup).
-#:  43-50  eight names PRE-EMPTED from the r9x46 cohort in prior
+#:         partial-sketch rollup) and stream_state_changefeed (the
+#:         statestore reader's readChangeFeed mode — per-batch state
+#:         post-images, completing the statestore family).
+#:  44-50  seven names PRE-EMPTED from the r9x46 cohort in prior
 #:         DRIVER_ORDER appearance order, so round 14's mandatory
-#:         cohort drops from 46 to 38 and keeps ~12 spare slots.
+#:         cohort drops from 46 to 39 and keeps ~11 spare slots.
 #: Round-14+ capacity, recomputed at r13 HEAD: mandatory cohorts are
-#: r14: 38 (r9x46 minus the 8 pre-empted), r15: 42 (r10), r16: 40
+#: r14: 39 (r9x46 minus the 7 pre-empted), r15: 42 (r10), r16: 40
 #: (r11). test_next_round_cohort_fits_window now simulates TWO rounds
 #: ahead (round-12 verdict #2), so r14's spare slots must pre-empt
-#: >=0 of the r10 cohort — the simulation says 38+8-reserve leaves 4
-#: pre-empts, landing r15 at 38. The 7 non-§2 r8 leftovers
+#: >=0 of the r10 cohort — the simulation says 39+8-reserve leaves 3
+#: pre-empts, landing r15 at 39. The 7 non-§2 r8 leftovers
 #: (src_*_roundtrip, text_fingerprint/langid/quality_score/
 #: token_count) are the oldest unenforced evidence — front them in
 #: r14's spare slots after the §2 obligations.
@@ -122,6 +124,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sink_pyds_streamwriter",
     "agg_theta_setops",
     "agg_kll_quantile_merge",
+    "stream_state_changefeed",
     "join_aqe_skew",
     "ml_gd_classifier",
     "sink_pyds_twophase",

@@ -1632,3 +1632,69 @@ def pyds_stream_sink_census(spark: SparkSession, ev: DataFrame) -> DataFrame:
         schema="n_rows bigint, vc_sum bigint, n_data_epochs int,"
         " orphan_excluded boolean, counts_consistent boolean",
     )
+
+
+def state_changefeed(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """State data source CHANGE FEED (Spark 4 statestore reader,
+    ``option("readChangeFeed", "true").option("changeStartBatchId", 0)``):
+    instead of one point-in-time snapshot, read HOW the state evolved —
+    one (batch_id, change_type, key, value) row per state write per
+    micro-batch. Completes the statestore-reader family: snapshot
+    (state_reader_snapshot), join-side buffers (state_reader_join_sides),
+    and now the cross-batch delta log.
+
+    Protocol: the same two-round replay as the snapshot reader — the
+    even-user_id slice drains through a grouped count/sum (batch 0),
+    the odd slice lands and a second query instance resumes the SAME
+    checkpoint (batch 1). The change feed must then contain exactly two
+    post-images per group: batch 0 equal to the even slice's aggregate,
+    batch 1 equal to the full aggregate — every number recomputed
+    independently by the SQL oracle, and change_type pinned 'update'
+    (complete-mode aggregation never deletes state). At scale this is
+    the state-debugging/audit surface: which keys a batch touched and
+    what they became, read offline from the checkpoint's own
+    partitioning without re-running the stream."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="crs_statecf_")
+    indir = root + "/in"
+    ckpt = root + "/ckpt"
+    slice_of = lambda parity: ev.filter(f"user_id % 2 = {parity}").select(  # noqa: E731
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
+    )
+    slice_of(0).write.mode("overwrite").parquet(indir)
+
+    def drain_round() -> None:
+        with _state_partitions(spark):
+            name = "cf_" + uuid.uuid4().hex[:12]
+            q = (
+                spark.readStream.schema("event_type string, vc bigint")
+                .parquet(indir)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s"))
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        spark.catalog.dropTempView(name)
+
+    drain_round()  # batch 0: even user_ids
+    slice_of(1).write.mode("append").parquet(indir)
+    drain_round()  # batch 1: odd user_ids resume the same checkpoint
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ckpt)
+    )
+    return feed.select(
+        F.col("batch_id").cast("int").alias("batch_id"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("change_type").alias("change_type"),
+        F.col("value.count").cast("bigint").alias("n"),
+        F.col("value.sum").cast("bigint").alias("vc"),
+    ).orderBy("batch_id", "event_type")

@@ -750,3 +750,35 @@ def test_pyds_stream_writer_epoch_commits_and_idempotent_replay(spark, tmp_path)
     ]
     assert not dup.exists(), "replayed staging must be unlinked"
     assert first.exists()
+
+
+def test_state_changefeed_two_post_images_per_group(spark):
+    """The statestore change feed must hold exactly two 'update'
+    post-images per event_type — batch 0 the even-user slice's
+    aggregate, batch 1 the full aggregate."""
+    from chess_ratings_spark import tables
+    from chess_ratings_spark.streaming import stream_ops
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    rows = stream_ops.state_changefeed(spark, ev).collect()
+    assert all(r["change_type"] == "update" for r in rows)
+    got = {(r["batch_id"], r["event_type"]): (r["n"], r["vc"]) for r in rows}
+    assert len(got) == len(rows)  # one post-image per (batch, group)
+    vc = F.floor(F.col("value") * 100).cast("bigint")
+    full = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(vc).alias("s"))
+        .collect()
+    }
+    even = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.filter("user_id % 2 = 0")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(vc).alias("s"))
+        .collect()
+    }
+    for et, agg in even.items():
+        assert got[(0, et)] == agg, f"batch-0 post-image drifted for {et}"
+    for et, agg in full.items():
+        assert got[(1, et)] == agg, f"batch-1 post-image drifted for {et}"
