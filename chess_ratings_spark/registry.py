@@ -57,7 +57,7 @@ REGISTRY: dict[str, Query] = {}
 #:         is r8 (age 5 at round 13 — the exact list the round-12
 #:         test_survey2_evidence_freshness failure named), in
 #:         alphabetical order.
-#:  39-43  round-13 NEW registrations: stream_state_reader_join (the
+#:  39-44  round-13 NEW registrations: stream_state_reader_join (the
 #:         statestore reader's joinSide surface promoted from
 #:         pytest-only to a driver query — round-12 verdict #3),
 #:         sink_pyds_streamwriter (Python DataSourceStreamWriter with
@@ -68,16 +68,20 @@ REGISTRY: dict[str, Query] = {}
 #:         agg_kll_quantile_merge (mergeable KLL quantile sketches,
 #:         partial-sketch rollup) and stream_state_changefeed (the
 #:         statestore reader's readChangeFeed mode — per-batch state
-#:         post-images, completing the statestore family).
-#:  44-50  seven names PRE-EMPTED from the r9x46 cohort in prior
+#:         post-images, completing the statestore family) and
+#:         udf_map_in_arrow (mapInArrow zero-copy batch transforms,
+#:         completing the Python execution matrix).
+#:  45-50  six names PRE-EMPTED from the r9x46 cohort in prior
 #:         DRIVER_ORDER appearance order, so round 14's mandatory
-#:         cohort drops from 46 to 39 and keeps ~11 spare slots.
+#:         cohort drops from 46 to 40 and keeps ~10 spare slots.
 #: Round-14+ capacity, recomputed at r13 HEAD: mandatory cohorts are
-#: r14: 39 (r9x46 minus the 7 pre-empted), r15: 42 (r10), r16: 40
+#: r14: 40 (r9x46 minus the 6 pre-empted), r15: 42 (r10), r16: 40
 #: (r11). test_next_round_cohort_fits_window now simulates TWO rounds
 #: ahead (round-12 verdict #2), so r14's spare slots must pre-empt
-#: >=0 of the r10 cohort — the simulation says 39+8-reserve leaves 3
-#: pre-empts, landing r15 at 39. The 7 non-§2 r8 leftovers
+#: >=0 of the r10 cohort — the simulation says 40+8-reserve leaves 2
+#: pre-empts, landing r15 at 40 — the policy's practical ceiling;
+#: round 14 should favor pre-empts over >2 new registrations. The 7
+#: non-§2 r8 leftovers
 #: (src_*_roundtrip, text_fingerprint/langid/quality_score/
 #: token_count) are the oldest unenforced evidence — front them in
 #: r14's spare slots after the §2 obligations.
@@ -125,6 +129,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_theta_setops",
     "agg_kll_quantile_merge",
     "stream_state_changefeed",
+    "udf_map_in_arrow",
     "join_aqe_skew",
     "ml_gd_classifier",
     "sink_pyds_twophase",
