@@ -56,7 +56,7 @@ if REPO not in sys.path:
 
 SF_DIR = "/root/testdata/sf0.1"
 FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
-OUT_DIR = f"/tmp/crs_scale10x_v3_sf0.1x{FACTOR}"
+OUT_DIR = f"/tmp/crs_scale10x_v4_sf0.1x{FACTOR}"
 
 DEFAULT_QUERIES = [
     "stream_replicate_tablelog",
@@ -134,8 +134,26 @@ def materialize_inflated(spark) -> str:
             docs = docs.withColumn("n_chars", F.length("text").cast("bigint"))
     docs.repartition(4).write.mode("overwrite").parquet(str(out / "documents.parquet"))
 
+    # embeddings: disjoint vec_id copies, vectors unchanged — 10x rows
+    # through the Arrow batch path (round-13: udf_map_in_arrow census)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ecopies = [
+        e.select(
+            (F.col("vec_id") + c * 100_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for c in range(FACTOR)
+    ]
+    bige = ecopies[0]
+    for c in ecopies[1:]:
+        bige = bige.unionByName(c)
+    bige.repartition(4).write.mode("overwrite").parquet(
+        str(out / "embeddings.parquet")
+    )
+
     for t in tables.TABLES:
-        if t in ("events", "documents"):
+        if t in ("events", "documents", "embeddings"):
             continue
         link = out / f"{t}.parquet"
         if not link.exists():
