@@ -782,3 +782,207 @@ def test_state_changefeed_two_post_images_per_group(spark):
         assert got[(0, et)] == agg, f"batch-0 post-image drifted for {et}"
     for et, agg in full.items():
         assert got[(1, et)] == agg, f"batch-1 post-image drifted for {et}"
+
+
+_jsr_events = st.lists(
+    st.tuples(
+        st.sampled_from(["l", "r"]),
+        st.integers(0, 3),     # join key
+        st.integers(0, 120),   # event second
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_jsr_events)
+def test_join_state_eviction_rule_on_random_event_sets(
+    spark, tmp_path_factory, events
+):
+    """PROPERTY: the stream-stream join's buffered state equals the
+    watermark eviction rule for ARBITRARY event sets, not just the
+    fixture — left keeps a.ts >= wm - 5s (condition b.ts BETWEEN a.ts
+    AND a.ts + 5s), right keeps b.ts >= wm, wm = min(per-side max ts)
+    - 10s, both non-strict; a side with no rows keeps the global
+    watermark at epoch zero so NOTHING evicts. This is the rule the
+    driver query stream_state_reader_join's oracle recomputes — here
+    it must hold on hypothesis-generated inputs."""
+    import pathlib
+
+    tmp = tmp_path_factory.mktemp("jsr_prop")
+    rows = [
+        (side, k, v, ts)
+        for v, (side, k, ts) in enumerate(events)
+    ]
+    left_rows = [(k, v, ts) for side, k, v, ts in rows if side == "l"]
+    right_rows = [(k, v, ts) for side, k, v, ts in rows if side == "r"]
+
+    def stage(name, data):
+        d = tmp / name
+        d.mkdir()
+        df = spark.createDataFrame(
+            [
+                (k, v, f"2024-01-01 00:{ts // 60:02d}:{ts % 60:02d}")
+                for k, v, ts in data
+            ]
+            or [],
+            "k bigint, v bigint, ts_s string",
+        ).select("k", "v", F.col("ts_s").cast("timestamp").alias("ts"))
+        df.coalesce(1).write.parquet(str(d / "p"))
+        return d
+
+    stage("l", left_rows)
+    stage("r", right_rows)
+
+    def src(side):
+        return (
+            spark.readStream.schema("k bigint, v bigint, ts timestamp")
+            .parquet(str(tmp / side) + "/*")
+            .withWatermark("ts", "10 seconds")
+        )
+
+    j = src("l").alias("a").join(
+        src("r").alias("b"),
+        F.expr("a.k = b.k AND b.ts BETWEEN a.ts AND a.ts + interval 5 seconds"),
+    )
+    ck = str(tmp / "ck")
+    name = "crs_jsrp_" + pathlib.Path(str(tmp)).name[-6:]
+    q = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.catalog.dropTempView(name)
+
+    if left_rows and right_rows:
+        wm = min(max(ts for _, _, ts in left_rows),
+                 max(ts for _, _, ts in right_rows)) - 10
+    else:
+        wm = None  # a silent source never advances the global watermark
+    exp_left = sorted(
+        v for _, v, ts in left_rows if wm is None or ts >= wm - 5
+    )
+    exp_right = sorted(
+        v for _, v, ts in right_rows if wm is None or ts >= wm
+    )
+    got_left = sorted(
+        r["value"]["v"]
+        for r in spark.read.format("statestore")
+        .option("joinSide", "left").load(ck).collect()
+    )
+    got_right = sorted(
+        r["value"]["v"]
+        for r in spark.read.format("statestore")
+        .option("joinSide", "right").load(ck).collect()
+    )
+    assert got_left == exp_left, (wm, left_rows)
+    assert got_right == exp_right, (wm, right_rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=200),
+    qs=st.lists(
+        st.sampled_from([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_kll_exact_regime_equals_order_statistic(spark, vals, qs):
+    """PROPERTY behind agg_kll_quantile_merge's oracle: while the
+    sketch capacity exceeds n (the exact regime), a MERGED KLL
+    sketch's get_quantile equals the discrete order statistic
+    sorted[ceil(q*n)-1] (DuckDB quantile_disc) and get_n is exact —
+    for arbitrary integer multisets, split into per-group partial
+    sketches and rolled up with kll_merge_agg."""
+    import math
+
+    df = spark.createDataFrame(
+        [(v, i % 3) for i, v in enumerate(vals)], "v bigint, g int"
+    )
+    parts = df.groupBy("g").agg(
+        F.expr("kll_sketch_agg_bigint(v, 65535)").alias("sk")
+    )
+    merged = parts.agg(F.expr("kll_merge_agg_bigint(sk, 65535)").alias("sk"))
+    row = merged.select(
+        F.expr("kll_sketch_get_n_bigint(sk)").alias("n"),
+        *[
+            F.expr(f"kll_sketch_get_quantile_bigint(sk, {q})").alias(f"q{i}")
+            for i, q in enumerate(qs)
+        ],
+    ).collect()[0]
+    s = sorted(vals)
+    assert row["n"] == len(vals)
+    for i, q in enumerate(qs):
+        expected = s[max(math.ceil(q * len(vals)), 1) - 1]
+        assert row[f"q{i}"] == expected, (q, len(vals), row[f"q{i}"], expected)
+
+
+def test_pyds_stream_writer_concurrent_same_epoch_publishes_once(tmp_path):
+    """Crash-replay race on ONE epoch: two writers committing the same
+    batchId concurrently (engine replay racing a zombie driver) must
+    publish exactly one manifest — the exclusive-create is the CAS —
+    and every loser's staged file must be unlinked, never visible to a
+    manifest-resolved reader. Threads are joined on every exit path
+    (finally) so a failure can't strand spinners."""
+    import json
+    import threading
+
+    from chess_ratings_spark.sources.jsonl_sink import (
+        JsonlCommit,
+        JsonlStreamWriter,
+        read_epoch_manifests,
+    )
+
+    out = tmp_path / "sink"
+    out.mkdir()
+    N = 8
+    files = []
+    for i in range(N):
+        f = out / f"part-att{i}.jsonl"
+        f.write_text(json.dumps({"a": i}) + "\n")
+        files.append(f)
+
+    start = threading.Barrier(N)
+    errs = []
+
+    def attempt(i):
+        try:
+            start.wait(timeout=10)
+            w = JsonlStreamWriter(str(out), ["a"])
+            w.commit([JsonlCommit(path=str(files[i]), n_rows=1)], batchId=3)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(N)]
+    try:
+        for t in threads:
+            t.start()
+    finally:
+        for t in threads:
+            t.join(timeout=30)
+    assert not errs, errs
+    manifests = read_epoch_manifests(str(out))
+    assert [m["batch_id"] for m in manifests] == [3]
+    published = [f["path"] for f in manifests[0]["files"]]
+    assert len(published) == 1
+    import pathlib
+
+    survivors = sorted(p.name for p in out.glob("part-*.jsonl"))
+    assert survivors == [pathlib.Path(published[0]).name]
+    # the winner's file is intact and readable
+    assert json.loads(open(published[0]).readline())["a"] in range(N)
