@@ -40,6 +40,31 @@ MANIFEST_NAME = "_MANIFEST.json"
 EPOCH_PREFIX = "_epoch_"
 
 
+def _publish_exclusive(path: str, payload: str) -> None:
+    """Atomic full-content exclusive publish — the same CAS primitive
+    as operators/tablelog.py's try_commit: serialize to an unadvertised
+    temp file, then hard-link to the published name. link(2) fails
+    EEXIST if the name is taken, and the name appears WITH its full
+    content in one step. A plain ``open(path, "x")`` + write is not
+    enough: the name becomes visible empty at create, and a concurrent
+    ``read_manifest``/``read_epoch_manifests`` poll can read the torn
+    window as a JSONDecodeError (the tablelog round-9 soak caught
+    exactly this). Raises FileExistsError like ``open("x")`` did, so
+    callers' replay/conflict handling is unchanged."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".pub_")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        os.link(tmp, path)  # EEXIST -> FileExistsError, name taken
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 @dataclasses.dataclass
 class JsonlCommit(WriterCommitMessage):
     path: str
@@ -77,8 +102,7 @@ class JsonlManifestWriter(DataSourceWriter):
         payload = json.dumps(
             {"files": entries, "n_tasks": len(entries)}, indent=0
         )
-        with open(os.path.join(self.path, MANIFEST_NAME), "x") as fh:
-            fh.write(payload)
+        _publish_exclusive(os.path.join(self.path, MANIFEST_NAME), payload)
 
     def abort(self, messages) -> None:
         # Measured API fact (Spark 4.1 local): on job failure the Python
@@ -152,8 +176,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             indent=0,
         )
         try:
-            with open(mpath, "x") as fh:  # atomic exclusive create
-                fh.write(payload)
+            _publish_exclusive(mpath, payload)  # atomic CAS publish
         except FileExistsError:
             # epoch replay after a crash: the batch is already
             # committed — drop the duplicate staging, don't republish

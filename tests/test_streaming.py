@@ -986,3 +986,59 @@ def test_pyds_stream_writer_concurrent_same_epoch_publishes_once(tmp_path):
     assert survivors == [pathlib.Path(published[0]).name]
     # the winner's file is intact and readable
     assert json.loads(open(published[0]).readline())["a"] in range(N)
+
+
+def test_pyds_manifest_publish_is_never_torn(tmp_path):
+    """A reader polling epoch manifests while commits land must never
+    see a half-written file: the publish is mkstemp + hard-link (name
+    appears WITH content). One writer thread lands 30 epochs while the
+    reader polls continuously; any JSONDecodeError fails. Threads are
+    joined on every exit path."""
+    import json
+    import threading
+
+    from chess_ratings_spark.sources.jsonl_sink import (
+        JsonlCommit,
+        JsonlStreamWriter,
+        read_epoch_manifests,
+    )
+
+    out = tmp_path / "sink"
+    out.mkdir()
+    w = JsonlStreamWriter(str(out), ["a"])
+    stop = threading.Event()
+    errs = []
+
+    def writer():
+        try:
+            for b in range(30):
+                f = out / f"part-w{b}.jsonl"
+                f.write_text(json.dumps({"a": b}) + "\n")
+                w.commit([JsonlCommit(path=str(f), n_rows=1)], batchId=b)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+        finally:
+            stop.set()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                ms = read_epoch_manifests(str(out))
+                assert [m["batch_id"] for m in ms] == sorted(
+                    m["batch_id"] for m in ms
+                )
+        except Exception as exc:
+            errs.append(exc)
+            stop.set()
+
+    threads = [threading.Thread(target=writer), threading.Thread(target=reader)]
+    try:
+        for t in threads:
+            t.start()
+        threads[0].join(timeout=60)  # writer finishes -> sets stop
+    finally:
+        stop.set()  # safety net: never strand the reader on failure
+        for t in threads:
+            t.join(timeout=30)
+    assert not errs, errs
+    assert len(read_epoch_manifests(str(out))) == 30
