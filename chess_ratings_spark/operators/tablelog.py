@@ -844,7 +844,20 @@ class TableLog:
         ptr_dir = self.log_dir / "_clones"
         ptr_dir.mkdir(parents=True, exist_ok=True)
         ptr = ptr_dir / f"{uuid.uuid4().hex[:12]}.json"
-        with open(ptr, "x") as fh:
+        # Atomic pointer PUBLISH (mkstemp + hard-link, the try_commit
+        # CAS): vacuum discovers pointers by GLOB, not via a committed
+        # manifest, so an open('x')+write pointer had a visible-but-
+        # partial window during which vacuum's reader falls into its
+        # "mid-write: protect nothing" branch — survivable only via
+        # the second-scan re-filter. With link(2) the pointer appears
+        # WITH its full pending_files payload, so the in-flight clone
+        # is protected from the first scan that can see it.
+        import os as _os
+        import tempfile as _tempfile
+
+        _fd, _tmp = _tempfile.mkstemp(dir=ptr_dir, prefix=".ptr_")
+        with _os.fdopen(_fd, "w") as fh:
+            _os.fchmod(fh.fileno(), _published_mode())
             fh.write(
                 json.dumps(
                     {
@@ -866,6 +879,13 @@ class TableLog:
                     }
                 )
             )
+        try:
+            _os.link(_tmp, ptr)
+        finally:
+            try:
+                _os.unlink(_tmp)
+            except OSError:
+                pass
         try:
             clone.try_commit(0, m.get("files", []), op="clone", extra=carry)
         except BaseException:
