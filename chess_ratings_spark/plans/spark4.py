@@ -881,7 +881,11 @@ def agg_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("psk"),
         F.expr("theta_union_agg(sk, 14)").alias("ask"),
     )
-    est = "CAST(round(theta_sketch_estimate({})) AS BIGINT)"
+    # coalesce: theta_union_agg over an all-NULL side (an sf missing
+    # an event_type entirely) yields a NULL sketch -> NULL estimate,
+    # while the oracle's count(DISTINCT) of an empty set is 0 — the
+    # empty set IS zero, say so
+    est = "CAST(round(coalesce(theta_sketch_estimate({}), 0.0)) AS BIGINT)"
     return row.select(
         F.expr(est.format("vsk")).alias("n_view_users"),
         F.expr(est.format("psk")).alias("n_purchase_users"),

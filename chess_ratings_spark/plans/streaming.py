@@ -1160,8 +1160,17 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT user_id, ts, vc FROM e WHERE event_type = 'view'),
     p AS (SELECT user_id, ts, vc FROM e WHERE event_type = 'purchase'),
     wm AS (
-      SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
-             - INTERVAL 10 MINUTE AS w
+      -- NULL-safe: a SILENT side never advances the engine's global
+      -- watermark (min over per-source watermarks stays at epoch
+      -- zero, nothing evicts), but DuckDB's least() IGNORES NULLs —
+      -- so an sf with no views or no purchases would diverge unless
+      -- the empty case maps to w = NULL = "no eviction" explicitly
+      SELECT CASE
+               WHEN (SELECT max(ts) FROM v) IS NULL
+                 OR (SELECT max(ts) FROM p) IS NULL THEN NULL
+               ELSE least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+                    - INTERVAL 10 MINUTE
+             END AS w
     ),
     pairs AS (
       SELECT count(*) AS n, coalesce(sum(v.vc + p.vc), 0) AS s
@@ -1170,11 +1179,11 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lbuf AS (
       SELECT count(*) AS n, coalesce(sum(vc), 0) AS s
-      FROM v, wm WHERE v.ts >= wm.w - INTERVAL 1 HOUR
+      FROM v, wm WHERE wm.w IS NULL OR v.ts >= wm.w - INTERVAL 1 HOUR
     ),
     rbuf AS (
       SELECT count(*) AS n, coalesce(sum(vc), 0) AS s
-      FROM p, wm WHERE p.ts >= wm.w
+      FROM p, wm WHERE wm.w IS NULL OR p.ts >= wm.w
     )
     SELECT * FROM (
       SELECT 'left' AS side,

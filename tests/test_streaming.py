@@ -1042,3 +1042,95 @@ def test_pyds_manifest_publish_is_never_torn(tmp_path):
             t.join(timeout=30)
     assert not errs, errs
     assert len(read_epoch_manifests(str(out))) == 30
+
+
+def test_state_reader_join_oracle_holds_with_a_silent_side(spark, tmp_path):
+    """Latent-divergence regression (round-13 self-review): at an sf
+    with NO purchases the engine's global watermark never advances
+    (nothing evicts), while DuckDB's least() IGNORES NULLs — the
+    oracle must map the empty side to 'no eviction' explicitly. Run
+    the REAL query and the REAL oracle side-by-side on a doctored
+    fixture (purchases filtered out) and compare multisets, exactly
+    as the driver does."""
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    import chess_ratings_spark.plans  # noqa: F401
+    from chess_ratings_spark import registry, tables
+
+    doctored = tmp_path / "sf"
+    doctored.mkdir()
+    (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter("event_type <> 'purchase'")
+        .write.parquet(str(doctored / "events.parquet"))
+    )
+    for t in tables.TABLES:
+        if t != "events":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", doctored / f"{t}.parquet")
+
+    q = registry.REGISTRY["stream_state_reader_join"]
+    df = q.fn(spark, str(doctored))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{doctored}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(q.oracle)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+    assert sorted(df.columns) == sorted(o_cols)
+    s_ord = sorted(range(len(df.columns)), key=lambda j: df.columns[j])
+    o_ord = sorted(range(len(o_cols)), key=lambda j: o_cols[j])
+    s_m = Counter(tuple(r[j] for j in s_ord) for r in df.collect())
+    o_m = Counter(tuple(r[j] for j in o_ord) for r in o_rows)
+    assert s_m == o_m, (list((s_m - o_m).items())[:2], list((o_m - s_m).items())[:2])
+    # and the no-eviction semantics actually bit: every view row is
+    # still buffered on the left
+    n_views = spark.read.parquet(str(doctored / "events.parquet")).filter(
+        "event_type = 'view'"
+    ).count()
+    left = {r["side"]: r["n_buffered"] for r in df.collect()}["left"]
+    assert left == n_views
+
+
+def test_theta_setops_oracle_holds_with_a_missing_type(spark, tmp_path):
+    """Same self-review class: an sf with NO purchase rows yields a
+    NULL theta sketch for that side — the estimates must coalesce to
+    0 exactly as the oracle's empty-set counts do."""
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    import chess_ratings_spark.plans  # noqa: F401
+    from chess_ratings_spark import registry, tables
+
+    doctored = tmp_path / "sf"
+    doctored.mkdir()
+    (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter("event_type <> 'purchase'")
+        .write.parquet(str(doctored / "events.parquet"))
+    )
+    for t in tables.TABLES:
+        if t != "events":
+            os.symlink(f"{SF_SMOKE}/{t}.parquet", doctored / f"{t}.parquet")
+
+    q = registry.REGISTRY["agg_theta_setops"]
+    row = q.fn(spark, str(doctored)).collect()[0]
+    assert row["n_purchase_users"] == 0
+    assert row["n_view_and_purchase"] == 0
+    assert row["n_view_only"] == row["n_view_users"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{doctored}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(q.oracle)
+    o_cols = [d[0] for d in cur.description]
+    o = dict(zip(o_cols, cur.fetchall()[0]))
+    got = {c: row[c] for c in o_cols}
+    assert got == o
