@@ -2227,13 +2227,18 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "offset-segment reduction assumes dense lists"
                 )
             offsets = np.asarray(lst.offsets)
+            lens = offsets[1:] - offsets[:-1]
+            if not (lens > 0).all():
+                raise AssertionError(
+                    "udf_map_in_arrow: zero-length embedding rows — "
+                    "reduceat's trailing-segment contract needs every "
+                    "offset strictly inside the values buffer"
+                )
             vals = np.asarray(lst.values.cast(pa.float64()))
             sq = vals * vals
             # strictly sequential per-segment sums (NOT np.sum's
             # pairwise tree): must match DuckDB list_sum's order
             sums = np.add.reduceat(sq, offsets[:-1]) if len(sq) else np.zeros(0)
-            lens = offsets[1:] - offsets[:-1]
-            sums = np.where(lens > 0, sums, 0.0)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("vec_id"),

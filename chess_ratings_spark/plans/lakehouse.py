@@ -2710,12 +2710,9 @@ def lake_update_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chess_ratings_spark.operators.tablelog import TableLog
 
-    ev = tables.load(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
-    )
+    # shared projection: MUST match the prestaged fixture's base data,
+    # so take it from _mor_events instead of re-declaring (r13 ADVICE)
+    ev = _mor_events(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="crs_cow_")
     try:
         log = TableLog(base)
@@ -2833,12 +2830,9 @@ def lake_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chess_ratings_spark.operators.tablelog import TableLog
 
-    ev = tables.load(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
-    )
+    # shared projection: MUST match the prestaged fixture's base data,
+    # so take it from _mor_events instead of re-declaring (r13 ADVICE)
+    ev = _mor_events(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="crs_umor_")
     try:
         log = TableLog(base)
@@ -2973,12 +2967,9 @@ def lake_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chess_ratings_spark.operators.tablelog import TableLog
 
-    ev = tables.load(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
-    )
+    # shared projection: MUST match the prestaged fixture's base data,
+    # so take it from _mor_events instead of re-declaring (r13 ADVICE)
+    ev = _mor_events(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="crs_mmor_")
     try:
         log = TableLog(base)
@@ -3133,12 +3124,9 @@ def lake_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chess_ratings_spark.operators.tablelog import TableLog
 
-    ev = tables.load(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
-    )
+    # shared projection: MUST match the prestaged fixture's base data,
+    # so take it from _mor_events instead of re-declaring (r13 ADVICE)
+    ev = _mor_events(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="crs_mfull_")
     try:
         log = TableLog(base)

@@ -758,7 +758,11 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          s -> s.n) FROM {view});
               SET ths = (SELECT transform(array_sort(array_agg(struct(k, th))),
                                           s -> s.th) FROM {view});
-              WHILE element_at(ns, kv + 1) >= 10 DO
+              -- kv < 39 bounds the probe walk inside the 40-element
+              -- arrays (r13 ADVICE): unreachable at realistic price
+              -- domains, but the failure mode is now an explicit
+              -- loop exit instead of an out-of-range element_at
+              WHILE kv < 39 AND element_at(ns, kv + 1) >= 10 DO
                 SET kv = kv + 1;
               END WHILE;
               SELECT CAST(kv AS INT) AS iterations,

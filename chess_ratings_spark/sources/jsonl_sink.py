@@ -120,7 +120,10 @@ class JsonlManifestWriter(DataSourceWriter):
         if os.path.exists(mpath):
             with open(mpath) as fh:
                 keep = {f["path"] for f in json.load(fh)["files"]}
-        for pat in ("part-*.jsonl", ".tmp-*"):
+        # .pub_* mkstemp leftovers (crash between mkstemp and link in
+        # _publish_exclusive) are never referenced by a manifest, so
+        # unconditional unlink is safe (r13 ADVICE)
+        for pat in ("part-*.jsonl", ".tmp-*", ".pub_*"):
             for f in glob.glob(os.path.join(self.path, pat)):
                 if f not in keep:
                     try:
@@ -196,7 +199,10 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         for m in glob.glob(os.path.join(self.path, f"{EPOCH_PREFIX}*.json")):
             with open(m) as fh:
                 keep.update(f["path"] for f in json.load(fh)["files"])
-        for pat in ("part-*.jsonl", ".tmp-*"):
+        # .pub_* mkstemp leftovers (crash between mkstemp and link in
+        # _publish_exclusive) are never referenced by a manifest, so
+        # unconditional unlink is safe (r13 ADVICE)
+        for pat in ("part-*.jsonl", ".tmp-*", ".pub_*"):
             for f in glob.glob(os.path.join(self.path, pat)):
                 if f not in keep:
                     try:
