@@ -1299,3 +1299,62 @@ def sink_pyds_streamwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_state_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return stream_ops.state_changefeed(spark, ev)
+
+
+@register(
+    "stream_state_ttl",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), m AS (SELECT max(us) AS max_us FROM e),
+    s AS (
+      SELECT user_id, us, vc,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 172800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), g AS (
+      SELECT user_id, us, vc,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), agg AS (SELECT user_id, max(sid) AS gens FROM g GROUP BY user_id),
+    lastgen AS (
+      SELECT g.user_id,
+             CAST(count(*) AS BIGINT) AS n_live,
+             CAST(sum(g.vc) AS BIGINT) AS vc_live,
+             max(g.us) AS last_us
+      FROM g JOIN agg USING (user_id) WHERE g.sid = agg.gens
+      GROUP BY g.user_id
+    )
+    SELECT l.user_id AS user_id, CAST(a.gens AS BIGINT) AS gens,
+           l.n_live, l.vc_live, l.last_us
+    FROM lastgen l JOIN agg a USING (user_id), m
+    WHERE (l.last_us // 1000 + 172800000) >= (m.max_us // 1000 - 3600000)
+    ORDER BY l.user_id
+    """,
+    doc="Per-key state TTL with SILENT eviction "
+    "(stream_ops.ttl_state_stream) — transformWithState's ValueState "
+    "TTL semantics (TWS itself is protobuf-gated here) on "
+    "applyInPandasWithState, TTL clock moved to event time for "
+    "determinism: per user, running (n, vc) counters expire 48 h "
+    "after the last event — at ACCESS (an incoming event past the "
+    "TTL resets to a fresh generation, gens++) and by TIMER "
+    "(watermark passes last_us + ttl -> state REMOVED, nothing "
+    "emitted — the eviction half session_timeout's emit-on-timeout "
+    "never shows). Output is the offline statestore read of the "
+    "SURVIVORS: one row per user whose last event is within TTL of "
+    "the final watermark (max(ts) - 1 h, engine ms clock), carrying "
+    "the live generation's exact counters + lifetime generation "
+    "census; evicted keys are proven ABSENT by the oracle equality. "
+    "The oracle replays access-resets as sorted 48 h gaps and the "
+    "eviction boundary to the millisecond. At 100 TB, TTL is what "
+    "keeps stateful-pipeline state O(live keys), not O(ever-seen "
+    "keys). State: 4 bigints per key.",
+    tags=("streaming", "spark4", "state", "events", "live", "stateful"),
+)
+def stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return stream_ops.ttl_state_stream(spark, ev)

@@ -42,50 +42,104 @@ REGISTRY: dict[str, Query] = {}
 #: FIRST 50 names in ``queries()`` iteration order (a fixed 50, not
 #: proportional — established rounds 8-9).
 #:
-#: Rotation-freshness policy (adopted round 9; enforced by
-#: tests/test_contract.py::test_survey2_evidence_freshness): no SURVEY
-#: §2 operator's latest driver CORRECTNESS row may be older than 4
-#: rounds; each round's window fronts the operators whose evidence hits
-#: the floor, and spare slots go to new registrations, re-checks of
-#: operators whose behavior changed, pre-emptions from the NEXT round's
-#: cohort (to keep every future mandatory cohort under 50 — also
-#: enforced, by test_next_round_cohort_fits_window), then the oldest
-#: non-§2 evidence.
+#: Rotation-freshness policy v2 (v1 adopted round 9, v2 round 14;
+#: enforced by tests/test_contract.py::test_survey2_evidence_freshness):
+#: no SURVEY §2 operator's latest driver CORRECTNESS row may be older
+#: than 5 rounds, and no OTHER registered query's older than 10 — every
+#: query now has a deadline (latest row + floor + 1 = the round it must
+#: re-enter the window by). Each round's window fronts the queries whose
+#: deadline arrives, and spare slots go to new registrations, re-checks
+#: of operators whose behavior changed, then earliest-deadline-first
+#: pre-emptions (two-round feasibility enforced by
+#: test_next_round_cohort_fits_window).
 #:
-#: ================= ROUND-13 WINDOW (slots 1-50) =================
-#:   1-38  the r8 cohort: the 38 §2 operators whose latest driver row
-#:         is r8 (age 5 at round 13 — the exact list the round-12
+#: Why the v2 floors: the round-13 verdict asked for a non-§2 floor of
+#: ~8 on top of the §2 floor of 4. That combination is over capacity —
+#: steady-state §2 demand at floor 4 is 212/5 ≈ 42.4 of the ~48 usable
+#: slots/round, leaving ~5.6 for 96 depth queries (needs floor ≥ 17,
+#: and even 17/18 die on the 50-wide r13 §2 cohort transient; EDF
+#: simulations in DESIGN.md's round-14 log). Trading §2 to floor 5
+#: (212/6 ≈ 35.3) funds non-§2 at floor 10 (96/11 ≈ 8.7): ≈ 44 of 48,
+#: feasible through round 29 by simulation — the uniform-coverage
+#: outcome the verdict item actually wanted.
+#:
+#: ================= ROUND-14 WINDOW (slots 1-50) =================
+#:   1-40  the r9 cohort: the 40 §2 operators whose latest driver row
+#:         is r9 (the exact list the round-13
 #:         test_survey2_evidence_freshness failure named), in
-#:         alphabetical order.
-#:  39-44  round-13 NEW registrations: stream_state_reader_join (the
-#:         statestore reader's joinSide surface promoted from
-#:         pytest-only to a driver query — round-12 verdict #3),
-#:         sink_pyds_streamwriter (Python DataSourceStreamWriter with
-#:         idempotent per-epoch manifest commits — verdict #7,
-#:         completing the Python DataSource read/write matrix),
-#:         agg_theta_setops (theta-sketch set algebra: union /
-#:         intersection / difference in sketch domain) and
-#:         agg_kll_quantile_merge (mergeable KLL quantile sketches,
-#:         partial-sketch rollup) and stream_state_changefeed (the
-#:         statestore reader's readChangeFeed mode — per-batch state
-#:         post-images, completing the statestore family) and
-#:         udf_map_in_arrow (mapInArrow zero-copy batch transforms,
-#:         completing the Python execution matrix).
-#:  45-50  six names PRE-EMPTED from the r9x46 cohort in prior
-#:         DRIVER_ORDER appearance order, so round 14's mandatory
-#:         cohort drops from 46 to 40 and keeps ~10 spare slots.
-#: Round-14+ capacity, recomputed at r13 HEAD: mandatory cohorts are
-#: r14: 40 (r9x46 minus the 6 pre-empted), r15: 42 (r10), r16: 40
-#: (r11). test_next_round_cohort_fits_window now simulates TWO rounds
-#: ahead (round-12 verdict #2), so r14's spare slots must pre-empt
-#: >=0 of the r10 cohort — the simulation says 40+8-reserve leaves 2
-#: pre-empts, landing r15 at 40 — the policy's practical ceiling;
-#: round 14 should favor pre-empts over >2 new registrations. The 7
-#: non-§2 r8 leftovers
-#: (src_*_roundtrip, text_fingerprint/langid/quality_score/
-#: token_count) are the oldest unenforced evidence — front them in
-#: r14's spare slots after the §2 obligations.
+#:         alphabetical order — deadline 15 under the v2 §2 floor,
+#:         i.e. round 15's mandatory cohort pre-empted per policy.
+#:    41  round-14 NEW registration: stream_state_ttl (per-key state
+#:         TTL with silent eviction — transformWithState's
+#:         ValueState-TTL semantics on applyInPandasWithState, final
+#:         state read via the statestore reader; round-13 verdict #5,
+#:         closing the Spark-4 state surface). ONE new registration
+#:         (capacity schedule said favor pre-empts over >2).
+#:  42-48  the 7 non-§2 r8 leftovers (src_csv/json/orc_roundtrip,
+#:         text_fingerprint/langid/quality_score/token_count) —
+#:         round-13 verdict #2's named list, fronted ahead of their
+#:         new floor-10 deadlines (r19).
+#:  49-50  two names PRE-EMPTED from the r10x42 §2 cohort
+#:         (alphabetical: agg_approx_distinct, agg_benford_deviation)
+#:         — the round-13 verdict's ≥2-r10-pre-empts ask; deadline 16
+#:         under the v2 floor, within the 2-round pre-empt horizon.
+#: Round-15+ deadlines at r14 HEAD (v2 floors): r15 mandatory = the
+#: 13 r4-evidence TPC-H depth queries plus 0 §2; r16 = the r10x42 §2 cohort minus the 2
+#: pre-empted (40) + r5 depth backlog as spare allows; the 50-wide
+#: r13 §2 cohort lands r19. Feasible through round 29 by the EDF
+#: simulation; test_next_round_cohort_fits_window re-verifies the
+#: two-round horizon at every HEAD.
 DRIVER_ORDER: tuple[str, ...] = (
+    "agg_autocorr",
+    "agg_bitmap_distinct",
+    "agg_entropy_gini",
+    "agg_ks_test",
+    "agg_weighted_percentile",
+    "dedup_semdedup",
+    "fn_interval_arith",
+    "fn_tz_convert",
+    "fn_xml_parse",
+    "graph_jaccard_neighbors",
+    "join_asof_nearest",
+    "join_lateral_topk",
+    "lake_bloom_prune",
+    "lake_branch_wap",
+    "lake_constraints_enforce",
+    "lake_manifest_shard",
+    "lake_restore_version",
+    "lake_table_history",
+    "ml_normal_equations",
+    "plan_cache_reuse",
+    "sample_epoch_reshuffle",
+    "scan_pyds_pushdown",
+    "sink_overwrite_dynamic",
+    "sql_analyze_cbo",
+    "sql_ctas_insert",
+    "sql_exec_immediate",
+    "sql_merge_evolution",
+    "sql_session_variables",
+    "sql_udf_create_function",
+    "src_binaryfile",
+    "src_tablelog_format",
+    "stream_stateful_rocksdb",
+    "stream_static_join",
+    "text_bpe_encode",
+    "train_collate_batches",
+    "train_pack_sequences",
+    "ts_gapfill_interpolate",
+    "udf_arrow_scalar",
+    "win_cumulative_distinct",
+    "win_median_rolling",
+    "stream_state_ttl",
+    "src_csv_roundtrip",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "agg_approx_distinct",
+    "agg_benford_deviation",
     "agg_distinct",
     "agg_hash_group",
     "agg_percentiles",
@@ -136,10 +190,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_cdf_source",
     "stream_replicate_tablelog",
     "stream_ivm_groupby",
-    "lake_bloom_prune",
-    "train_pack_sequences",
-    "lake_manifest_shard",
-    "src_tablelog_format",
     "agg_countmin_heavyhitters",
     "fn_collation",
     "fn_try_arith",
@@ -257,7 +307,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fn_hash_suite",
     "ts_downsample_ltob",
     "agg_markov_transitions",
-    "agg_benford_deviation",
     "ml_pca_power",
     "graph_bfs_layers",
     "ts_max_drawdown",
@@ -275,7 +324,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ts_resample_ohlc",
     "agg_decayed_counts",
     "agg_retention_cohorts",
-    "agg_approx_distinct",
     "fn_json_get",
     "join_asof",
     "sample_weighted_mix",
@@ -291,49 +339,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "proj_add_missing",
     "proj_lit",
     "select_project",
-    "sql_udf_create_function",
-    "scan_pyds_pushdown",
-    "join_asof_nearest",
-    "sample_epoch_reshuffle",
-    "train_collate_batches",
-    "ts_gapfill_interpolate",
-    "fn_xml_parse",
-    "sql_session_variables",
-    "src_binaryfile",
-    "stream_stateful_rocksdb",
-    "lake_branch_wap",
-    "dedup_semdedup",
-    "lake_table_history",
-    "lake_restore_version",
-    "join_lateral_topk",
-    "fn_interval_arith",
-    "sql_ctas_insert",
-    "sql_analyze_cbo",
-    "plan_cache_reuse",
-    "stream_static_join",
-    "udf_arrow_scalar",
-    "sink_overwrite_dynamic",
-    "agg_bitmap_distinct",
-    "fn_tz_convert",
-    "agg_entropy_gini",
-    "win_median_rolling",
-    "ml_normal_equations",
-    "graph_jaccard_neighbors",
-    "lake_constraints_enforce",
-    "sql_merge_evolution",
-    "sql_exec_immediate",
-    "text_bpe_encode",
-    "agg_weighted_percentile",
-    "win_cumulative_distinct",
-    "agg_ks_test",
-    "agg_autocorr",
-    "src_csv_roundtrip",
-    "src_json_roundtrip",
-    "src_orc_roundtrip",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality_score",
-    "text_token_count",
     "text_idf_topk",
     "sim_ann_ivf",
     "agg_stats",

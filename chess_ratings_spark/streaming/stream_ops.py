@@ -1171,6 +1171,129 @@ def session_timeout_stream(
     return _snapshot_sink(spark, name)
 
 
+def ttl_state_stream(
+    spark: SparkSession,
+    ev: DataFrame,
+    ttl_us: int = 172_800_000_000,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Per-key state TTL — the state-EVICTION verb (round-13 verdict
+    #5): state that stops being updated is silently DELETED, with no
+    emission, and a later event for the key starts a FRESH generation.
+    This is transformWithState's ValueState TTL semantics re-expressed
+    on the stable applyInPandasWithState surface (the TWS API itself is
+    import-gated on google.protobuf here, see :func:`tws_available`;
+    its TTLConfig filters expired state at ACCESS time and a timer
+    deletes it — both paths are reproduced below), with the TTL clock
+    moved from processing time to EVENT time so the result is
+    deterministic and oracle-replayable.
+
+    Protocol, per user: running (n, vc) counters with ttl (48 h) —
+    - ACCESS-TIME expiry: an incoming event whose ts is more than ttl
+      past the stored last_us finds the state expired — counters reset,
+      a new generation opens (gens increments). Sorted-order in-batch,
+      so the reset set equals the oracle's sorted-gap replay.
+    - TIMER eviction: setTimeoutTimestamp(last_us + ttl); when the
+      event-time watermark passes it (under availableNow the trailing
+      no-data micro-batch advances the watermark to max(ts) - delay and
+      fires the expiries) the state is REMOVED and nothing is emitted —
+      the silent-eviction half that session_timeout_stream (which EMITS
+      on timeout) deliberately does not exercise.
+    Because eviction is silent, the memory sink sees nothing; the
+    result is read OFFLINE from the checkpoint's state store (Spark 4
+    statestore reader, value.groupState.* for applyInPandasWithState
+    state): exactly the SURVIVING generations — one row per user whose
+    last event is within ttl of the final watermark on the engine's ms
+    clock, carrying that generation's exact counters plus the lifetime
+    generation census. Evicted keys are proven ABSENT by the oracle's
+    equality compare, not just unreturned.
+
+    Determinism: the staged input drains in ONE availableNow batch (no
+    maxFilesPerTrigger), so timers fire only at the trailing watermark
+    advance and every mid-stream reset is the access-time path — the
+    same single-batch contract state_reader_join_sides documents. Both
+    the handler's TTL compare (pure int64 micros) and the eviction
+    boundary (last_us//1000 + ttl_ms vs max_us//1000 - delay_ms) ride
+    the zone-proof NTZ-as-UTC clock, so the surviving set is identical
+    in any session timezone. State: 4 bigints per key — O(keys), and
+    TTL is precisely the mechanism that keeps it O(live keys) at
+    100 TB: abandoned keys cost nothing forever after."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms = ttl_us // 1000
+
+    staged = _stage(ev, reuse=True)
+    ckpt = tempfile.mkdtemp(prefix="crs_ttlstate_") + "/ckpt"
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(staged)
+        .withColumn("ts_us", F.expr(_EVENT_US.format(ts="ts")))
+        .withColumn("ts_ltz", F.timestamp_micros(F.col("ts_us")))
+        .withColumn("vc", F.floor(F.col("value") * 100).cast("bigint"))
+        .withWatermark("ts_ltz", delay)
+    )
+
+    def track(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # TTL eviction is SILENT: no emission
+            return
+        if state.exists:
+            last, n, vc, gens = state.get
+        else:
+            last, n, vc, gens = -1, 0, 0, 0
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values("ts_us", kind="mergesort")
+        for ts_us, v in zip(
+            pdf["ts_us"].astype("int64"), pdf["vc"].astype("int64")
+        ):
+            if last >= 0 and int(ts_us) - last > ttl_us:
+                # access-time expiry: the stored state is past TTL
+                # relative to the incoming event — reset, new generation
+                last, n, vc = -1, 0, 0
+            if last < 0:
+                gens += 1
+            last, n, vc = int(ts_us), n + 1, vc + int(v)
+        state.update((last, n, vc, gens))
+        state.setTimeoutTimestamp(last // 1000 + ttl_ms)
+        yield pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+
+    name = "snk_" + uuid.uuid4().hex[:12]
+    with _state_partitions(spark):
+        q = (
+            src.groupBy("user_id")
+            .applyInPandasWithState(
+                track,
+                outputStructType="user_id bigint",
+                stateStructType=(
+                    "last_us bigint, n bigint, vc bigint, gens bigint"
+                ),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    spark.catalog.dropTempView(name)  # sink is empty by design
+    return (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.groupState.gens").alias("gens"),
+            F.col("value.groupState.n").alias("n_live"),
+            F.col("value.groupState.vc").alias("vc_live"),
+            F.col("value.groupState.last_us").alias("last_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def semi_join_stream(
     spark: SparkSession, ev: DataFrame, lookback: str = "1 hour"
 ) -> DataFrame:

@@ -1,9 +1,10 @@
-"""Evidence-freshness contract (round-9 verdict item 6): the rotation
-policy in registry.py must not silently decay. For every SURVEY.md §2
-operator ID, the latest driver CORRECTNESS row may be at most 4 rounds
-old — or the operator must be scheduled in the current driver window
-(the first 50 names of queries()), which is how an aging row gets its
-refresh. A never-checked §2 ID must likewise be scheduled."""
+"""Evidence-freshness contract (round-9 verdict item 6; policy v2 in
+round 14): the rotation policy in registry.py must not silently decay.
+For every SURVEY.md §2 operator ID, the latest driver CORRECTNESS row
+may be at most 5 rounds old; for every other registered query, at most
+10 — or the query must be scheduled in the current driver window (the
+first 50 names of queries()), which is how an aging row gets its
+refresh. A never-checked query must likewise be scheduled."""
 
 from __future__ import annotations
 
@@ -15,7 +16,11 @@ import chess_ratings_spark.plans  # noqa: F401
 from chess_ratings_spark import registry
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
-MAX_EVIDENCE_AGE = 4
+#: Policy v2 (round 14): §2 floor traded 4 → 5 to fund an enforced
+#: floor for the 96 depth queries (see test_survey2_evidence_freshness
+#: docstring for the capacity math).
+MAX_EVIDENCE_AGE = 5
+NON_S2_MAX_AGE = 10
 
 
 def _survey2_ids() -> set[str]:
@@ -62,6 +67,19 @@ def test_new_registrations_land_survey2_rows_same_round():
 
 
 def test_survey2_evidence_freshness():
+    """Policy v2 (round 14, round-13 verdict #3): EVERY registered
+    query now carries an enforced freshness floor, not just SURVEY §2.
+    The verdict suggested adding a non-§2 floor of ~8 on top of the
+    §2 floor of 4; that combination is over window capacity for ANY
+    non-§2 floor — steady-state demand is 212/(4+1) ≈ 42.4 §2 slots
+    per round out of ~48 usable, leaving ~5.6 for 96 depth queries
+    (needs floor ≥ 17, and even 17/18 die on the 50-wide r13 cohort
+    transient — measured by the EDF simulation in DESIGN.md's round-14
+    log). So the floors are traded: §2 relaxes 4 → 5 (212/6 ≈ 35.3
+    slots/round) which funds a REAL non-§2 floor of 10 (96/11 ≈ 8.7);
+    total ≈ 44 of 48 — feasible, verified by earliest-deadline-first
+    simulation through round 29. Depth evidence can no longer rot
+    silently, which is the verdict item's actual intent."""
     ids = _survey2_ids()
     latest, current_round = _latest_green()
     window = set(list(registry.queries())[:50])
@@ -75,23 +93,43 @@ def test_survey2_evidence_freshness():
         f"SURVEY §2 evidence older than {MAX_EVIDENCE_AGE} rounds and not "
         f"scheduled in the driver window: {stale}"
     )
-    never = sorted(n for n in ids if n not in latest and n not in window)
-    assert not never, f"never-driver-checked §2 IDs not scheduled: {never}"
+    non_s2_stale = sorted(
+        n
+        for n in registry.REGISTRY
+        if n not in ids
+        and n not in window
+        and current_round - latest.get(n, current_round) > NON_S2_MAX_AGE
+    )
+    assert not non_s2_stale, (
+        f"non-§2 depth evidence older than {NON_S2_MAX_AGE} rounds and "
+        f"not scheduled in the driver window: {non_s2_stale}"
+    )
+    never = sorted(
+        n for n in registry.REGISTRY if n not in latest and n not in window
+    )
+    assert not never, f"never-driver-checked queries not scheduled: {never}"
+
+
+def _deadline(ids: set[str], evidence: dict[str, int], name: str) -> int:
+    """Last round in which `name`'s current evidence is still valid +1,
+    i.e. the round by which it MUST be in the driver window."""
+    floor = MAX_EVIDENCE_AGE if name in ids else NON_S2_MAX_AGE
+    return evidence[name] + floor + 1
 
 
 def test_next_round_cohort_fits_window():
     """Round-11 verdict #2 + round-12 verdict #2: manage the cohort
-    squeeze BEFORE it lands, TWO rounds out. Simulate the current
-    window going green (every windowed name gets this round's
-    evidence), then roll the rotation policy forward two rounds: each
-    future round must fit its mandatory cohort — the §2 IDs at the
-    freshness floor — in a 50-slot window with RESERVE slots held for
-    new registrations, and is assumed to spend its remaining spare
-    slots pre-empting the oldest surviving evidence (exactly the
-    discipline the registry comment prescribes). Without the N+2 leg a
-    round could pass while leaving the round after next infeasible —
-    the r13/r14 squeeze (43- and 46-wide cohorts back to back) is the
-    measured case."""
+    squeeze BEFORE it lands, TWO rounds out — extended in round 14 to
+    BOTH freshness classes (§2 floor 5, non-§2 floor 10). Simulate the
+    current window going green, then roll the policy forward two
+    rounds: each future round must fit its mandatory cohort — every
+    query whose evidence hits its floor — in a 50-slot window with
+    RESERVE slots held for new registrations, spending spare slots
+    earliest-deadline-first (the discipline the registry comment
+    prescribes; EDF is the optimal preemption order for deadline
+    feasibility). Without the N+2 leg a round could pass while leaving
+    the round after next infeasible — the r13/r14 §2 squeeze (43- and
+    46-wide cohorts back to back) is the measured case."""
     ids = _survey2_ids()
     latest, current_round = _latest_green()
     window = list(registry.queries())[:50]
@@ -101,21 +139,19 @@ def test_next_round_cohort_fits_window():
     RESERVE = 8  # slots held for new registrations + re-checks
     for future in (current_round + 1, current_round + 2):
         mandatory = sorted(
-            n for n in ids if future - simulated.get(n, future) > MAX_EVIDENCE_AGE
+            n for n in simulated if _deadline(ids, simulated, n) <= future
         )
         assert len(mandatory) <= 50 - RESERVE, (
-            f"round-{future} mandatory §2 cohort is {len(mandatory)} wide "
+            f"round-{future} mandatory cohort is {len(mandatory)} wide "
             f"(window 50 minus reserve {RESERVE}) — pre-empt some of it "
             f"into an earlier round's spare slots: {mandatory}"
         )
         # that future round's simulated window: the mandatory cohort
-        # plus oldest-evidence pre-empts filling the non-reserved spare
-        spare = 50 - RESERVE - len(mandatory)
-        preempts = sorted(
-            (n for n in ids if n not in set(mandatory)),
-            key=lambda n: (simulated.get(n, 0), n),
-        )[:spare]
-        for n in mandatory + preempts:
+        # plus earliest-deadline pre-empts filling the non-reserved spare
+        edf = sorted(
+            simulated, key=lambda n: (_deadline(ids, simulated, n), n)
+        )[: 50 - RESERVE]
+        for n in edf:
             simulated[n] = future
 
 

@@ -96,23 +96,35 @@ def test_driver_order_contract():
     POLICY rather than any one round's instance (the round-12-pinned
     version of this test went stale the moment the round-13 rotation
     landed): every front-50 slot must be JUSTIFIED — (a) never
-    driver-checked (a new registration), (b) evidence at or past the
-    freshness floor relative to the round being built (age >
-    MAX_EVIDENCE_AGE = mandatory refresh; age == MAX_EVIDENCE_AGE = a
-    pre-emption from the NEXT round's mandatory cohort, the discipline
-    test_next_round_cohort_fits_window requires), or (c) an explicit
-    re-check of an operator whose plan/verb changed after its latest
-    driver row (REWRITTEN_RECHECKS below — empty unless a round edits
-    a previously-green operator's behavior). And the never-checked
-    backlog must ALL be in the window."""
+    driver-checked (a new registration), (b) its evidence DEADLINE
+    (latest green row + its class's freshness floor + 1, policy v2:
+    §2 floor 5, non-§2 floor 10 — see tests/test_contract.py) falls
+    within two rounds of the round being built (mandatory now, or a
+    pre-emption from the next two rounds' mandatory cohorts — the
+    horizon test_next_round_cohort_fits_window simulates), (c) an
+    explicit re-check of an operator whose plan/verb changed after its
+    latest driver row (REWRITTEN_RECHECKS below), or (d) a
+    verdict-prescribed refresh (VERDICT_PRESCRIBED below — this round:
+    the 7 non-§2 r8 leftovers the round-13 verdict's item #2 names,
+    fronted before their floor-10 deadlines arrive). And the
+    never-checked backlog must ALL be in the window."""
     import json
     import pathlib
 
     import chess_ratings_spark.plans  # noqa: F401
     from chess_ratings_spark import registry
+    from .test_contract import MAX_EVIDENCE_AGE, NON_S2_MAX_AGE, _survey2_ids
 
-    MAX_EVIDENCE_AGE = 4
     REWRITTEN_RECHECKS: set[str] = set()
+    VERDICT_PRESCRIBED: set[str] = {
+        "src_csv_roundtrip",
+        "src_json_roundtrip",
+        "src_orc_roundtrip",
+        "text_fingerprint",
+        "text_langid",
+        "text_quality_score",
+        "text_token_count",
+    }
 
     names = list(registry.queries())
     order = list(registry.DRIVER_ORDER)
@@ -131,13 +143,20 @@ def test_driver_order_contract():
                 latest_green[name] = max(latest_green.get(name, 0), rn)
     current_round = max(rounds) + 1  # the round being built
 
+    s2_ids = _survey2_ids()
+
+    def deadline(n: str) -> int:
+        floor = MAX_EVIDENCE_AGE if n in s2_ids else NON_S2_MAX_AGE
+        return latest_green[n] + floor + 1
+
     window = names[:50]
     unjustified = [
         n
         for n in window
         if n in latest_green
         and n not in REWRITTEN_RECHECKS
-        and current_round - latest_green[n] < MAX_EVIDENCE_AGE
+        and n not in VERDICT_PRESCRIBED
+        and deadline(n) > current_round + 2
     ]
     assert not unjustified, f"window slots wasted: {unjustified}"
 

@@ -1134,3 +1134,94 @@ def test_theta_setops_oracle_holds_with_a_missing_type(spark, tmp_path):
     o = dict(zip(o_cols, cur.fetchall()[0]))
     got = {c: row[c] for c in o_cols}
     assert got == o
+
+
+def test_ttl_state_survivors_match_batch_replay(spark):
+    """stream_state_ttl (r14): the offline statestore read after the
+    TTL stream must equal a pure-batch replay of the semantics —
+    per-user generations split on sorted 48 h gaps, survivors = last
+    generation within TTL of the final watermark (engine ms clock),
+    carrying exact counters + the lifetime generation census."""
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, SF_SMOKE, "events")
+    got = {
+        tuple(r)
+        for r in stream_ops.ttl_state_stream(spark, ev).collect()
+    }
+
+    ttl_us = 172_800_000_000
+    us = (
+        F.unix_date(F.col("ts").cast("date")) * F.lit(86_400_000_000)
+        + (F.hour("ts") * 3600 + F.minute("ts") * 60).cast("bigint")
+        * F.lit(1_000_000)
+        + (F.expr("extract(SECOND FROM ts)") * 1_000_000).cast("bigint")
+    )
+    e = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    g = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > ttl_us),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    agg = g.groupBy("user_id").agg(F.max("sid").alias("gens"))
+    lastgen = (
+        g.join(agg, "user_id")
+        .filter(F.col("sid") == F.col("gens"))
+        .groupBy("user_id", "gens")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("vc").alias("vc_live"),
+            F.max("us").alias("last_us"),
+        )
+    )
+    max_us = e.agg(F.max("us")).collect()[0][0]
+    expected = {
+        tuple(r)
+        for r in lastgen.select(
+            "user_id", "gens", "n_live", "vc_live", "last_us"
+        ).collect()
+        if (r.last_us // 1000 + ttl_us // 1000) >= (max_us // 1000 - 3_600_000)
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_ttl_state_evicts_resets_and_survives(spark, tmp_path):
+    """Planted three-way fixture: user 1 goes silent long before the final
+    watermark (state EVICTED — absent from the read, its key proven
+    gone, not just unreturned), user 2 has one >TTL gap (counters
+    RESET, gens=2, only the fresh generation's counters survive),
+    user 3 is steadily active (gens=1, full counters)."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    H = dt.timedelta(hours=1)
+    D = dt.timedelta(days=1)
+    rows = []
+    # user 1: three events, last one 30 days before the end -> evicted
+    for i in range(3):
+        rows.append((100 + i, base + i * H, 1, "view", 1.0, "{}"))
+    # user 2: two early events, a 3-day gap (> 48h TTL), two late ones
+    rows.append((200, base + 27 * D, 2, "view", 2.0, "{}"))
+    rows.append((201, base + 27 * D + H, 2, "view", 2.0, "{}"))
+    rows.append((202, base + 30 * D, 2, "view", 3.0, "{}"))
+    rows.append((203, base + 30 * D + H, 2, "view", 3.0, "{}"))
+    # user 3: daily events over the last 3 days -> one generation
+    for i in range(4):
+        rows.append((300 + i, base + 27 * D + i * D, 3, "view", 5.0, "{}"))
+    ev = spark.createDataFrame(
+        [(eid, ts, uid, et, v, p) for eid, ts, uid, et, v, p in rows],
+        schema=stream_ops.EVENT_SCHEMA,
+    )
+    out = {r.user_id: r for r in stream_ops.ttl_state_stream(spark, ev).collect()}
+    assert set(out) == {2, 3}, "user 1 must be TTL-evicted from the store"
+    assert (out[2].gens, out[2].n_live, out[2].vc_live) == (2, 2, 600)
+    assert (out[3].gens, out[3].n_live, out[3].vc_live) == (1, 4, 2000)
