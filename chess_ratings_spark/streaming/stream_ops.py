@@ -1279,6 +1279,19 @@ def ttl_state_stream(
             .start()
         )
         q.awaitTermination()
+    # The access-time reset set is deterministic only if ALL data lands
+    # in one micro-batch (documented above) — enforce it loudly instead
+    # of letting a future maxFilesPerTrigger/regression produce silently
+    # batch-dependent generations (trailing no-data batches are fine:
+    # they only advance the watermark and fire timers).
+    data_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    if data_batches > 1:
+        raise AssertionError(
+            f"ttl_state_stream: input split across {data_batches} "
+            "micro-batches — single-batch determinism contract broken"
+        )
     spark.catalog.dropTempView(name)  # sink is empty by design
     return (
         spark.read.format("statestore")
