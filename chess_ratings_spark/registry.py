@@ -55,11 +55,11 @@ REGISTRY: dict[str, Query] = {}
 #:
 #: Why the v2 floors: the round-13 verdict asked for a non-§2 floor of
 #: ~8 on top of the §2 floor of 4. That combination is over capacity —
-#: steady-state §2 demand at floor 4 is 212/5 ≈ 42.4 of the ~48 usable
-#: slots/round, leaving ~5.6 for 96 depth queries (needs floor ≥ 17,
+#: steady-state §2 demand at floor 4 is 214/5 ≈ 42.8 of the ~48 usable
+#: slots/round, leaving ~5.2 for 94 depth queries (needs floor ≥ 17,
 #: and even 17/18 die on the 50-wide r13 §2 cohort transient; EDF
 #: simulations in DESIGN.md's round-14 log). Trading §2 to floor 5
-#: (212/6 ≈ 35.3) funds non-§2 at floor 10 (96/11 ≈ 8.7): ≈ 44 of 48,
+#: (214/6 ≈ 35.7) funds non-§2 at floor 10 (94/11 ≈ 8.5): ≈ 44 of 48,
 #: feasible through round 29 by simulation — the uniform-coverage
 #: outcome the verdict item actually wanted.
 #:

@@ -17,7 +17,7 @@ from chess_ratings_spark import registry
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 #: Policy v2 (round 14): §2 floor traded 4 → 5 to fund an enforced
-#: floor for the 96 depth queries (see test_survey2_evidence_freshness
+#: floor for the 94 depth queries (see test_survey2_evidence_freshness
 #: docstring for the capacity math).
 MAX_EVIDENCE_AGE = 5
 NON_S2_MAX_AGE = 10
@@ -71,12 +71,12 @@ def test_survey2_evidence_freshness():
     query now carries an enforced freshness floor, not just SURVEY §2.
     The verdict suggested adding a non-§2 floor of ~8 on top of the
     §2 floor of 4; that combination is over window capacity for ANY
-    non-§2 floor — steady-state demand is 212/(4+1) ≈ 42.4 §2 slots
-    per round out of ~48 usable, leaving ~5.6 for 96 depth queries
+    non-§2 floor — steady-state demand is 214/(4+1) ≈ 42.8 §2 slots
+    per round out of ~48 usable, leaving ~5.2 for 94 depth queries
     (needs floor ≥ 17, and even 17/18 die on the 50-wide r13 cohort
     transient — measured by the EDF simulation in DESIGN.md's round-14
-    log). So the floors are traded: §2 relaxes 4 → 5 (212/6 ≈ 35.3
-    slots/round) which funds a REAL non-§2 floor of 10 (96/11 ≈ 8.7);
+    log). So the floors are traded: §2 relaxes 4 → 5 (214/6 ≈ 35.7
+    slots/round) which funds a REAL non-§2 floor of 10 (94/11 ≈ 8.5);
     total ≈ 44 of 48 — feasible, verified by earliest-deadline-first
     simulation through round 29. Depth evidence can no longer rot
     silently, which is the verdict item's actual intent."""
