@@ -1235,6 +1235,8 @@ def ttl_state_stream(
     )
 
     def track(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         if state.hasTimedOut:
             state.remove()  # TTL eviction is SILENT: no emission
             return
@@ -1243,17 +1245,39 @@ def ttl_state_stream(
         else:
             last, n, vc, gens = -1, 0, 0, 0
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        pdf = pdf.sort_values("ts_us", kind="mergesort")
-        for ts_us, v in zip(
-            pdf["ts_us"].astype("int64"), pdf["vc"].astype("int64")
-        ):
-            if last >= 0 and int(ts_us) - last > ttl_us:
-                # access-time expiry: the stored state is past TTL
-                # relative to the incoming event — reset, new generation
-                last, n, vc = -1, 0, 0
+        ts_raw = pdf["ts_us"].to_numpy(dtype="int64")
+        vc_raw = pdf["vc"].to_numpy(dtype="int64")
+        if len(ts_raw):
+            # Vectorized twin of the per-event scan: sort by event
+            # time, mark
+            # a generation break wherever the gap from the previous
+            # event (or the stored last_us) exceeds the TTL — the
+            # access-time-expiry rule — then fold the LAST generation's
+            # suffix into the counters.
+            order = np.argsort(ts_raw, kind="stable")
+            arr = ts_raw[order]
+            vcs = vc_raw[order]
+            prev = np.empty_like(arr)
+            prev[1:] = arr[:-1]
+            prev[0] = last if last >= 0 else arr[0]
+            brk = (arr - prev) > ttl_us
             if last < 0:
-                gens += 1
-            last, n, vc = int(ts_us), n + 1, vc + int(v)
+                brk[0] = True  # fresh key: first event opens gen 1
+            # (x10/x50 censuses show the remaining cost is the per-KEY
+            # applyInPandasWithState invocation ~0.9 ms — group pandas
+            # construction + state roundtrip — not per-event work;
+            # at 100 TB that cost scales with LIVE keys, which is
+            # exactly what the TTL bounds.)
+            n_breaks = int(brk.sum())
+            if n_breaks:
+                start = int(np.nonzero(brk)[0][-1])
+                gens += n_breaks
+                n = len(arr) - start
+                vc = int(vcs[start:].sum())
+            else:
+                n += len(arr)
+                vc += int(vcs.sum())
+            last = int(arr[-1])
         state.update((last, n, vc, gens))
         state.setTimeoutTimestamp(last // 1000 + ttl_ms)
         yield pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
