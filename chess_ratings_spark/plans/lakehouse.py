@@ -2214,7 +2214,9 @@ def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
          (SELECT count(*) FROM s)),
       (2, 'delete-mor', true, 8,
          (SELECT count(*) FROM s WHERE m5 <> 0)),
-      (3, 'optimize', false, 1,
+      (3, 'optimize', false,
+         (SELECT CAST(greatest(1, ceil(count(*) / 50000.0)) AS INT)
+          FROM s WHERE m5 <> 0),
          (SELECT count(*) FROM s WHERE m5 <> 0))
     ) AS h(version, op, data_change, n_files, n_live_rows)
     ORDER BY version
@@ -2227,11 +2229,13 @@ def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "manifests (bounded driver state — the Delta/Iceberg contract); "
     "the live row count per version is a real MOR-aware snapshot "
     "read. The oracle replays every row from the logical input plus "
-    "the protocol's deterministic constants (repartition(n) on "
-    "non-empty data writes exactly n files; OPTIMIZE at 50k-row "
-    "targets lands 1 file at every test SF; the delete is "
-    "metadata-only so v2 keeps v1's 8 files). data_change=false on "
-    "OPTIMIZE is the flag incremental consumers key on.",
+    "the protocol's deterministic laws (repartition(n) on "
+    "non-empty data writes exactly n files; OPTIMIZE at a 50k-row "
+    "target writes ceil(live/50k) files — 1 at sf0.01, 2 at sf0.1, "
+    "recomputed by the oracle rather than hardcoded [the hardcoded-1 "
+    "variant was the round-14 sf0.1 sweep's single catch]; the delete "
+    "is metadata-only so v2 keeps v1's 8 files). data_change=false "
+    "on OPTIMIZE is the flag incremental consumers key on.",
     tags=("lakehouse", "events", "history"),
 )
 def lake_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
