@@ -71,6 +71,24 @@ def test_optimize_preserves_content_and_history(base, spark):
     assert len(set(old.inputFiles())) == 12
 
 
+def test_optimize_file_count_is_ceil_of_live_over_target(base, spark):
+    """The OPTIMIZE file-count LAW: ceil(live_rows / target) with a
+    floor of 1 — pinned across the target boundary after the round-14
+    sf0.1 sweep caught an oracle hardcoding the below-target constant
+    (1 file) that silently broke once live rows crossed the target
+    (lake_table_history, 80 096 rows at a 50 k target -> 2 files)."""
+    import math
+
+    for n, target in ((40, 1_000), (120, 50), (100, 50), (101, 50)):
+        log = TableLog(base + f"/law_{n}_{target}")
+        log.append(_tiny(spark, n=n), n_files=4, tag="a")
+        log.optimize(spark, target_rows_per_file=target)
+        assert len(log.read_manifest()["files"]) == max(
+            1, math.ceil(n / target)
+        ), (n, target)
+        assert log.snapshot(spark).count() == n
+
+
 def test_stats_pruning_is_superset_and_exact(base, spark):
     log = TableLog(base)
     df = spark.range(80).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
