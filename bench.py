@@ -20,6 +20,110 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+#: Bump when the probe workload changes — a committed reference from a
+#: different probe version is not comparable and is ignored.
+PROBE_VERSION = 1
+PROBE_MAX_ATTEMPTS = 4
+PROBE_SETTLE_SEC = 40.0
+PROBE_DEGRADED_RATIO = 1.15
+
+
+def _probe_once(spark) -> tuple[float, float]:
+    """Time the two fixed micro-tasks: (compute_sec, io_sec).
+
+    compute: 200M-row sum over 32 partitions — pure whole-stage-codegen
+    JVM work, no disk; tracks CPU contention / thermal state.
+    io: write a 32-file parquet table, read it back, then 24 small
+    fsync'd files — tracks the page-cache/fsync state that dominates
+    the lake/streaming family drift (~1.3x host swings, DESIGN.md
+    round-13 drift appendix).
+    """
+    import shutil
+    import tempfile
+
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 2 + 1) AS s").collect()
+    compute = time.perf_counter() - t0
+
+    d = tempfile.mkdtemp(prefix="crs_bench_probe_")
+    try:
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000, 1, 32).write.mode("overwrite").parquet(d + "/t")
+        spark.read.parquet(d + "/t").selectExpr("count(*) AS c").collect()
+        payload = b"x" * 4096
+        for i in range(24):
+            fd = os.open(f"{d}/f{i}", os.O_CREAT | os.O_WRONLY)
+            try:
+                os.write(fd, payload)
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        io = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return compute, io
+
+
+def _settle_machine(spark) -> dict:
+    """Probe machine state vs the committed BENCH_FULL.json reference;
+    wait-and-re-probe (bounded) while degraded. Returns the annotation
+    dict published in the bench line (round-14 verdict #2: the driver's
+    artifact must either be a settled-state number or say it isn't)."""
+    ref_compute = ref_io = None
+    try:
+        prev = json.loads((Path(REPO) / "BENCH_FULL.json").read_text())
+        mp = prev.get("machine_probe") or {}
+        if mp.get("version") == PROBE_VERSION:
+            ref_compute = mp.get("compute_sec")
+            ref_io = mp.get("io_sec")
+    except Exception:
+        pass
+
+    best_compute = best_io = float("inf")
+    attempts = 0
+    degraded = False
+    while attempts < PROBE_MAX_ATTEMPTS:
+        attempts += 1
+        try:
+            c, i = _probe_once(spark)
+        except Exception as exc:
+            print(f"# BENCH PROBE ERROR: {exc}", file=sys.stderr)
+            break
+        best_compute = min(best_compute, c)
+        best_io = min(best_io, i)
+        if ref_compute is None or ref_io is None:
+            degraded = False
+            break  # first run under this probe version: record, no gate
+        degraded = (
+            best_compute > ref_compute * PROBE_DEGRADED_RATIO
+            or best_io > ref_io * PROBE_DEGRADED_RATIO
+        )
+        if not degraded:
+            break
+        print(
+            f"# BENCH PROBE degraded (attempt {attempts}): "
+            f"compute {best_compute:.2f}s vs ref {ref_compute:.2f}s, "
+            f"io {best_io:.2f}s vs ref {ref_io:.2f}s — settling "
+            f"{PROBE_SETTLE_SEC:.0f}s",
+            file=sys.stderr,
+        )
+        if attempts < PROBE_MAX_ATTEMPTS:
+            time.sleep(PROBE_SETTLE_SEC)
+    out = {
+        "version": PROBE_VERSION,
+        "attempts": attempts,
+        "degraded": degraded,
+    }
+    if best_compute != float("inf"):
+        out["compute_sec"] = round(best_compute, 3)
+        out["io_sec"] = round(best_io, 3)
+    if ref_compute is not None and best_compute != float("inf"):
+        out["ratio"] = round(
+            max(best_compute / ref_compute, best_io / ref_io), 3
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import chess_ratings_spark.plans  # noqa: F401
@@ -137,6 +241,18 @@ def main() -> None:
     except Exception as exc:
         print(f"# BENCH WARMUP ERROR datasource: {exc}", file=sys.stderr)
 
+    # ---- Machine-state probe (round-14 verdict #2) -------------------
+    # Bench totals swing ~1.3x with host IO state (the round-14 headline
+    # published 331 s where the same HEAD measured 302 s settled). Time
+    # two fixed micro-tasks — a pure-JVM compute reduction and an
+    # fsync-heavy small-file write — against the values the COMMITTED
+    # BENCH_FULL.json recorded on the last quotable run. If either
+    # component is >15% slower, the machine is still digesting earlier
+    # IO; wait and re-probe (bounded) so the published artifact is a
+    # settled-state number, and always ANNOTATE the result so the
+    # driver's BENCH_r{N}.json carries the evidence either way.
+    probe = _settle_machine(spark)
+
     timings: dict[str, float] = {}
     n_samples: dict[str, int] = {}
     for name in sorted(REGISTRY):
@@ -148,7 +264,9 @@ def main() -> None:
         # page cache (round-13 verdict #4). Everything else is
         # compute-bound and stays single-sample.
         runs = 2 if "live" in q.tags else 1
-        best = None
+        best = None  # min over SUCCESSFUL runs only (round-14 ADVICE:
+        # a second-run failure must not overwrite a good first sample)
+        ok = 0
         for _ in range(runs):
             t0 = time.perf_counter()
             try:
@@ -156,12 +274,11 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 t = time.perf_counter() - t0
                 best = t if best is None else min(best, t)
+                ok += 1
             except Exception as exc:  # keep the bench line parseable
-                best = -1.0
                 print(f"# BENCH ERROR {name}: {exc}", file=sys.stderr)
-                break
-        timings[name] = round(best, 3)
-        n_samples[name] = 1 if best < 0 else runs
+        timings[name] = round(best, 3) if best is not None else -1.0
+        n_samples[name] = ok
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -194,6 +311,7 @@ def main() -> None:
         "queries": headline,
         "families": dict(sorted(families.items())),
         "resampled_min2": sum(1 for v in n_samples.values() if v == 2),
+        "machine_probe": probe,
         "full": "BENCH_FULL.json",
     }
     out = json.dumps(line)

@@ -2204,9 +2204,11 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "list_sum uses, so with per-element float32->float64 casts on both "
     "sides every double is bit-identical and floor(sqrt(x)*1e6) is "
     "hash-exact (sqrt is IEEE correctly-rounded in both engines). "
-    "Nulls/ragged rows are refused loudly — the determinism argument "
-    "is per-segment, and a silent skip would shift every later "
-    "offset. At 100 TB this is the shape for vectorized feature "
+    "Null rows are refused loudly (the offset-segment reduction "
+    "assumes dense lists); ZERO-LENGTH rows degrade gracefully to "
+    "norm_micro = NULL — DuckDB's list_sum([]) answer — by excluding "
+    "their zero-width segments from the reduceat index (round-14 "
+    "ADVICE). At 100 TB this is the shape for vectorized feature "
     "extraction over embedding/tensor columns: executor-local batch "
     "compute, no Python-object row materialization, output bounded "
     "to scalars per row.",
@@ -2228,24 +2230,31 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             offsets = np.asarray(lst.offsets)
             lens = offsets[1:] - offsets[:-1]
-            if not (lens > 0).all():
-                raise AssertionError(
-                    "udf_map_in_arrow: zero-length embedding rows — "
-                    "reduceat's trailing-segment contract needs every "
-                    "offset strictly inside the values buffer"
-                )
             vals = np.asarray(lst.values.cast(pa.float64()))
             sq = vals * vals
-            # strictly sequential per-segment sums (NOT np.sum's
-            # pairwise tree): must match DuckDB list_sum's order
-            sums = np.add.reduceat(sq, offsets[:-1]) if len(sq) else np.zeros(0)
+            # Strictly sequential per-segment sums (NOT np.sum's
+            # pairwise tree): must match DuckDB list_sum's order.
+            # Zero-length rows (round-14 ADVICE: don't hard-assert)
+            # are excluded from the reduceat index — an empty segment
+            # occupies zero width in the values buffer, so reduceat
+            # over only the non-empty starts still sums each segment
+            # exactly, left-to-right, and every start stays strictly
+            # inside the buffer (no trailing IndexError). Empty rows
+            # emit norm_micro = NULL, DuckDB's list_sum([]) answer.
+            nonempty = lens > 0
+            starts = offsets[:-1][nonempty]
+            seg_sums = (
+                np.add.reduceat(sq, starts) if len(starts) else np.zeros(0)
+            )
+            norms = np.zeros(len(lens), dtype="int64")
+            norms[nonempty] = np.floor(
+                np.sqrt(seg_sums) * 1_000_000
+            ).astype("int64")
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("vec_id"),
                     pa.array(lens.astype("int32")),
-                    pa.array(
-                        np.floor(np.sqrt(sums) * 1_000_000).astype("int64")
-                    ),
+                    pa.array(norms, mask=~nonempty),
                 ],
                 ["vec_id", "dim", "norm_micro"],
             )

@@ -63,34 +63,270 @@ REGISTRY: dict[str, Query] = {}
 #: feasible through round 29 by simulation — the uniform-coverage
 #: outcome the verdict item actually wanted.
 #:
-#: ================= ROUND-14 WINDOW (slots 1-50) =================
-#:   1-40  the r9 cohort: the 40 §2 operators whose latest driver row
-#:         is r9 (the exact list the round-13
-#:         test_survey2_evidence_freshness failure named), in
-#:         alphabetical order — deadline 15 under the v2 §2 floor,
-#:         i.e. round 15's mandatory cohort pre-empted per policy.
-#:    41  round-14 NEW registration: stream_state_ttl (per-key state
-#:         TTL with silent eviction — transformWithState's
-#:         ValueState-TTL semantics on applyInPandasWithState, final
-#:         state read via the statestore reader; round-13 verdict #5,
-#:         closing the Spark-4 state surface). ONE new registration
-#:         (capacity schedule said favor pre-empts over >2).
-#:  42-48  the 7 non-§2 r8 leftovers (src_csv/json/orc_roundtrip,
-#:         text_fingerprint/langid/quality_score/token_count) —
-#:         round-13 verdict #2's named list, fronted ahead of their
-#:         new floor-10 deadlines (r19).
-#:  49-50  two names PRE-EMPTED from the r10x42 §2 cohort
-#:         (alphabetical: agg_approx_distinct, agg_benford_deviation)
-#:         — the round-13 verdict's ≥2-r10-pre-empts ask; deadline 16
-#:         under the v2 floor, within the 2-round pre-empt horizon.
-#: Round-15+ deadlines at r14 HEAD (v2 floors): r15 mandatory = the
-#: 13 r4-evidence TPC-H depth queries plus 0 §2; r16 = the r10x42 §2 cohort minus the 2
-#: pre-empted (40) + r5 depth backlog as spare allows; the 50-wide
-#: r13 §2 cohort lands r19. Feasible through round 29 by the EDF
-#: simulation; test_next_round_cohort_fits_window re-verifies the
-#: two-round horizon at every HEAD.
+#: ================= ROUND-15 WINDOW (slots 1-50) =================
+#: Pure EDF rotation, ZERO new registrations (round-14 verdict #1 and
+#: #7: the capacity horizon says every new registration displaces a
+#: deadline slot; this round's mandatory+pre-empt load fills the
+#: window exactly). The whole tuple is now emitted in
+#: (deadline, name) order — deadline = latest green CORRECTNESS row +
+#: class floor (v2: §2 5 / non-§2 10) + 1 — so the window IS the head
+#: and the tail documents the coming rounds' cohorts in order.
+#:   1-13  the r15 MANDATORY cohort (deadline 15): the 13 TPC-H depth
+#:         queries q10-q22 whose evidence dates to r4 and hits the
+#:         non-§2 floor-10 deadline this round (the exact list the
+#:         round-14 test_survey2_evidence_freshness failure named).
+#:  14-50  37 pre-empts from the 78-wide r16-deadline cohort,
+#:         earliest-deadline-first, alphabetical within the tie: the
+#:         r5-evidence depth queries (floor-10 deadline 16) and the
+#:         r10-evidence §2 operators (floor-5 deadline 16). This is
+#:         the ≥ 36-pre-empt requirement from round-14
+#:         test_next_round_cohort_fits_window: it shrinks the r16
+#:         mandatory cohort 78 → 28 and the r17 cohort to 34, both
+#:         within the 42-slot (50 minus 8 reserve) EDF cap, feasible
+#:         two rounds out by the contract-test simulation.
+#: Round-16+ deadlines at r15 HEAD: r16 mandatory = the 28 unpre-empted
+#: dl-16 names (the r10 §2 cohort remainder + r5/r6 depth remainder);
+#: the 50-wide r13 §2 cohort lands r19. Re-verified every HEAD by
+#: test_next_round_cohort_fits_window.
 DRIVER_ORDER: tuple[str, ...] = (
+    "q10_returned_items",
+    "q11_important_values",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "agg_corr_cov",
+    "agg_decayed_counts",
+    "agg_gini_concentration",
+    "agg_histogram",
+    "agg_hll_merge",
+    "agg_markov_transitions",
+    "agg_mode",
+    "agg_retention_cohorts",
+    "anomaly_zscore",
+    "compact_small_files",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "fn_bitwise_ops",
+    "fn_edit_distance",
+    "fn_hash_suite",
+    "fn_json_get",
+    "fn_url_parse",
+    "graph_bfs_layers",
+    "graph_kcore",
+    "join_asof",
+    "join_bucketed",
+    "join_dynamic_pruning",
+    "join_runtime_bloom",
+    "lake_checkpoint",
+    "ml_kmedians_embed",
+    "ml_pca_power",
+    "mm_binary_decode",
+    "mm_frame_sample",
+    "mm_image_resize",
+    "mm_phash_near_dup",
+    "observe_metrics",
+    "proj_add_missing",
+    "proj_lit",
+    "proj_rename",
+    "q2_min_cost_supplier",
+    "sample_bottomk",
+    "sample_weighted_mix",
+    "scan_partition_pruning",
+    "select_project",
+    "sim_pq_adc",
+    "sink_parquet",
+    "sql_cte_surface",
+    "sql_scripting",
+    "src_listing",
+    "stream_checkpoint",
+    "stream_dedup",
+    "stream_foreach_merge",
+    "stream_interval_join_outer",
+    "stream_join_then_window",
+    "stream_semi_join",
+    "stream_session",
+    "stream_sliding",
+    "stream_state_timeout",
+    "stream_stateful",
+    "stream_tumbling",
+    "stream_watermark_late",
+    "text_ngram_topk",
+    "ts_changepoint",
+    "ts_downsample_ltob",
+    "ts_max_drawdown",
+    "ts_resample_ohlc",
+    "ts_seasonal_decompose",
+    "win_lag_delta",
+    "win_skyline_2d",
+    "win_time_rolling",
+    "agg_histogram_2d",
+    "agg_mad_outliers",
+    "agg_sketch_quantiles",
+    "corpus_prepare",
+    "corpus_prepare_v2",
+    "dedup_cc_twostar",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_incremental_digest",
+    "dedup_incremental_minhash",
+    "dedup_keep_representatives",
+    "dedup_lines_corpus",
+    "dedup_substring_spans",
+    "dedup_url_canonical",
+    "filter_gopher_rules",
+    "filter_pred",
+    "geo_grid_join",
+    "geo_knn_join",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "join_fuzzy_editdistance",
+    "join_interval_binned",
+    "lake_merge_mor",
+    "lake_optimize_sharded",
+    "lake_update_cow",
+    "lake_update_mor",
+    "ml_linear_trend_exact",
+    "mm_scalar_quantize",
+    "pipeline_backfill",
+    "pipeline_incremental",
+    "quality_classifier_score",
+    "sample_balanced_classes",
+    "sample_global_shuffle",
+    "sample_poisson_bootstrap",
+    "sample_quality_buckets",
+    "scan_schema_evolution",
+    "sim_maxsim_multivector",
+    "sink_parquet_partitioned",
+    "src_http_zip_xml",
+    "stream_sink_optimize",
+    "text_keywords_tfidf",
+    "tier_r_preprocess",
+    "ts_ewma_forecast",
+    "udf_grouped_trend",
+    "val_constraints",
+    "val_distribution_drift",
+    "win_event_pattern",
+    "win_gap_islands",
+    "agg_approx_topk",
+    "agg_collect_list",
+    "agg_countmin_heavyhitters",
+    "agg_distribution_shape",
+    "agg_grouping_sets",
+    "agg_hll_setops",
+    "agg_stats",
+    "fn_collation",
+    "fn_conditional",
+    "fn_date_arith",
+    "fn_format_string",
+    "fn_map_ops",
+    "fn_month_code",
+    "fn_recode_map",
+    "fn_string_suite",
+    "fn_struct_array",
+    "fn_try_arith",
+    "fn_variant_json",
+    "funnel_sessionized",
+    "graph_label_propagation",
+    "join_asof_forward",
+    "join_full_outer",
+    "lake_clone_shallow",
+    "lake_delete_mor",
+    "lake_merge_full",
+    "lake_optimize_commit",
+    "lake_partition_evolution",
+    "lake_stats_prune",
+    "lake_time_travel",
+    "lake_vacuum_retention",
+    "lake_zorder_locality",
+    "lakehouse_lifecycle",
+    "mm_audio_energy",
+    "mm_video_scene_stats",
+    "pipeline_cdc_apply",
+    "profile_table",
+    "scalar_subquery",
+    "scan_csv_permissive",
+    "scd2_history",
+    "sim_ann_ivf",
+    "sim_containment_join",
+    "sink_manifest_atomic",
+    "sql_pipe_syntax",
+    "sql_recursive_cte",
+    "stream_progress_metrics",
+    "stream_sink_tablelog",
+    "stream_state_reader",
+    "stream_stateful_tws",
+    "text_bpe_merges",
+    "text_idf_topk",
+    "text_perplexity_filter",
+    "text_repetition_stats",
+    "ts_holt_linear",
+    "udtf_analyze_polymorphic",
+    "udtf_doc_chunks",
+    "unpivot_stack",
+    "win_first_last",
+    "win_percent_cume",
+    "win_range_frame",
+    "agg_distinct",
+    "agg_hash_group",
+    "agg_kll_quantile_merge",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup_cube",
+    "agg_theta_setops",
+    "agg_unique_check",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "fn_array_ops",
+    "fn_cast_datetime_year",
+    "fn_date_range",
+    "fn_math_std",
+    "fn_regex_match",
+    "fn_replace_null",
+    "join_aqe_skew",
+    "join_broadcast",
+    "join_cross_params",
+    "join_equi_inner",
+    "join_outer",
+    "join_semi_anti",
+    "join_similarity",
+    "join_theta_range",
+    "lake_changes_between",
+    "lake_merge_cdf",
+    "limit_topk_global",
+    "ml_gd_classifier",
+    "mm_embedding_col",
+    "scan_metadata_columns",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sim_join_threshold",
+    "sim_topk_cosine",
+    "sink_pyds_streamwriter",
+    "sink_pyds_twophase",
+    "sort_order",
+    "src_parquet_scan",
+    "src_url_gen",
+    "stream_cdf_source",
+    "stream_ivm_groupby",
+    "stream_replicate_tablelog",
+    "stream_state_changefeed",
+    "stream_state_reader_join",
+    "text_tokenize_stats",
+    "udf_map_in_arrow",
+    "win_ntile_rank",
+    "win_rank_topk",
+    "win_running",
+    "agg_approx_distinct",
     "agg_autocorr",
+    "agg_benford_deviation",
     "agg_bitmap_distinct",
     "agg_entropy_gini",
     "agg_ks_test",
@@ -121,6 +357,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sql_udf_create_function",
     "src_binaryfile",
     "src_tablelog_format",
+    "stream_state_ttl",
     "stream_stateful_rocksdb",
     "stream_static_join",
     "text_bpe_encode",
@@ -130,7 +367,29 @@ DRIVER_ORDER: tuple[str, ...] = (
     "udf_arrow_scalar",
     "win_cumulative_distinct",
     "win_median_rolling",
-    "stream_state_ttl",
+    "stream_interval_join",
+    "stream_session_live",
+    "stream_sliding_live",
+    "stream_tumbling_live",
+    "contamination_ngram",
+    "doc_chunk_split",
+    "doc_pack_tokens",
+    "join_skew_salted",
+    "merge_upsert",
+    "sample_hash_split",
+    "sample_stratified",
+    "text_normalize",
+    "text_pii_scrub",
+    "udf_vector_norm",
+    "dedup_exact_hash",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
     "src_csv_roundtrip",
     "src_json_roundtrip",
     "src_orc_roundtrip",
@@ -138,266 +397,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_langid",
     "text_quality_score",
     "text_token_count",
-    "agg_approx_distinct",
-    "agg_benford_deviation",
-    "agg_distinct",
-    "agg_hash_group",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup_cube",
-    "agg_unique_check",
-    "dedup_exact",
-    "dedup_near_minhash",
-    "fn_array_ops",
-    "fn_cast_datetime_year",
-    "fn_date_range",
-    "fn_math_std",
-    "fn_regex_match",
-    "fn_replace_null",
-    "join_broadcast",
-    "join_cross_params",
-    "join_equi_inner",
-    "join_outer",
-    "join_semi_anti",
-    "join_similarity",
-    "join_theta_range",
-    "lake_changes_between",
-    "lake_merge_cdf",
-    "limit_topk_global",
-    "mm_embedding_col",
-    "scan_metadata_columns",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sim_join_threshold",
-    "sim_topk_cosine",
-    "sort_order",
-    "src_parquet_scan",
-    "src_url_gen",
-    "text_tokenize_stats",
-    "win_ntile_rank",
-    "win_rank_topk",
-    "win_running",
-    "stream_state_reader_join",
-    "sink_pyds_streamwriter",
-    "agg_theta_setops",
-    "agg_kll_quantile_merge",
-    "stream_state_changefeed",
-    "udf_map_in_arrow",
-    "join_aqe_skew",
-    "ml_gd_classifier",
-    "sink_pyds_twophase",
-    "stream_cdf_source",
-    "stream_replicate_tablelog",
-    "stream_ivm_groupby",
-    "agg_countmin_heavyhitters",
-    "fn_collation",
-    "fn_try_arith",
-    "fn_variant_json",
-    "graph_label_propagation",
-    "join_asof_forward",
-    "lake_delete_mor",
-    "lake_optimize_commit",
-    "lake_partition_evolution",
-    "lake_stats_prune",
-    "lake_time_travel",
-    "lake_vacuum_retention",
-    "lake_zorder_locality",
-    "lakehouse_lifecycle",
-    "mm_audio_energy",
-    "mm_video_scene_stats",
-    "pipeline_cdc_apply",
-    "scan_csv_permissive",
-    "scd2_history",
-    "sim_containment_join",
-    "sink_manifest_atomic",
-    "sql_pipe_syntax",
-    "sql_recursive_cte",
-    "stream_progress_metrics",
-    "stream_sink_tablelog",
-    "stream_stateful_tws",
-    "text_bpe_merges",
-    "text_perplexity_filter",
-    "text_repetition_stats",
-    "udtf_doc_chunks",
-    "lake_merge_full",
-    "stream_state_reader",
-    "agg_approx_topk",
-    "udtf_analyze_polymorphic",
-    "ts_holt_linear",
-    "q3_shipping_priority",
-    "dedup_exact_hash",
-    "lake_clone_shallow",
-    "agg_distribution_shape",
-    "agg_hll_setops",
-    "fn_recode_map",
-    "fn_month_code",
-    "fn_format_string",
-    "q1_pricing_summary",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q11_important_values",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "agg_histogram_2d",
-    "agg_mad_outliers",
-    "corpus_prepare_v2",
-    "dedup_cc_twostar",
-    "dedup_incremental_digest",
-    "dedup_keep_representatives",
-    "dedup_lines_corpus",
-    "dedup_substring_spans",
-    "dedup_url_canonical",
-    "filter_pred",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "join_fuzzy_editdistance",
-    "join_interval_binned",
-    "ml_linear_trend_exact",
-    "mm_scalar_quantize",
-    "pipeline_incremental",
-    "quality_classifier_score",
-    "sample_balanced_classes",
-    "sample_global_shuffle",
-    "sample_poisson_bootstrap",
-    "sample_quality_buckets",
-    "scan_schema_evolution",
-    "sim_maxsim_multivector",
-    "sink_parquet_partitioned",
-    "src_http_zip_xml",
-    "text_keywords_tfidf",
-    "val_constraints",
-    "val_distribution_drift",
-    "win_event_pattern",
-    "win_gap_islands",
-    "ts_ewma_forecast",
-    "lake_update_cow",
-    "geo_grid_join",
-    "dedup_incremental_minhash",
-    "stream_sink_optimize",
-    "lake_merge_mor",
-    "lake_optimize_sharded",
-    "join_skew_salted",
-    "udf_vector_norm",
-    "merge_upsert",
-    "sample_stratified",
-    "text_pii_scrub",
-    "doc_pack_tokens",
-    "sample_hash_split",
-    "contamination_ngram",
-    "text_normalize",
-    "doc_chunk_split",
-    "geo_knn_join",
-    "lake_update_mor",
-    "graph_kcore",
-    "ts_seasonal_decompose",
-    "sim_pq_adc",
-    "ts_changepoint",
-    "ml_kmedians_embed",
-    "sql_scripting",
-    "mm_phash_near_dup",
-    "stream_semi_join",
-    "win_skyline_2d",
-    "fn_hash_suite",
-    "ts_downsample_ltob",
-    "agg_markov_transitions",
-    "ml_pca_power",
-    "graph_bfs_layers",
-    "ts_max_drawdown",
-    "agg_gini_concentration",
-    "lake_checkpoint",
-    "stream_tumbling_live",
-    "stream_dedup",
-    "stream_watermark_late",
-    "stream_session_live",
-    "stream_sliding_live",
-    "stream_interval_join",
-    "stream_interval_join_outer",
-    "stream_join_then_window",
-    "stream_state_timeout",
-    "ts_resample_ohlc",
-    "agg_decayed_counts",
-    "agg_retention_cohorts",
-    "fn_json_get",
-    "join_asof",
-    "sample_weighted_mix",
-    "sink_parquet",
-    "src_listing",
-    "stream_session",
-    "stream_sliding",
-    "stream_stateful",
-    "stream_tumbling",
-    "text_ngram_topk",
-    "win_lag_delta",
-    "proj_rename",
-    "proj_add_missing",
-    "proj_lit",
-    "select_project",
-    "text_idf_topk",
-    "sim_ann_ivf",
-    "agg_stats",
-    "win_percent_cume",
-    "agg_collect_list",
-    "fn_conditional",
-    "fn_date_arith",
-    "fn_map_ops",
-    "fn_struct_array",
-    "agg_grouping_sets",
-    "unpivot_stack",
-    "scalar_subquery",
-    "win_range_frame",
-    "fn_string_suite",
-    "join_full_outer",
-    "win_first_last",
-    "profile_table",
-    "funnel_sessionized",
-    "filter_gopher_rules",
-    "corpus_prepare",
-    "agg_sketch_quantiles",
-    "tier_r_preprocess",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "pipeline_backfill",
-    "udf_grouped_trend",
-    "agg_mode",
-    "agg_corr_cov",
-    "agg_hll_merge",
-    "agg_histogram",
-    "anomaly_zscore",
-    "fn_bitwise_ops",
-    "fn_edit_distance",
-    "fn_url_parse",
-    "mm_image_resize",
-    "observe_metrics",
-    "sample_bottomk",
-    "sql_cte_surface",
-    "win_time_rolling",
-    "scan_partition_pruning",
-    "join_dynamic_pruning",
-    "join_runtime_bloom",
-    "join_bucketed",
-    "stream_checkpoint",
-    "stream_foreach_merge",
-    "compact_small_files",
-    "q2_min_cost_supplier",
-    "mm_binary_decode",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "mm_frame_sample",
-    "q15_top_supplier",
-    "q16_parts_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
 )
 
 

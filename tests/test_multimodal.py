@@ -104,9 +104,9 @@ def test_driver_order_contract():
     horizon test_next_round_cohort_fits_window simulates), (c) an
     explicit re-check of an operator whose plan/verb changed after its
     latest driver row (REWRITTEN_RECHECKS below), or (d) a
-    verdict-prescribed refresh (VERDICT_PRESCRIBED below — this round:
-    the 7 non-§2 r8 leftovers the round-13 verdict's item #2 names,
-    fronted before their floor-10 deadlines arrive). And the
+    verdict-prescribed refresh (VERDICT_PRESCRIBED below — empty this
+    round: the round-15 window is pure EDF, 13 mandatory TPC-H depth
+    queries + 37 deadline-16 pre-empts, all justified by (b)). And the
     never-checked backlog must ALL be in the window."""
     import json
     import pathlib
@@ -116,15 +116,7 @@ def test_driver_order_contract():
     from .test_contract import MAX_EVIDENCE_AGE, NON_S2_MAX_AGE, _survey2_ids
 
     REWRITTEN_RECHECKS: set[str] = set()
-    VERDICT_PRESCRIBED: set[str] = {
-        "src_csv_roundtrip",
-        "src_json_roundtrip",
-        "src_orc_roundtrip",
-        "text_fingerprint",
-        "text_langid",
-        "text_quality_score",
-        "text_token_count",
-    }
+    VERDICT_PRESCRIBED: set[str] = set()
 
     names = list(registry.queries())
     order = list(registry.DRIVER_ORDER)

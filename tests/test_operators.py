@@ -526,3 +526,41 @@ def test_kcore_peel_stable_core(spark):
     out = kcore_peel(edges, k=4, rounds=2).collect()
     for r in out:
         assert (r["n_nodes"], r["n_edges"]) == (5, 10)
+
+
+def test_map_in_arrow_empty_embeddings_degrade_to_null(spark, tmp_path):
+    """Round-14 ADVICE: zero-length embedding rows must not hard-fail
+    the mapInArrow norm kernel. Mid-batch AND trailing empties emit
+    dim=0 / norm_micro=NULL — exactly DuckDB's list_sum([]) answer —
+    while non-empty rows keep the bit-exact reduceat result."""
+    import duckdb
+
+    import chess_ratings_spark.plans  # noqa: F401
+    from chess_ratings_spark.registry import REGISTRY
+
+    rows = [
+        (1, [3.0, 4.0]),
+        (2, []),  # mid-batch empty
+        (3, [1.5, -2.25, 0.5]),
+        (4, []),  # trailing empty (the old reduceat IndexError case)
+    ]
+    fixture = str(tmp_path / "doctored")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(fixture + "/embeddings.parquet")
+
+    got = [
+        (r.vec_id, r.dim, r.norm_micro)
+        for r in REGISTRY["udf_map_in_arrow"].fn(spark, fixture).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{fixture}/embeddings.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(
+        REGISTRY["udf_map_in_arrow"].oracle
+    ).fetchall()]
+    assert got == want
+    assert got[1][1:] == (0, None) and got[3][1:] == (0, None)
