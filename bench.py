@@ -74,10 +74,25 @@ def _settle_machine(spark) -> dict:
         prev = json.loads((Path(REPO) / "BENCH_FULL.json").read_text())
         mp = prev.get("machine_probe") or {}
         if mp.get("version") == PROBE_VERSION:
-            ref_compute = mp.get("compute_sec")
-            ref_io = mp.get("io_sec")
+            # Prefer the carried-forward settled reference: a degraded
+            # run records its own (slow) probe numbers for transparency
+            # but inherits the reference unchanged, so one degraded run
+            # landing in BENCH_FULL.json can't poison the gate for
+            # every run after it.
+            ref = mp.get("reference") or mp
+            ref_compute = ref.get("compute_sec")
+            ref_io = ref.get("io_sec")
     except Exception:
         pass
+
+    # One untimed throwaway first: the probe's range-sum pays ~20x
+    # whole-stage-codegen JIT on its first execution in a JVM (measured
+    # 3.8 s cold vs 0.19 s warm) — that cold-start would swamp the 15%
+    # degradation threshold the real measurement gates on.
+    try:
+        _probe_once(spark)
+    except Exception as exc:
+        print(f"# BENCH PROBE WARMUP ERROR: {exc}", file=sys.stderr)
 
     best_compute = best_io = float("inf")
     attempts = 0
@@ -121,6 +136,15 @@ def _settle_machine(spark) -> dict:
         out["ratio"] = round(
             max(best_compute / ref_compute, best_io / ref_io), 3
         )
+    # The reference the NEXT run gates on: this run's settled numbers,
+    # or the inherited reference when this run never settled.
+    if not degraded and best_compute != float("inf"):
+        out["reference"] = {
+            "compute_sec": out["compute_sec"],
+            "io_sec": out["io_sec"],
+        }
+    elif ref_compute is not None:
+        out["reference"] = {"compute_sec": ref_compute, "io_sec": ref_io}
     return out
 
 

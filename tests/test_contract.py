@@ -185,3 +185,127 @@ def test_registry_coverage_survey_counts_in_lockstep():
     m = re.search(r"the (\d+) driver-facing queries", readme)
     assert m, "README.md query count missing"
     assert int(m.group(1)) == n_reg, "README.md query count drifted"
+
+
+def test_bench_probe_gate_logic(monkeypatch, tmp_path):
+    """Round-14 verdict #2: the bench machine-state probe must (a) seed
+    without a gate when the committed snapshot has no comparable
+    reference, (b) settle-retry while degraded >15% and publish
+    degraded=true if it never settles, (c) go quiet the moment a retry
+    probes healthy, and (d) ignore references from a different probe
+    version. Exercised with a scripted probe — no Spark, no sleeping."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    def scripted(seq):
+        it = iter(seq)
+        return lambda spark: next(it)
+
+    # (a) no committed reference: one probe, recorded, not degraded
+    monkeypatch.setattr(
+        bench, "_probe_once", scripted([(9.9, 9.9), (1.0, 1.0)])
+    )
+    out = bench._settle_machine(spark=None)
+    assert out == {
+        "version": bench.PROBE_VERSION,
+        "attempts": 1,
+        "degraded": False,
+        "compute_sec": 1.0,
+        "io_sec": 1.0,
+        "reference": {"compute_sec": 1.0, "io_sec": 1.0},
+    }
+
+    ref = {
+        "machine_probe": {
+            "version": bench.PROBE_VERSION,
+            "compute_sec": 1.0,
+            "io_sec": 1.0,
+        }
+    }
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(ref))
+
+    # (b) persistently degraded: bounded attempts, published as degraded
+    monkeypatch.setattr(
+        bench,
+        "_probe_once",
+        scripted([(9.9, 9.9)] + [(2.0, 2.0)] * bench.PROBE_MAX_ATTEMPTS),
+    )
+    out = bench._settle_machine(spark=None)
+    assert out["attempts"] == bench.PROBE_MAX_ATTEMPTS
+    assert out["degraded"] is True
+    assert out["ratio"] == 2.0
+
+    # (c) settles on the second attempt: stops there, healthy verdict;
+    # the published numbers are the min over attempts (the settled one)
+    monkeypatch.setattr(
+        bench, "_probe_once", scripted([(9.9, 9.9), (2.0, 2.0), (1.05, 0.9)])
+    )
+    out = bench._settle_machine(spark=None)
+    assert out["attempts"] == 2
+    assert out["degraded"] is False
+    assert (out["compute_sec"], out["io_sec"]) == (1.05, 0.9)
+
+    # (d) reference from an older probe version is not comparable
+    ref["machine_probe"]["version"] = bench.PROBE_VERSION - 1
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(ref))
+    monkeypatch.setattr(
+        bench, "_probe_once", scripted([(9.9, 9.9), (5.0, 5.0)])
+    )
+    out = bench._settle_machine(spark=None)
+    assert out["attempts"] == 1 and out["degraded"] is False
+    assert "ratio" not in out
+
+
+def test_bench_probe_reference_survives_degraded_run(monkeypatch, tmp_path):
+    """A degraded run records its own slow probe but must carry the
+    settled reference FORWARD unchanged — otherwise one degraded
+    BENCH_FULL.json landing in a commit poisons the gate for every
+    later run (it would compare against degraded numbers and never
+    flag again)."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    def scripted(seq):
+        it = iter(seq)
+        return lambda spark: next(it)
+
+    settled = {
+        "machine_probe": {
+            "version": bench.PROBE_VERSION,
+            "compute_sec": 1.0,
+            "io_sec": 1.0,
+            "reference": {"compute_sec": 1.0, "io_sec": 1.0},
+        }
+    }
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(settled))
+
+    # degraded run: publishes its slow numbers, inherits the reference
+    monkeypatch.setattr(
+        bench,
+        "_probe_once",
+        scripted([(9.9, 9.9)] + [(3.0, 3.0)] * bench.PROBE_MAX_ATTEMPTS),
+    )
+    out = bench._settle_machine(spark=None)
+    assert out["degraded"] is True and out["compute_sec"] == 3.0
+    assert out["reference"] == {"compute_sec": 1.0, "io_sec": 1.0}
+
+    # simulate that degraded run being committed, then a healthy rerun:
+    # the gate still fires off the ORIGINAL settled reference
+    (tmp_path / "BENCH_FULL.json").write_text(
+        json.dumps({"machine_probe": out})
+    )
+    monkeypatch.setattr(
+        bench, "_probe_once", scripted([(9.9, 9.9), (3.0, 3.0), (1.01, 1.0)])
+    )
+    out2 = bench._settle_machine(spark=None)
+    assert out2["attempts"] == 2  # first attempt read 3.0 → flagged vs 1.0
+    assert out2["degraded"] is False
+    assert out2["reference"] == {"compute_sec": 1.01, "io_sec": 1.0}

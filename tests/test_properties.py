@@ -408,3 +408,58 @@ def test_micros_from_ntz_matches_python_everywhere(spark, walls):
         for w in walls
     )
     assert got == want
+
+
+ragged_embeddings = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100.0,
+            max_value=100.0,
+            allow_nan=False,
+            width=32,
+        ),
+        min_size=0,  # empties allowed anywhere, incl. trailing
+        max_size=7,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SLOW
+@given(embs=ragged_embeddings)
+def test_map_in_arrow_norms_match_duckdb_on_ragged_lists(spark, embs):
+    """The mapInArrow L2-norm kernel is bit-identical to DuckDB's
+    left-to-right list_sum on ARBITRARY ragged float32 lists — the
+    empty-segment exclusion (round-14 ADVICE) must hold wherever the
+    empties land, and non-empty segments adjacent to them must keep
+    the exact reduceat sums."""
+    import duckdb
+
+    import chess_ratings_spark.plans  # noqa: F401
+    from chess_ratings_spark.plans.analytics import udf_map_in_arrow
+    from chess_ratings_spark.registry import REGISTRY
+
+    import pathlib
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="crs_prop_mia_") as d:
+        spark.createDataFrame(
+            [(i, e) for i, e in enumerate(embs)],
+            "vec_id long, embedding array<float>",
+        ).write.parquet(d + "/embeddings.parquet")
+        got = [
+            (r.vec_id, r.dim, r.norm_micro)
+            for r in udf_map_in_arrow(spark, d).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        want = [
+            tuple(r)
+            for r in con.execute(REGISTRY["udf_map_in_arrow"].oracle).fetchall()
+        ]
+        con.close()
+    assert got == want
