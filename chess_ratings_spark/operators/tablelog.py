@@ -251,14 +251,28 @@ class TableLog:
         round-9 concurrent-writer soak. On an object store the
         conditional PUT is already all-or-nothing, so this is purely
         the local-filesystem realization of the same primitive."""
-        import os
-        import tempfile
-
         body = {"version": version, "op": op, "data_change": _is_data_change(op),
                 "files": sorted(files)}
         if extra:
             body.update(extra)
-        payload = json.dumps(body, indent=0)
+        self._publish_manifest(version, json.dumps(body, indent=0))
+
+    def _publish_manifest(self, version: int, payload: str) -> None:
+        """The ONE storage primitive snapshot isolation needs: publish
+        ``payload`` at the versioned name iff the name is free, all-or-
+        nothing, raising :class:`CommitConflict` on a lost race. This
+        local-FS realization is temp-file + ``link(2)`` (EEXIST = lost
+        race; the name appears with its full content in one step). An
+        object-store backend overrides JUST this method and the two
+        manifest readers (:meth:`versions` / :meth:`read_manifest`)
+        with a conditional PUT (GCS ``if-generation-match: 0`` / S3
+        ``If-None-Match: *``) and keyed GETs — proven by the
+        conditional-PUT soak in tests/test_tablelog.py, which runs the
+        same optimistic-concurrency protocol over an emulated
+        object-store API with no filesystem rename/link anywhere."""
+        import os
+        import tempfile
+
         fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".commit_")
         try:
             with os.fdopen(fd, "w") as fh:
