@@ -292,23 +292,32 @@ ops = st.lists(
 )
 
 
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("backend", ["local", "objectstore"])
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(seq=ops)
-def test_tablelog_snapshot_isolation_under_op_sequences(spark, seq):
+def test_tablelog_snapshot_isolation_under_op_sequences(spark, backend, seq):
     """Snapshot-isolation law: for ANY sequence of appends/OPTIMIZEs,
     (a) every version's snapshot content is exactly the multiset of
     rows appended up to that version (OPTIMIZE changes files, never
     content), and (b) re-reading an old version after later ops
-    returns what it returned when it was latest."""
+    returns what it returned when it was latest. Parametrized over the
+    local link(2) backend AND the conditional-PUT object-store
+    emulation (round 15) — the law must be backend-independent, which
+    is the substance of the DESIGN.md object-store mapping."""
     import shutil
     import tempfile
 
     from chess_ratings_spark.operators.tablelog import TableLog
 
+    from .test_tablelog import ObjectStoreLog
+
     base = tempfile.mkdtemp(prefix="crs_tablelog_prop_")
     try:
-        log = TableLog(base)
+        log = TableLog(base) if backend == "local" else ObjectStoreLog(base)
         tag_rows = {
             "append_a": [(i, "a") for i in range(5)],
             "append_b": [(100 + i, "b") for i in range(3)],
