@@ -2317,3 +2317,49 @@ def test_object_store_concurrent_writer_soak(base, spark):
         "no conditional PUT was ever refused — the soak never raced"
     )
     assert logs[0].snapshot(spark).count() == 5 * total
+
+
+def test_object_store_full_verb_lifecycle(base, spark):
+    """COW update, MOR update (delete-vector sidecars riding the same
+    conditional PUT), CDF replay, and vacuum all run transparently over
+    the emulated object store — none of them touch storage except
+    through _publish_manifest/read_manifest/versions, which is the
+    whole point of the seam. Branch logs (`create_branch`) are the one
+    surface the emulation does NOT cover: they construct base-class
+    TableLog instances over their own _log namespace, which on a real
+    object store is just another key prefix of the same kind."""
+    log = ObjectStoreLog(base)
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("v")
+    )
+    log.append(df, n_files=4, tag="seed")
+
+    cow = log.update_cow(spark, "v = 1", {"v": "v + 100"})
+    assert cow["n_matched"] == 10
+    got = {r.v for r in log.snapshot(spark).select("v").distinct().collect()}
+    assert got == {0, 2, 3, 101}
+
+    mor = log.update_mor(spark, "v = 2", {"v": "v + 200"}, key_cols=["k"])
+    assert mor["n_matched"] == 10
+    got = {
+        r.v
+        for r in log.snapshot_mor(spark).select("v").distinct().collect()
+    }
+    assert got == {0, 3, 101, 202}
+
+    v_latest = log.latest_version()
+    cdf = log.changes_between(spark, 0, v_latest)
+    by_type = {
+        (r._change_type): r.n
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    # COW rewrote 10 rows (10 deletes + 10 inserts); MOR masked 10 and
+    # re-appended 10 updated rows
+    assert by_type["insert"] >= 20 and by_type["delete"] >= 20
+
+    census = log.vacuum(retain_versions=1, dv_grace_seconds=0.0)
+    assert census["n_removed"] >= 1
+    assert log.snapshot_mor(spark).count() == 40  # live content intact
+    assert not list(Path(base).glob("_log/*.json")), (
+        "a manifest leaked onto the filesystem past the store"
+    )
