@@ -257,37 +257,62 @@ def pagerank_fixedpoint(
     # ~4 tiny shuffles to completion (the eager checkpoints execute
     # them), so task-launch overhead dominates — measured 9.5s -> 5.0s
     # at sf0.1 (587k edges). Callers with genuinely huge graphs raise it.
-    with _loop_shuffle_partitions(edges, shuffle_parts):
+    #
+    # Loop state is the CONTRIBUTION table (dst, s), not the full rank
+    # table: rank(node) is a pure per-row function of s — rank = base +
+    # (damping_pct * coalesce(s, 0)) div 100, with s=0 for nodes absent
+    # from the contribution table — so re-materializing (node, rank) via
+    # a nodes-left-join every round only to immediately inner-join it
+    # back onto the edges was two joins where one suffices. Each round
+    # is now ONE left join (edges_deg ⋈ contrib on src) + one keyed sum;
+    # the node table is touched once, at the end, to emit ranks for
+    # every node including the contribution-free ones. Bit-identical by
+    # construction (same integer expressions, absent-key s ≡ 0 on both
+    # shapes); round 15 measured 4.99 s → 3.35 s min-of-3 at sf0.1.
+    if iters <= 0:
         nodes = (
             edges.select(F.col("src").alias("node"))
             .union(edges.select(F.col("dst").alias("node")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        return nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    rank_of_src = f"({base} + ({damping_pct} * coalesce(s, 0)) div 100)"
+    with _loop_shuffle_partitions(edges, shuffle_parts):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-        ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+        # iteration 1 fused: every rank is exactly `scale`, so the first
+        # contribution needs no join at all
+        contrib = (
+            edges_deg.select("dst", F.expr(f"{scale} div d").alias("part"))
+            .groupBy("dst")
+            .agg(F.sum("part").alias("s"))
+        )
         last_ck: DataFrame | None = None
-        for i in range(iters):
+        for i in range(1, iters):
+            prev = contrib.select(F.col("dst").alias("node"), "s")
             contrib = (
-                edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
-                .select("dst", F.expr("rank div d").alias("part"))
+                edges_deg.join(prev, edges_deg["src"] == prev["node"], "left")
+                .select("dst", F.expr(f"{rank_of_src} div d").alias("part"))
                 .groupBy("dst")
                 .agg(F.sum("part").alias("s"))
             )
-            ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
-                "node",
-                (F.lit(base) + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100"))
-                .cast("bigint")
-                .alias("rank"),
-            )
             if (i + 1) % ckpt_every == 0 or i == iters - 1:
-                ranks = ranks.localCheckpoint(eager=True)
+                contrib = contrib.localCheckpoint(eager=True)
                 if last_ck is not None:
                     last_ck.unpersist()
-                last_ck = ranks
-        nodes.unpersist()
-        edges_deg.unpersist()
+                last_ck = contrib
+        # nodes from the checkpointed frame, not the caller's edge plan:
+        # reading edges_deg avoids re-running the (possibly expensive)
+        # edge-producer lineage once more just to enumerate node ids
+        nodes = (
+            edges_deg.select(F.col("src").alias("node"))
+            .union(edges_deg.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            F.expr(rank_of_src).cast("bigint").alias("rank"),
+        )
     return ranks
 
 

@@ -902,8 +902,21 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query side explodes each chunk to its 17 radius-1 variants; the
     # index side stays exact — a 17x key fanout buying a ~256x
     # sparser join.
-    hg = hashes.groupBy("h_lo", "h_hi", "base").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # Materialize the grouped hash table ONCE: hg feeds three branches
+    # (census totals, MIH probe side, MIH index side), and the filter
+    # the join pushes onto the UDF-derived join keys made Catalyst
+    # re-evaluate the image-synth+decode+dHash UDF per branch AND twice
+    # on the filtered branches (guide §4.4 duplication) — 5
+    # ArrowEvalPython nodes in the round-15 before-plan
+    # (plans/r15/mm_phash_near_dup_before.txt), i.e. 5 full decodes of
+    # the corpus for one query. hg is 16 B/distinct-texture metadata
+    # (the whole point of the hash), so checkpointing it costs nothing
+    # and the UDF now runs exactly once; the probe/index join keeps its
+    # runtime strategy via AQE over the checkpoint's real size.
+    hg = (
+        hashes.groupBy("h_lo", "h_hi", "base")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
     )
     totals = hg.agg(
         F.sum("n").cast("bigint").alias("n_images"),
