@@ -331,12 +331,11 @@ def label_propagation(edges: DataFrame, iters: int = 3, shuffle_parts: int = 16)
 
     Scale shape per round: one equi-join of the static undirected edge
     list against the current labels, one grouped count keyed on
-    (node, label), one per-node top-1 window — everything shuffles on
-    the node key only. Same loop hygiene as pagerank_fixedpoint:
+    (node, label), one per-node top-1 pick via max_by — everything
+    shuffles on the node key only and every aggregation is partial
+    (map-side) mergeable. Same loop hygiene as pagerank_fixedpoint:
     static relations checkpointed once, per-round eager checkpoint
     (fixed small iteration count), loop-scoped shuffle partitions."""
-    from pyspark.sql import Window
-
     with _loop_shuffle_partitions(edges, shuffle_parts):
         ud = (
             edges.select("src", "dst")
@@ -351,7 +350,6 @@ def label_propagation(edges: DataFrame, iters: int = 3, shuffle_parts: int = 16)
         labels = ud.select(F.col("src").alias("node")).distinct().select(
             "node", F.col("node").alias("lbl")
         )
-        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
         for _ in range(iters):
             nbr = ud.join(
                 labels.withColumnRenamed("node", "__n"),
@@ -359,12 +357,20 @@ def label_propagation(edges: DataFrame, iters: int = 3, shuffle_parts: int = 16)
             ).select(F.col("src").alias("node"), "lbl")
             votes = nbr.unionByName(labels.select("node", "lbl"))  # self-vote
             prev = labels
+            # top-1 vote via two-level hash aggregation, not a sort
+            # window: max_by over (c, -lbl) is exactly the
+            # (count desc, label asc) row_number()==1 pick — lbl is
+            # unique within a node's vote groups so the struct ordering
+            # has no ties — and partial (map-side) aggregation replaces
+            # the per-round exchange+sort the window needed (guide
+            # §2.3: aggregate before you shuffle).
             labels = (
                 votes.groupBy("node", "lbl")
                 .agg(F.count(F.lit(1)).alias("c"))
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("node", "lbl")
+                .groupBy("node")
+                .agg(
+                    F.expr("max_by(lbl, struct(c, -lbl))").alias("lbl")
+                )
                 .localCheckpoint(eager=True)
             )
             if prev is not None and prev.is_cached:

@@ -1731,7 +1731,15 @@ def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("price_centi")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    w_equal = Window.partitionBy("grp", "price_centi")
+    # best-at-equal-price as a RANGE frame [0, 0] over the SAME
+    # (grp)/price ordering — identical row set to the old
+    # partitionBy(grp, price_centi) window (all rows of the group at
+    # exactly this price), but both window functions now share one
+    # exchange + sort instead of paying a second (grp, price) exchange
+    # (guide §2.4: same-keyed operations share one exchange)
+    w_equal = (
+        Window.partitionBy("grp").orderBy("price_centi").rangeBetween(0, 0)
+    )
     sc = pts.select(
         "grp",
         "price_centi",
@@ -2027,12 +2035,17 @@ _PCA_ROUNDS = 3
 )
 def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.load(spark, sf_dir, "embeddings")
-    el = e.select(
-        "vec_id", F.posexplode("embedding").alias("p", "vf")
-    ).select(
-        "vec_id",
-        (F.col("p") + 1).cast("int").alias("i"),
-        F.floor(F.col("vf").cast("double") * 1000000).cast("bigint").alias("ve6"),
+    # el feeds three consumers (dims and both sides of the Gram
+    # self-join) — checkpoint the narrow exploded grid once instead of
+    # three scan+explode passes (guide §3.3)
+    el = (
+        e.select("vec_id", F.posexplode("embedding").alias("p", "vf"))
+        .select(
+            "vec_id",
+            (F.col("p") + 1).cast("int").alias("i"),
+            F.floor(F.col("vf").cast("double") * 1000000).cast("bigint").alias("ve6"),
+        )
+        .localCheckpoint(eager=True)
     )
     dims = el.groupBy("i").agg(
         F.sum("ve6").alias("s"), F.count(F.lit(1)).alias("n")

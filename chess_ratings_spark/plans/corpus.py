@@ -225,16 +225,23 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = F.when(
         F.col("n_tok") >= _SPAN_K, F.sequence(F.lit(0), F.col("n_tok") - _SPAN_K)
     ).otherwise(F.array().cast("array<int>"))
-    wins = base.select(
-        "doc_id",
-        F.explode(starts).alias("wstart"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        "wstart",
-        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("wstart") + 1, _SPAN_K))).alias(
-            "h"
-        ),
+    # wins (one md5 per k-token window over the corpus) feeds the
+    # duplicate-hash census AND the coverage join: checkpoint so the
+    # explode+hash pass runs once, not twice (guide §3.3)
+    wins = (
+        base.select(
+            "doc_id",
+            F.explode(starts).alias("wstart"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "wstart",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("wstart") + 1, _SPAN_K))
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)
     )
     dups = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
     covered = (
@@ -1967,18 +1974,36 @@ def corpus_prepare_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t1"),
         )
     )
-    f1 = r1.filter(
-        (F.col("t1") != "") & (F.size(F.split("t1", " ")) >= 5)
-    ).select("doc_id", "source", F.split("t1", " ").alias("t"), F.size(F.split("t1", " ")).alias("n_tok"))
+    # f1 (gate -> line dedup -> rebuild) feeds BOTH stage-3 branches
+    # (window hashes and token positions): checkpoint so stages 1-2 run
+    # once, not twice (guide §3.3)
+    f1 = (
+        r1.filter((F.col("t1") != "") & (F.size(F.split("t1", " ")) >= 5))
+        .select(
+            "doc_id",
+            "source",
+            F.split("t1", " ").alias("t"),
+            F.size(F.split("t1", " ")).alias("n_tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
 
     # stage 3: ExactSubstr span removal on the rebuilt text
     starts = F.when(
         F.col("n_tok") >= 8, F.sequence(F.lit(0), F.col("n_tok") - 8)
     ).otherwise(F.array().cast("array<int>"))
-    wins = f1.select("doc_id", F.explode(starts).alias("wstart"), "t").select(
-        "doc_id",
-        "wstart",
-        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("wstart") + 1, 8))).alias("h"),
+    # wins (one md5 per 8-token window) feeds the duplicate-hash census
+    # AND the coverage join; checkpoint so the hash pass runs once
+    wins = (
+        f1.select("doc_id", F.explode(starts).alias("wstart"), "t")
+        .select(
+            "doc_id",
+            "wstart",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("wstart") + 1, 8))
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)
     )
     dups = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
     covered = (

@@ -227,7 +227,10 @@ def pipeline_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-month rating drift so lag analysis has signal
     months = [(2024, 1), (2024, 2), (2024, 3)]
     formats = ["standard", "rapid"]
-    raw = _raw_fide(spark, sf_dir)
+    # the derived raw frame feeds all 6 (month, format) batches of the
+    # backfill union — checkpoint so the XML-derived lineage runs once,
+    # not once per batch (guide §3.3)
+    raw = _raw_fide(spark, sf_dir).localCheckpoint(eager=True)
     batches = []
     for gf in formats:
         for i, (y, m) in enumerate(months):

@@ -193,7 +193,11 @@ def join_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 5
-    e = tables.load(spark, sf_dir, "embeddings")
+    # the corpus feeds ~8 consumers (k-means init + 3 Lloyd rounds
+    # inside ivf_topk, the cell index, the probe join, and the
+    # brute-force truth side) — checkpoint once instead of re-scanning
+    # parquet per consumer (guide §3.3)
+    e = tables.load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     # ONE action over a full-outer join with membership markers: both
     # pipelines (each carrying windows + joins) execute exactly once —

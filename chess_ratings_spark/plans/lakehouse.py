@@ -1838,9 +1838,16 @@ def lake_manifest_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chess_ratings_spark.operators.tablelog import TableLog
 
-    ev = tables.load(spark, sf_dir, "events").select(
-        "event_id", "user_id",
-        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    # 12 landings x 2 protocols = 24 executions of this frame; one
+    # checkpoint replaces 24 parquet scans with memory reads (guide
+    # §3.3) while the landing protocol itself is untouched
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+        )
+        .localCheckpoint(eager=True)
     )
     base = tempfile.mkdtemp(prefix="crs_shard_")
     try:
@@ -2622,9 +2629,15 @@ def lake_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chess_ratings_spark.operators.tablelog import TableLog
 
-    ev = tables.load(spark, sf_dir, "events").select(
-        "event_id", "user_id",
-        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+    # 8 sharded landings re-execute this frame; checkpoint once (guide
+    # §3.3) — the landing/checkpoint protocol is untouched
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
+        )
+        .localCheckpoint(eager=True)
     )
     base = tempfile.mkdtemp(prefix="crs_ckpt_")
     try:

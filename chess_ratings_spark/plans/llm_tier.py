@@ -1425,13 +1425,25 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = tables.load(spark, sf_dir, "embeddings")
-    el = e.select(
-        "vec_id", F.posexplode("embedding").alias("p", "vf")
-    ).select(
-        "vec_id",
-        (F.col("p") / 4).cast("int").alias("s"),
-        (F.col("p") % 4).cast("int").alias("d"),
-        F.floor(F.col("vf").cast("double") * 1000000).cast("bigint").alias("ve6"),
+    # The exploded grid `el` and everything the PQ protocol derives from
+    # it (memb, cent, code) feed MULTIPLE downstream branches; without
+    # materialization Catalyst re-expands every shared subtree per
+    # branch — the round-15 before-plan re-scanned the embeddings
+    # parquet 30 times across 70 Exchanges for one query. Each reused
+    # frame is narrow metadata (el/memb: 4-5 small ints per exploded
+    # row = 16 B/vector-subdim; cent <=1024 rows; code 16 rows/vector),
+    # so localCheckpoint costs one pass and collapses the recomputation
+    # (guide §3.3: materialise an intermediate to truncate a plan the
+    # optimizer re-expands).
+    el = (
+        e.select("vec_id", F.posexplode("embedding").alias("p", "vf"))
+        .select(
+            "vec_id",
+            (F.col("p") / 4).cast("int").alias("s"),
+            (F.col("p") % 4).cast("int").alias("d"),
+            F.floor(F.col("vf").cast("double") * 1000000).cast("bigint").alias("ve6"),
+        )
+        .localCheckpoint(eager=True)
     )
     bit = F.expr(
         "CASE WHEN ve6 >= 0 THEN"
@@ -1439,7 +1451,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE 0 END"
     )
     buck = el.groupBy("vec_id", "s").agg(F.sum(bit).cast("int").alias("b"))
-    memb = el.join(buck, ["vec_id", "s"])
+    memb = el.join(buck, ["vec_id", "s"]).localCheckpoint(eager=True)
     w_med = Window.partitionBy("s", "b", "d").orderBy("ve6", "vec_id")
     w_cnt = Window.partitionBy("s", "b", "d")
     # every derived frame below re-aliases its columns (cs/cb/cd, qs/qd,
@@ -1461,6 +1473,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("cd"),
             F.col("ve6").alias("ce6"),
         )
+        .localCheckpoint(eager=True)
     )
     # codebook is metadata-sized (16 subspaces x <=16 buckets x 4 dims):
     # broadcast it so encode/LUT never shuffle the exploded vectors on
@@ -1476,6 +1489,7 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_enc))
         .filter(F.col("rn") == 1)
         .select("vec_id", "s", F.col("cb").alias("code"))
+        .localCheckpoint(eager=True)
     )
     q = el.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"),
@@ -1505,39 +1519,40 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .select("qid", "cid")
     )
-    v = el.select(
-        F.col("vec_id").alias("cid"),
-        F.col("s").alias("vs"),
-        F.col("d").alias("vd"),
-        F.col("ve6").alias("we6"),
+    # Exact-rerank and brute-force-truth distances in ARRAY form: the
+    # exploded formulation joined 64 (s, d) rows per (query, candidate)
+    # pair and re-aggregated them — a 64x join fanout plus a grouped
+    # exchange, twice. zip_with/aggregate over the e6 integer arrays is
+    # the same per-position (qe6 - we6)^2 bigint sum (position p maps to
+    # (s, d) = (p div 4, p mod 4) in both shapes), computed map-side in
+    # one pass with no fanout and no grouped exchange; only the per-qid
+    # top-k window shuffles (guide §2.3: aggregate before you shuffle).
+    arr6 = F.expr(
+        "transform(embedding, x ->"
+        " CAST(floor(CAST(x AS double) * 1000000) AS BIGINT))"
     )
-    esq = (F.col("qe6") - F.col("we6")) * (F.col("qe6") - F.col("we6"))
+    varr = e.select(F.col("vec_id").alias("cid"), arr6.alias("warr"))
+    qarr = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("qid"), arr6.alias("qv6"))
+    )
+    edist_arr = F.expr(
+        "aggregate(zip_with(qv6, warr, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
     w_rr = Window.partitionBy("qid").orderBy("edist", "cid")
-    q2 = q.select(
-        F.col("qid").alias("q2id"), "qs", "qd", "qe6"
-    )
     rerank = (
-        shortlist.join(v, "cid")
-        .join(
-            F.broadcast(q2),
-            (F.col("qid") == F.col("q2id"))
-            & (F.col("vs") == F.col("qs"))
-            & (F.col("vd") == F.col("qd")),
-        )
-        .groupBy("qid", "cid")
-        .agg(F.sum(esq).alias("edist"))
+        F.broadcast(shortlist)
+        .join(varr, "cid")
+        .join(F.broadcast(qarr), "qid")
+        .select("qid", "cid", edist_arr.alias("edist"))
         .withColumn("rn", F.row_number().over(w_rr))
         .filter(F.col("rn") <= 10)
         .select("qid", "cid")
     )
     etop = (
-        v.join(
-            F.broadcast(q),
-            (F.col("vs") == F.col("qs")) & (F.col("vd") == F.col("qd")),
-        )
-        .filter(F.col("cid") != F.col("qid"))
-        .groupBy("qid", "cid")
-        .agg(F.sum(esq).alias("edist"))
+        varr.join(F.broadcast(qarr), F.col("cid") != F.col("qid"))
+        .select("qid", "cid", edist_arr.alias("edist"))
         .withColumn("rn", F.row_number().over(w_rr))
         .filter(F.col("rn") <= 10)
         .select(F.col("qid").alias("eqid"), F.col("cid").alias("ecid"))

@@ -578,7 +578,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chess_ratings_spark.plans.llm_tier import _with_planted_neardups
 
     e = tables.load(spark, sf_dir, "embeddings")
-    pairs = similarity.signbit_lsh_pairs(_with_planted_neardups(e), tau=0.9)
+    # signbit_lsh_pairs consumes its input 5 ways (count for band
+    # sizing, the 512-row mean sample, the band pass, and both sides of
+    # the exact-cosine verify join) — checkpoint the planted union once
+    # instead of re-running scan+union+transform per consumer (16
+    # parquet scans in the round-15 before-plan)
+    corpus = _with_planted_neardups(e).localCheckpoint(eager=True)
+    pairs = similarity.signbit_lsh_pairs(corpus, tau=0.9)
     return (
         pairs.groupBy(F.col("id_b").alias("dropped_id"))
         .agg(F.min("id_a").alias("kept_id"))
@@ -730,13 +736,20 @@ def corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured ~50x faster at sf0.1 (see operators/text.max_multiplicity).
     top_freq = text_ops.max_multiplicity(toks)
     has_stop = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in _STOPWORDS]))
-    kept = d.filter(
-        n_words.between(20, 80)
-        & (mean_wlen >= 2.0)
-        & (mean_wlen <= 12.0)
-        & (top_freq * F.lit(1.0) / n_words <= 0.2)
-        & has_stop
-    ).select("doc_id", "text", "n_chars")
+    # the quality gate (with its sorted-run max_multiplicity fold) feeds
+    # three consumers (both semi-join sides of the dup restriction and
+    # the final census); checkpoint so it runs once (guide §3.3)
+    kept = (
+        d.filter(
+            n_words.between(20, 80)
+            & (mean_wlen >= 2.0)
+            & (mean_wlen <= 12.0)
+            & (top_freq * F.lit(1.0) / n_words <= 0.2)
+            & has_stop
+        )
+        .select("doc_id", "text", "n_chars")
+        .localCheckpoint(eager=True)
+    )
     # Reuse the SESSION-SHARED verified pair graph (llm_tier's cache,
     # already serving both CC variants + keep_representatives) instead
     # of building a second minhash pipeline over the kept subset:
@@ -1368,7 +1381,13 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tau = 0.9
     e = tables.load(spark, sf_dir, "embeddings")
-    corpus = _with_planted_neardups(e)
+    # the planted-neardup union is consumed ~9 times (count, k-means
+    # init + 2 Lloyd rounds, cell assignment, LSH band pass, and the
+    # two exact-verify joins of signbit_lsh_pairs) — without
+    # materialization each consumer re-scans parquet and re-runs the
+    # union+transform lineage (20 scans in the round-15 before-plan).
+    # One checkpoint of the O(n·d) input collapses that (guide §3.3).
+    corpus = _with_planted_neardups(e).localCheckpoint(eager=True)
     n = corpus.count()  # bounded 1-row scalar: sizes the cell count
     n_cells = max(16, n // 192)
     # 2 Lloyd rounds: recall was 1.0 at 1/2/3 rounds on both fixture
