@@ -86,6 +86,121 @@ def _stage(ev: DataFrame, subdir: str | None = None, reuse: bool = False) -> str
     return path
 
 
+#: (session id, plan fingerprint, input files) -> staged slice dir.
+#: Same lifetime/serial-driver assumptions as _STAGE_CACHE.
+_SLICE_CACHE: dict[tuple, str] = {}
+
+#: Escape hatch / A-B toggle: CRS_STREAM_LINK_STAGING=0 restores the
+#: direct per-run Spark writes for every slice landing (used by the
+#: round-15 paired-sample probe; also the right setting on a filesystem
+#: without hardlinks).
+import os as _os
+
+_USE_LINKS = _os.environ.get("CRS_STREAM_LINK_STAGING", "1") != "0"
+
+
+def _slice_stage(df: DataFrame) -> str:
+    """Session-cached parquet landing of a deterministic harness slice
+    (same contract as _stage's reuse path, but for any projection): the
+    first run of a query stages the slice, every later run — including
+    the bench's min-of-2 resample for live queries — reuses the files.
+    The key pins the full analyzed plan + input files, so two different
+    slices can never alias."""
+    import os
+
+    key = None
+    if _USE_LINKS:
+        try:
+            key = (
+                id(df.sparkSession),
+                _plan_fingerprint(df),
+                tuple(sorted(df.inputFiles())),
+            )
+        except Exception:
+            key = None
+    if key is not None:
+        cached = _SLICE_CACHE.get(key)
+        if cached is not None and os.path.isdir(cached):
+            return cached
+        if cached is not None:
+            del _SLICE_CACHE[key]
+    path = tempfile.mkdtemp(prefix="crs_slice_") + "/in"
+    df.write.mode("overwrite").parquet(path)
+    if key is not None:
+        _SLICE_CACHE[key] = path
+    return path
+
+
+def _land_slice(df: DataFrame, dest_dir: str) -> None:
+    """Land `df` into `dest_dir` by HARDLINKING its session-cached
+    staged files: (re)landing a slice into a run-private streaming
+    source dir costs one inode per file instead of a Spark write job
+    (guide §1.2 — the staging writes, not the operator under test,
+    were the bulk of several streaming harnesses). Append-safe: part
+    file names carry the writing job's UUID so a second slice linked
+    into the same dir only ever collides on metadata files (_SUCCESS),
+    which are skipped; the streaming file source discovers the linked
+    paths exactly as it would freshly written ones. Hadoop writers
+    commit via rename and never modify files in place, so the shared
+    staged copies cannot be corrupted through the links. Falls back to
+    a byte copy when linking is unavailable (e.g. cross-device tmp)."""
+    import os
+    import shutil
+
+    if not _USE_LINKS:
+        df.write.mode("append").parquet(dest_dir)
+        return
+    shared = _slice_stage(df)
+    os.makedirs(dest_dir, exist_ok=True)
+    for f in sorted(os.listdir(shared)):
+        s = os.path.join(shared, f)
+        if not os.path.isfile(s):
+            continue
+        d = os.path.join(dest_dir, f)
+        try:
+            os.link(s, d)
+        except FileExistsError:
+            continue
+        except OSError:
+            shutil.copy2(s, d)
+
+
+def _stage_mutable(ev: DataFrame, prefix: str) -> str:
+    """A PRIVATE staged copy of the standard event projection, for
+    harnesses that append sentinel/late files mid-run (the shared
+    `_stage(reuse=True)` dir must never be mutated — every other
+    streaming query reads it). Populated by HARDLINKING the shared
+    staged files into a fresh dir: the marginal cost is one inode per
+    file instead of a full Spark write job of the events table
+    (guide §1.2: the staging write was the measured bulk of the
+    harness, not the streaming operator under test). Falls back to a
+    real write if linking fails (e.g. cross-device tmp)."""
+    import os
+    import shutil
+
+    if not _USE_LINKS:
+        path = tempfile.mkdtemp(prefix=prefix) + "/in"
+        ev.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).write.mode("overwrite").parquet(path)
+        return path
+    shared = _stage(ev, reuse=True)
+    path = tempfile.mkdtemp(prefix=prefix) + "/in"
+    os.makedirs(path, exist_ok=True)
+    try:
+        for f in os.listdir(shared):
+            src = os.path.join(shared, f)
+            if os.path.isfile(src):
+                os.link(src, os.path.join(path, f))
+        return path
+    except OSError:
+        shutil.rmtree(path, ignore_errors=True)
+        ev.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).write.mode("overwrite").parquet(path)
+        return path
+
+
 STATE_PARTITIONS = 4
 
 
@@ -277,7 +392,7 @@ def late_data_stream(spark: SparkSession, ev: DataFrame, split_frac: float = 0.5
     old_half = ev.filter(F.col("ts") < _ntz_lit(cutoff))
 
     sel = lambda d: d.select("event_id", "ts", "user_id", "event_type", "value", "props")  # noqa: E731
-    sel(new_half).write.mode("overwrite").parquet(base)
+    _land_slice(sel(new_half), base)
 
     src = _with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(base))
     agg = (
@@ -299,7 +414,7 @@ def late_data_stream(spark: SparkSession, ev: DataFrame, split_frac: float = 0.5
             .start()
         )
         q.processAllAvailable()  # batch 1: watermark advances near hi
-        sel(old_half).write.mode("append").parquet(base)
+        _land_slice(sel(old_half), base)
         q.processAllAvailable()  # batch 2: all rows below watermark -> dropped
         q.stop()
     return _snapshot_sink(spark, name)
@@ -584,9 +699,10 @@ def join_then_window_stream(
     exact on that closed set."""
     import datetime as _dt
 
-    base = tempfile.mkdtemp(prefix="crs_msop_") + "/in"
     sel = lambda d: d.select("event_id", "ts", "user_id", "event_type", "value", "props")  # noqa: E731
-    sel(ev).write.mode("overwrite").parquet(base)
+    # private dir (batch 2 appends a sentinel file) populated by
+    # hardlinks to the shared staged copy — no second staging write
+    base = _stage_mutable(ev, "crs_msop_")
     sentinel = ev.filter(F.col("event_type") == "error").orderBy("ts").limit(1)
 
     def side(name: str, ts_alias: str, id_alias: str) -> DataFrame:
@@ -628,7 +744,7 @@ def join_then_window_stream(
             .start()
         )
         q.processAllAvailable()  # batch 1: all data; watermark set at end
-        sel(sentinel).write.mode("append").parquet(base)
+        _land_slice(sel(sentinel), base)
         q.processAllAvailable()  # batch 2: finalized windows emit
         q.stop()
     out = _snapshot_sink(spark, name)
@@ -650,9 +766,9 @@ def foreach_batch_merge_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
     exercised; the final state must equal the whole-input batch GROUP
     BY (the SQL oracle)."""
     base = tempfile.mkdtemp(prefix="crs_fbm_")
-    src_dir = base + "/in"
     sel = ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
-    sel.repartition(4).write.mode("overwrite").parquet(src_dir)
+    # read-only 4-file source: session-cached, never mutated
+    src_dir = _slice_stage(sel.repartition(4))
 
     state = {"df": None}
 
@@ -727,7 +843,7 @@ def checkpoint_recovery_stream(
     base = tempfile.mkdtemp(prefix="crs_ckpt_")
     src_dir, ckpt_dir = base + "/in", base + "/ckpt"
     sel = lambda d: d.select("event_id", "ts", "user_id", "event_type", "value", "props")  # noqa: E731
-    sel(ev.filter(F.col("ts") < _ntz_lit(cutoff))).write.mode("overwrite").parquet(src_dir)
+    _land_slice(sel(ev.filter(F.col("ts") < _ntz_lit(cutoff))), src_dir)
 
     def run_instance() -> DataFrame:
         src = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
@@ -746,7 +862,7 @@ def checkpoint_recovery_stream(
         return _snapshot_sink(spark, name)
 
     run_instance()  # first instance: oldest half, then terminates
-    sel(ev.filter(F.col("ts") >= _ntz_lit(cutoff))).write.mode("append").parquet(src_dir)
+    _land_slice(sel(ev.filter(F.col("ts") >= _ntz_lit(cutoff))), src_dir)
     return run_instance()  # second instance: resumes from the checkpoint
 
 
@@ -864,7 +980,7 @@ def tablelog_sink_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
     src_dir = base + "/in"
     log = TableLog(base + "/table")
     sel = lambda d: d.select("event_id", "ts", "user_id", "event_type", "value", "props")  # noqa: E731
-    sel(ev.filter(F.col("ts") < _ntz_lit(cutoff))).write.mode("overwrite").parquet(src_dir)
+    _land_slice(sel(ev.filter(F.col("ts") < _ntz_lit(cutoff))), src_dir)
 
     committed_batches: set[int] = set()
 
@@ -896,7 +1012,7 @@ def tablelog_sink_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
             .start()
         )
         q.processAllAvailable()  # micro-batch 0 -> manifest version 0
-        sel(ev.filter(F.col("ts") >= _ntz_lit(cutoff))).write.mode("append").parquet(src_dir)
+        _land_slice(sel(ev.filter(F.col("ts") >= _ntz_lit(cutoff))), src_dir)
         q.processAllAvailable()  # micro-batch 1 -> manifest version 1
         q.stop()
 
@@ -1407,7 +1523,7 @@ def sharded_sink_optimize_stream(spark: SparkSession, ev: DataFrame) -> DataFram
     src_dir = base + "/in"
     log = TableLog(base + "/table")
     sel = lambda d: d.select("event_id", "ts", "user_id", "event_type", "value", "props")  # noqa: E731
-    sel(ev.filter(F.col("ts") < _ntz_lit(cut1))).write.mode("overwrite").parquet(src_dir)
+    _land_slice(sel(ev.filter(F.col("ts") < _ntz_lit(cut1))), src_dir)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         already = set()
@@ -1436,9 +1552,15 @@ def sharded_sink_optimize_stream(spark: SparkSession, ev: DataFrame) -> DataFram
             .start()
         )
         q.processAllAvailable()  # batch 0 -> v0 (2 files, 1 shard)
-        sel(
-            ev.filter((F.col("ts") >= _ntz_lit(cut1)) & (F.col("ts") < _ntz_lit(cut2)))
-        ).write.mode("append").parquet(src_dir)
+        _land_slice(
+            sel(
+                ev.filter(
+                    (F.col("ts") >= _ntz_lit(cut1))
+                    & (F.col("ts") < _ntz_lit(cut2))
+                )
+            ),
+            src_dir,
+        )
         q.processAllAvailable()  # batch 1 -> v1 (4 files, 2 shards)
 
         files_before = len(log.resolve_files())
@@ -1448,7 +1570,7 @@ def sharded_sink_optimize_stream(spark: SparkSession, ev: DataFrame) -> DataFram
         files_after = len(log.resolve_files())
         pre_opt_batches = {p["batchId"] for p in q.recentProgress}
 
-        sel(ev.filter(F.col("ts") >= _ntz_lit(cut2))).write.mode("append").parquet(src_dir)
+        _land_slice(sel(ev.filter(F.col("ts") >= _ntz_lit(cut2))), src_dir)
         q.processAllAvailable()  # batch 2 -> v3, appends onto compacted
         # ground truth for the batch/version relationships: the batch
         # ids the STREAM actually fired (recentProgress), not an
@@ -1549,7 +1671,7 @@ def state_reader_snapshot(spark: SparkSession, ev: DataFrame) -> DataFrame:
     slice_b = ev.filter("user_id % 2 = 1").select(
         "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
     )
-    slice_a.write.mode("overwrite").parquet(indir)
+    _land_slice(slice_a, indir)
 
     def drain_round() -> None:
         with _state_partitions(spark):
@@ -1588,7 +1710,7 @@ def state_reader_snapshot(spark: SparkSession, ev: DataFrame) -> DataFrame:
         state_now("n_mid", "vc_mid").collect(),
         schema="event_type string, n_mid bigint, vc_mid bigint",
     )
-    slice_b.write.mode("append").parquet(indir)
+    _land_slice(slice_b, indir)
     drain_round()
     fin = state_now("n_final", "vc_final")
     return (
@@ -1748,7 +1870,7 @@ def pyds_stream_sink_census(spark: SparkSession, ev: DataFrame) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
     )
-    proj.filter("event_id % 2 = 0").write.mode("overwrite").parquet(indir)
+    _land_slice(proj.filter("event_id % 2 = 0"), indir)
 
     def drain_round() -> None:
         q = (
@@ -1764,7 +1886,7 @@ def pyds_stream_sink_census(spark: SparkSession, ev: DataFrame) -> DataFrame:
 
     drain_round()  # epoch: even slice
     drain_round()  # restart, no new data: must publish nothing
-    proj.filter("event_id % 2 = 1").write.mode("append").parquet(indir)
+    _land_slice(proj.filter("event_id % 2 = 1"), indir)
     drain_round()  # epoch: odd slice
     (Path(out) / "part-orphan.jsonl").write_text(
         _json.dumps({"event_id": -1, "event_type": "x", "vc": 0}) + "\n"
@@ -1822,7 +1944,7 @@ def state_changefeed(spark: SparkSession, ev: DataFrame) -> DataFrame:
     slice_of = lambda parity: ev.filter(f"user_id % 2 = {parity}").select(  # noqa: E731
         "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("vc")
     )
-    slice_of(0).write.mode("overwrite").parquet(indir)
+    _land_slice(slice_of(0), indir)
 
     def drain_round() -> None:
         with _state_partitions(spark):
@@ -1843,7 +1965,7 @@ def state_changefeed(spark: SparkSession, ev: DataFrame) -> DataFrame:
         spark.catalog.dropTempView(name)
 
     drain_round()  # batch 0: even user_ids
-    slice_of(1).write.mode("append").parquet(indir)
+    _land_slice(slice_of(1), indir)
     drain_round()  # batch 1: odd user_ids resume the same checkpoint
     feed = (
         spark.read.format("statestore")

@@ -1225,3 +1225,51 @@ def test_ttl_state_evicts_resets_and_survives(spark, tmp_path):
     assert set(out) == {2, 3}, "user 1 must be TTL-evicted from the store"
     assert (out[2].gens, out[2].n_live, out[2].vc_live) == (2, 2, 600)
     assert (out[3].gens, out[3].n_live, out[3].vc_live) == (1, 4, 2000)
+
+
+def test_land_slice_links_equal_direct_write_and_never_mutate_shared(spark, tmp_path):
+    """Round-15 staging optimization: _land_slice hardlinks a slice's
+    session-cached staged files into a run-private dir. The landed
+    content must equal a direct write, a second slice must append
+    without clobbering the first, and mutating the private dir must
+    never change the shared staged copy."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chess_ratings_spark.streaming import stream_ops
+
+    df_a = spark.range(0, 100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("vc")
+    )
+    df_b = spark.range(100, 150).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("vc")
+    )
+
+    dest = str(tmp_path / "in")
+    stream_ops._land_slice(df_a, dest)
+    shared_a = stream_ops._slice_stage(df_a)
+    listing_before = sorted(os.listdir(shared_a))
+
+    got_a = spark.read.parquet(dest)
+    assert got_a.count() == 100
+    assert got_a.agg(F.sum("vc")).collect()[0][0] == df_a.agg(
+        F.sum("vc")
+    ).collect()[0][0]
+
+    # append a second slice: no collision, union content
+    stream_ops._land_slice(df_b, dest)
+    got_ab = spark.read.parquet(dest)
+    assert got_ab.count() == 150
+    assert set(
+        r[0] for r in got_ab.select("event_id").collect()
+    ) == set(range(150))
+
+    # a raw append into the private dir must leave the shared staged
+    # copy untouched (Hadoop commits via rename, never in-place)
+    df_b.write.mode("append").parquet(dest)
+    assert sorted(os.listdir(shared_a)) == listing_before
+    assert spark.read.parquet(shared_a).count() == 100
+
+    # cache hit: the same slice resolves to the same staged dir
+    assert stream_ops._slice_stage(df_a) == shared_a
