@@ -157,6 +157,25 @@ def _unlink_all(paths: list[str]) -> None:
             pass
 
 
+def _link_or_copy(src, dst) -> None:
+    """Land an immutable data file by HARDLINK when the filesystem
+    allows it, byte-copy otherwise. TableLog data files are never
+    modified in place (appends, DV sidecars and OPTIMIZE all write NEW
+    files; vacuum only unlinks), so a link is semantically identical to
+    a copy — and turns the per-landing cost from O(bytes) into one
+    inode. Matters twice: scratch→table landing on every append, and
+    the shared prestaged MOR fixture→table landing that four MOR-verb
+    queries each pay per run (guide §1.2: harness cost, not the
+    operator under test)."""
+    import os
+    import shutil
+
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy(src, dst)
+
+
 def _apply_delete_vectors(spark: SparkSession, df: DataFrame, dvs) -> DataFrame:
     """Merge-on-read: mask MOR-deleted rows by anti-joining each delete
     vector's keys (broadcast — DVs are key lists, small by design). The
@@ -394,7 +413,7 @@ class TableLog:
             parts = sorted((scratch / "w").glob("*.parquet"))
             for i, p in enumerate(parts):
                 dst = self.data_dir / f"{tag}-{token}-{i:05d}.parquet"
-                shutil.copy(p, dst)
+                _link_or_copy(p, dst)
                 out.append(str(dst))
             return out
         finally:
@@ -1128,7 +1147,7 @@ class TableLog:
                     parts = sorted((scratch / "w" / f"__bucket={i}").glob("*.parquet"))
                     assert len(parts) == 1, f"bucket {i}: {len(parts)} files"
                     dst = self.data_dir / f"{tag}-{token}-b{i:04d}.parquet"
-                    shutil.copy(parts[0], dst)
+                    _link_or_copy(parts[0], dst)
                     files.append(str(dst))
                     mn, mx = stats[i]
                     entries.append({"path": str(dst), "stats": {bucket_col: [mn, mx]}})
