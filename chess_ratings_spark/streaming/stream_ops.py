@@ -1218,6 +1218,16 @@ def session_timeout_stream(
     )
 
     def track(key, pdf_iter, state: GroupState):
+        # Vectorized sessionization (round-15; same rewrite the TTL op
+        # got in round 14): with ~1500 keys per batch the per-key
+        # pandas concat + sort_values + row loop dominated the state
+        # verb. numpy argsort + gap-break cumulative segments compute
+        # the identical session set — breaks where the sorted in-batch
+        # ts gap exceeds gap_us (with the stored open session as the
+        # pseudo-predecessor of row 0), per-segment (start, end, n,
+        # sum) via reduceat, final segment kept open in state.
+        import numpy as np
+
         uid = key[0]
         if state.hasTimedOut:
             s0, e0, _el0, n0, v0 = state.get
@@ -1238,30 +1248,60 @@ def session_timeout_stream(
         else:
             s0 = e0 = el0 = n0 = v0 = 0
             open_ = False
-        closed: list[tuple] = []
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
-        pdf = pdf.sort_values("ts_us", kind="mergesort")
-        for ts_us, ltz_us, vc in zip(
-            pdf["ts_us"].astype("int64"),
-            pdf["ts_ltz_us"].astype("int64"),
-            pdf["vc"].astype("int64"),
-        ):
-            if open_ and int(ts_us) - e0 > gap_us:
-                closed.append((uid, s0, e0, n0, v0))
-                open_ = False
-            if not open_:
-                s0, e0, el0, n0, v0 = int(ts_us), int(ts_us), int(ltz_us), 1, int(vc)
-                open_ = True
-            else:
-                e0, el0 = int(ts_us), int(ltz_us)
-                n0 += 1
-                v0 += int(vc)
+        chunks = list(pdf_iter)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ts = pdf["ts_us"].to_numpy("int64")
+        ltz = pdf["ts_ltz_us"].to_numpy("int64")
+        vc = pdf["vc"].to_numpy("int64")
+        order = np.argsort(ts, kind="stable")
+        ts, ltz, vc = ts[order], ltz[order], vc[order]
+        n = ts.shape[0]
+        cols = ["user_id", "start_us", "end_us", "n_events", "value_centi"]
+        if n == 0:
+            state.update((s0, e0, el0, n0, v0))
+            state.setTimeoutTimestamp(el0 // 1000 + gap_ms)
+            yield pd.DataFrame({c: np.empty(0, "int64") for c in cols})
+            return
+        brk = np.empty(n, dtype=bool)
+        brk[0] = (not open_) or (int(ts[0]) - e0 > gap_us)
+        if n > 1:
+            np.greater(ts[1:] - ts[:-1], gap_us, out=brk[1:])
+        seg_first = np.flatnonzero(np.concatenate(([True], brk[1:])))
+        seg_last = np.append(seg_first[1:] - 1, n - 1)
+        seg_n = (seg_last - seg_first + 1).astype("int64")
+        seg_v = np.add.reduceat(vc, seg_first)
+        seg_s = ts[seg_first].copy()
+        seg_e = ts[seg_last]
+        state_closed = open_ and bool(brk[0])
+        if open_ and not brk[0]:  # continuation: merge state into seg 0
+            seg_s[0] = s0
+            seg_n[0] += n0
+            seg_v[0] += v0
+        k = seg_first.shape[0]
+        m = k - 1  # segments 0..m-1 close; the final one stays open
+        prev = (s0, e0, n0, v0)
+        s0 = int(seg_s[m])
+        e0 = int(seg_e[m])
+        el0 = int(ltz[seg_last[m]])
+        n0 = int(seg_n[m])
+        v0 = int(seg_v[m])
         state.update((s0, e0, el0, n0, v0))
         state.setTimeoutTimestamp(el0 // 1000 + gap_ms)
+        cs, ce, cn, cv = seg_s[:m], seg_e[:m], seg_n[:m], seg_v[:m]
+        if state_closed:
+            cs = np.concatenate(([prev[0]], cs))
+            ce = np.concatenate(([prev[1]], ce))
+            cn = np.concatenate(([prev[2]], cn))
+            cv = np.concatenate(([prev[3]], cv))
         yield pd.DataFrame(
-            closed,
-            columns=["user_id", "start_us", "end_us", "n_events", "value_centi"],
-        ).astype("int64")
+            {
+                "user_id": np.full(cs.shape[0], uid, "int64"),
+                "start_us": cs.astype("int64"),
+                "end_us": ce.astype("int64"),
+                "n_events": cn.astype("int64"),
+                "value_centi": cv.astype("int64"),
+            }
+        )
 
     with _state_partitions(spark):
         name = "snk_" + uuid.uuid4().hex[:12]
