@@ -283,23 +283,32 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     still shuffles on (chunk_id, chunk), never raw pairs."""
     sigs = simhash_signatures(docs)
     layout = _simhash_chunk_layout(max_hamming)
-    chunks = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftright("simhash", off)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("chunk"),
-                    )
-                    for c, (off, w) in enumerate(layout)
-                ]
-            )
-        ).alias("ck"),
-    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk")
+    # chunks feeds BOTH sides of the blocking self-join: without
+    # materialization Catalyst re-expands the signature pandas UDF
+    # (token hash + 64-bit majority vote over the whole corpus) once
+    # per side. The frame is narrow (4 small ints per chunk row), so
+    # one eager checkpoint halves the UDF work (guide §3.3/§4.4).
+    chunks = (
+        sigs.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk_id"),
+                            F.shiftright("simhash", off)
+                            .bitwiseAND(F.lit((1 << w) - 1))
+                            .alias("chunk"),
+                        )
+                        for c, (off, w) in enumerate(layout)
+                    ]
+                )
+            ).alias("ck"),
+        )
+        .select("doc_id", "simhash", "ck.chunk_id", "ck.chunk")
+        .localCheckpoint(eager=True)
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (
         a.join(

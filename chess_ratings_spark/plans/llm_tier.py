@@ -429,6 +429,11 @@ _CAPPED_JACCARD_ORACLE = """
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shared_shingles(spark, sf_dir)
+    # NOT checkpointed (unlike sim_containment_join's index): sh is
+    # fully session-cached here, so recomputing the cheap index per
+    # self-join side measured faster than materializing the exploded
+    # string postings (round-15 interleaved A/B, 3 cycles: 1.40 s lazy
+    # vs 1.73 s checkpointed — OPTIMIZATION_r15.md)
     ex = similarity.capped_shingle_index(sh, df_cap=SHINGLE_DF_CAP)
     a = ex.alias("a")
     b = ex.alias("b")
@@ -1055,14 +1060,17 @@ def sim_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # base-corpus shingle sets come from the session-shared cache (the
     # same frame every jaccard/minhash query uses); only the ~2% of
-    # planted fragments are shingled fresh. (Caching the capped index
-    # itself was measured SLOWER for the single-shot driver/bench path
-    # — materialization costs more than the double computation the
-    # alias self-join plans — so the index stays lazy.)
+    # planted fragments are shingled fresh. The capped index feeds both
+    # sides of the self-join: an eager localCheckpoint runs the explode
+    # + df-count + cap semi-join + size window once instead of per side
+    # (round-12 had measured .cache() slower here; the round-15 A/B of
+    # localCheckpoint measured faster — see OPTIMIZATION_r15.md).
     sh = shared_shingles(spark, sf_dir).unionByName(
         similarity.shingle_sets(frags)
     )
-    ex = similarity.capped_shingle_index(sh, df_cap=128)
+    ex = similarity.capped_shingle_index(sh, df_cap=128).localCheckpoint(
+        eager=True
+    )
     a, b = ex.alias("a"), ex.alias("b")
     # the final predicate requires n_a < n_b strictly, so push it into
     # the join: halves the pair volume vs != and prunes equal-size
