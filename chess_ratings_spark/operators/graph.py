@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -402,22 +402,48 @@ def kcore_peel(
         )
         out = None
         for r in range(1, rounds + 1):
-            deg = (
-                cur.select(F.col("a").alias("node"))
-                .union(cur.select(F.col("b").alias("node")))
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).alias("deg"))
+            # One materialized pass per round: posexplode the two
+            # endpoints, count the node's degree with a window (counts
+            # BOTH positions, so self-loops and non-bipartite graphs
+            # keep the union-based degree), and pivot back to one row
+            # per edge carrying (dega, degb). The old form spent two
+            # eager jobs per round (checkpoint `alive`, checkpoint the
+            # semi-joined survivors); everything below — survivors,
+            # alive census, edge census — is a map-side filter or a
+            # tiny agg over THIS one checkpoint.
+            ex = cur.select(
+                "a",
+                "b",
+                F.posexplode(F.array("a", "b")).alias("pos", "node"),
             )
+            ann = (
+                ex.withColumn(
+                    "deg",
+                    F.count(F.lit(1)).over(Window.partitionBy("node")),
+                )
+                .groupBy("a", "b")
+                .agg(
+                    F.max(F.when(F.col("pos") == 0, F.col("deg"))).alias(
+                        "dega"
+                    ),
+                    F.max(F.when(F.col("pos") == 1, F.col("deg"))).alias(
+                        "degb"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            nxt = ann.filter(
+                (F.col("dega") >= k) & (F.col("degb") >= k)
+            ).select("a", "b")
             alive = (
-                deg.filter(F.col("deg") >= k)
-                .select("node")
-                .localCheckpoint(eager=True)
-            )
-            nxt = (
-                cur.join(alive.withColumnRenamed("node", "a"), "a", "semi")
-                .join(alive.withColumnRenamed("node", "b"), "b", "semi")
-                .select("a", "b")
-                .localCheckpoint(eager=True)
+                ann.filter(F.col("dega") >= k)
+                .select(F.col("a").alias("node"))
+                .union(
+                    ann.filter(F.col("degb") >= k).select(
+                        F.col("b").alias("node")
+                    )
+                )
+                .distinct()
             )
             census = alive.agg(
                 F.lit(r).cast("int").alias("round"),
@@ -428,12 +454,12 @@ def kcore_peel(
                 )
             )
             out = census if out is None else out.unionByName(census)
-            # only the PREDECESSOR edge frame is safe to drop here: the
-            # census rows are lazy and still reference this round's
-            # checkpointed `alive`/`nxt` blocks until the caller
-            # materializes the result; those frames are O(nodes) id
-            # lists, bounded and shrinking, so holding them is cheap
-            cur.unpersist()
+            # only the INITIAL edge frame is safe to drop: census rows
+            # are lazy and reference every round's checkpointed `ann`
+            # until the caller materializes the result; those frames
+            # are O(edges) and shrinking, so holding them is cheap
+            if r == 1:
+                cur.unpersist()
             cur = nxt
         assert out is not None
         return out.orderBy("round")
