@@ -258,6 +258,10 @@ def knn_join_grid(
     d2 = (F.col("sx") - F.col("px")) * (F.col("sx") - F.col("px")) + (
         F.col("sy") - F.col("py")
     ) * (F.col("sy") - F.col("py"))
+    # one narrow (sid, sx, sy, cell) frame, materialized once: every
+    # ring round equi-joins against it, and without the checkpoint each
+    # round would re-run the caller's whole store lineage (parquet scan
+    # + filters) just to rebuild the same cell ids
     cells = stores.select(
         "sid",
         "sx",
@@ -265,7 +269,7 @@ def knn_join_grid(
         (
             F.expr(f"sx div {side}") * n_cells + F.expr(f"sy div {side}")
         ).alias("cell"),
-    )
+    ).localCheckpoint(eager=True)
     todo = probes.select(
         "pid",
         "px",
@@ -320,19 +324,29 @@ def knn_join_grid(
         if i == full:  # block = whole grid: everyone remaining is done
             contribs.append(topk)
             break
-        topk = topk.persist()
-        done = (
-            topk.groupBy("pid")
-            .agg(F.count(F.lit(1)).alias("nc"), F.max("d2").alias("kth"))
-            .filter((F.col("nc") == k) & (F.col("kth") <= (i * side) ** 2))
-            .select("pid")
+        # done-detection rides the rank window's own exchange+sort: a
+        # second pid-partitioned window over the filtered top-k rows
+        # (count of candidates, k-th distance) needs no new Exchange —
+        # the rows are already hashed and sorted by pid — so the old
+        # per-round groupBy(pid) agg job and the separate semi-joined
+        # contribution checkpoint collapse into this ONE materialized
+        # frame
+        caps = Window.partitionBy("pid")
+        flagged = (
+            topk.withColumn("nc", F.count(F.lit(1)).over(caps))
+            .withColumn("kth", F.max("d2").over(caps))
+            .withColumn(
+                "is_done",
+                (F.col("nc") == k) & (F.col("kth") <= (i * side) ** 2),
+            )
+            .select("pid", "sid", "d2", "rn", "is_done")
             .localCheckpoint(eager=True)
         )
         contribs.append(
-            topk.join(done, "pid", "left_semi").localCheckpoint(eager=True)
+            flagged.filter("is_done").select("pid", "sid", "d2", "rn")
         )
+        done = flagged.filter("is_done").select("pid")
         nxt = todo.join(done, "pid", "left_anti").localCheckpoint(eager=True)
-        topk.unpersist()
         if nxt.isEmpty():
             break
         todo = nxt

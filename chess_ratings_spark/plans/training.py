@@ -1692,7 +1692,6 @@ def ml_kmedians_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = el.groupBy("vec_id").agg(F.sum(bit).cast("int").alias("c"))
     w_med = Window.partitionBy("c", "i").orderBy("ve6", "vec_id")
     w_cnt = Window.partitionBy("c", "i")
-    w_arg = Window.partitionBy("vec_id").orderBy("dist", "cc")
     out = None
     for r in range(1, _KMED_ROUNDS + 1):
         cent = (
@@ -1712,14 +1711,29 @@ def ml_kmedians_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         sq = (F.col("ve6") - F.col("ce6")) * (F.col("ve6") - F.col("ce6"))
+        # argmin via two-level hash aggregation instead of a sort
+        # window: lexicographic (dist, cc) packs losslessly into ONE
+        # bigint (dist <= 64 * (2e6)^2 = 2.56e14 on the e6 grid, cc is
+        # 3 bits from the sign-bit seeding, so dist*8+cc < 2^63), and
+        # min() over it is exactly the orderBy(dist, cc)
+        # row_number()==1 pick. A struct-ordered min/min_by falls back
+        # to SortAggregate; the packed bigint keeps HashAggregate with
+        # partial map-side collapse of the k candidate rows per vec
+        # before the exchange — no sort at all (guide §2.3)
         nxt = (
             el.join(F.broadcast(cent), F.col("i") == F.col("ci"))
             .select("vec_id", "cc", sq.alias("sq"))
             .groupBy("vec_id", "cc")
             .agg(F.sum("sq").alias("dist"))
-            .withColumn("rn", F.row_number().over(w_arg))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cc").alias("c"), "dist")
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.col("dist") * 8 + F.col("cc")).alias("m")
+            )
+            .select(
+                "vec_id",
+                (F.col("m") % 8).cast("int").alias("c"),
+                F.expr("m div 8").cast("bigint").alias("dist"),
+            )
             .localCheckpoint(eager=True)
         )
         census = nxt.agg(
