@@ -511,9 +511,11 @@ def bfs_layers(
                 F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
             )
             out = out.unionByName(census)
-            new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-            if visited is not frontier and visited.is_cached:
-                visited.unpersist()
-            visited = new_visited
+            # the visited set stays a LAZY union of the per-round
+            # checkpointed frontiers: materializing it each round was a
+            # second eager job per round for a frame every piece of
+            # which is already checkpointed — the anti-join just scans
+            # the union of those stored blocks
+            visited = visited.unionByName(nxt)
             frontier = nxt
         return out.orderBy("dist")
