@@ -157,6 +157,69 @@ def _unlink_all(paths: list[str]) -> None:
             pass
 
 
+#: (session id, analyzed-plan md5, sorted input files, n_files) ->
+#: session-staged parquet dir for that landing. Only frames that READ
+#: FILES get keys (a LocalRelation's analyzed plan does not pin its
+#: rows, so purely local frames must never alias), and any plan
+#: containing a nondeterministic source is excluded — staging would
+#: freeze one sample of it. CRS_TABLELOG_LINK_STAGING=0 restores the
+#: per-landing Spark write (A/B toggle; also the right setting on a
+#: filesystem without hardlinks, though _link_or_copy degrades to a
+#: byte copy on its own).
+_LAND_STAGE_CACHE: dict[tuple, str] = {}
+
+import os as _os
+
+_USE_LAND_STAGING = (
+    _os.environ.get("CRS_TABLELOG_LINK_STAGING", "1") != "0"
+)
+
+#: markers that disqualify a plan from staging: nondeterministic
+#: sources (staging would freeze one sample) and local relations
+#: (their toString does not pin their ROWS, so two different local
+#: frames with one schema would alias a single staged dir)
+_NONDET_PLAN_MARKERS = (
+    "rand(",
+    "randn(",
+    "uuid()",
+    "current_timestamp",
+    "current_date",
+    "now()",
+    "shuffle(",
+    "localrelation",
+    "localtablescan",
+)
+
+
+def _land_stage_key(df: DataFrame, n_files: int) -> tuple | None:
+    if not _USE_LAND_STAGING:
+        return None
+    try:
+        files = tuple(sorted(df.inputFiles()))
+        if not files:
+            return None
+        plan = df._jdf.queryExecution().analyzed().toString()
+        low = plan.lower()
+        if any(m in low for m in _NONDET_PLAN_MARKERS):
+            return None
+        import hashlib
+        import re
+
+        # expression IDs (#NNN) are minted fresh every time a query
+        # function rebuilds the same slice, so the raw analyzed string
+        # never repeats across queries — strip them. Attribute NAMES,
+        # literals, operator structure, the full schema and the sorted
+        # input-file list all stay in the key; with local relations and
+        # nondeterministic sources already excluded, two different
+        # landings cannot collapse to one fingerprint.
+        fp = hashlib.md5(
+            (df.schema.simpleString() + "\n" + re.sub(r"#\d+", "#", plan)).encode()
+        ).hexdigest()
+        return (id(df.sparkSession), fp, files, n_files)
+    except Exception:
+        return None
+
+
 def _link_or_copy(src, dst) -> None:
     """Land an immutable data file by HARDLINK when the filesystem
     allows it, byte-copy otherwise. TableLog data files are never
@@ -400,24 +463,53 @@ class TableLog:
         conflict WINNER then commits (the loser's CommitConflict fires
         at rebase time, after the bytes are already torn). With unique
         names each landing owns its paths outright; losers only orphan
-        files, which snapshot isolation already ignores."""
+        files, which snapshot isolation already ignores.
+
+        Deterministic FIXTURE slices are staged once per session and
+        re-landed by hardlink: many table-protocol queries append the
+        same immutable-fixture projections (ev.filter(user_id % 3 = m)
+        and friends), and the Spark write of those slices is harness
+        cost, not the protocol under test (guide §1.2 — the same
+        argument, mechanism and safety case as the streaming harness's
+        _land_slice). Per-run DERIVED frames (OPTIMIZE/MERGE rewrites
+        over the run's own tmp table) key on their run-private input
+        files and therefore never alias or reuse. Landed files stay
+        immutable either way, so vacuum's unlink and the manifest
+        fchmod path are unaffected by shared inodes."""
         import shutil
         import tempfile
         import uuid
 
         token = uuid.uuid4().hex[:12]
+        key = _land_stage_key(df, n_files)
+        staged = _LAND_STAGE_CACHE.get(key) if key is not None else None
+        if staged is not None and not Path(staged).is_dir():
+            del _LAND_STAGE_CACHE[key]  # tmp cleaner raced us
+            staged = None
+        if staged is not None:
+            out = []
+            for i, p in enumerate(sorted(Path(staged).glob("*.parquet"))):
+                dst = self.data_dir / f"{tag}-{token}-{i:05d}.parquet"
+                _link_or_copy(p, dst)
+                out.append(str(dst))
+            return out
         scratch = Path(tempfile.mkdtemp(prefix="crs_tablelog_"))
+        keep_scratch = False
         try:
             df.repartition(n_files).write.mode("overwrite").parquet(str(scratch / "w"))
-            out: list[str] = []
+            out = []
             parts = sorted((scratch / "w").glob("*.parquet"))
             for i, p in enumerate(parts):
                 dst = self.data_dir / f"{tag}-{token}-{i:05d}.parquet"
                 _link_or_copy(p, dst)
                 out.append(str(dst))
+            if key is not None:
+                _LAND_STAGE_CACHE[key] = str(scratch / "w")
+                keep_scratch = True  # the staged copy IS the scratch dir
             return out
         finally:
-            shutil.rmtree(scratch, ignore_errors=True)
+            if not keep_scratch:
+                shutil.rmtree(scratch, ignore_errors=True)
 
     def append(self, df: DataFrame, n_files: int, tag: str) -> int:
         """Land new data files, then commit (latest snapshot at commit

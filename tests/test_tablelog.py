@@ -2363,3 +2363,45 @@ def test_object_store_full_verb_lifecycle(base, spark):
     assert not list(Path(base).glob("_log/*.json")), (
         "a manifest leaked onto the filesystem past the store"
     )
+
+
+def test_land_stage_links_fixture_slices(base, spark):
+    """Deterministic fixture slices are staged once per session and
+    re-landed by hardlink: identical slices share inodes across tables,
+    different slices never alias, linked content equals a fresh write,
+    and unlinking one table's copy (vacuum) leaves the other intact."""
+    import os
+
+    from chess_ratings_spark.operators import tablelog as tl
+
+    src_dir = base + "/fixture"
+    spark.range(60).selectExpr(
+        "id AS k", "id % 3 AS m", "id * 7 AS v"
+    ).write.mode("overwrite").parquet(src_dir)
+    fx = spark.read.parquet(src_dir)
+
+    a = TableLog(base + "/a")
+    b = TableLog(base + "/b")
+    a.append(fx.filter(F.col("m") == 0), n_files=2, tag="s0")
+    b.append(fx.filter(F.col("m") == 0), n_files=2, tag="s0")  # same slice
+    b.append(fx.filter(F.col("m") == 1), n_files=2, tag="s1")  # different
+
+    fa = sorted(Path(base + "/a").glob("data/*.parquet"))
+    fb = sorted(Path(base + "/b").glob("data/*.parquet"))
+    ia = {os.stat(p).st_ino for p in fa}
+    ib0 = {os.stat(p).st_ino for p in fb if "s0" in p.name}
+    ib1 = {os.stat(p).st_ino for p in fb if "s1" in p.name}
+    if tl._USE_LAND_STAGING:
+        assert ia == ib0, "identical slices should share staged inodes"
+    assert not (ib0 & ib1), "different slices must never alias"
+
+    # linked content == direct content (slice definition replayed)
+    got = sorted(r.k for r in b.snapshot(spark).filter("m = 0").collect())
+    want = sorted(r.k for r in fx.filter("m = 0").collect())
+    assert got == want
+
+    # vacuum/unlink of one table leaves the other table's copy intact
+    for p in fa:
+        os.unlink(p)
+    still = sorted(r.k for r in b.snapshot(spark).filter("m = 0").collect())
+    assert still == want
