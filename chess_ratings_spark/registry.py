@@ -63,82 +63,31 @@ REGISTRY: dict[str, Query] = {}
 #: feasible through round 29 by simulation — the uniform-coverage
 #: outcome the verdict item actually wanted.
 #:
-#: ================= ROUND-15 WINDOW (slots 1-50) =================
-#: Pure EDF rotation, ZERO new registrations (round-14 verdict #1 and
-#: #7: the capacity horizon says every new registration displaces a
-#: deadline slot; this round's mandatory+pre-empt load fills the
-#: window exactly). The whole tuple is now emitted in
+#: ================= ROUND-16 WINDOW (slots 1-50) =================
+#: Pure EDF rotation again (scripts/plan_rotation.py is the derivation
+#: of record), ZERO new registrations — the registry has been frozen at
+#: 308 since round 14; rounds 15-16 are optimization rounds. Tuple in
 #: (deadline, name) order — deadline = latest green CORRECTNESS row +
 #: class floor (v2: §2 5 / non-§2 10) + 1 — so the window IS the head
 #: and the tail documents the coming rounds' cohorts in order.
-#:   1-13  the r15 MANDATORY cohort (deadline 15): the 13 TPC-H depth
-#:         queries q10-q22 whose evidence dates to r4 and hits the
-#:         non-§2 floor-10 deadline this round (the exact list the
-#:         round-14 test_survey2_evidence_freshness failure named).
-#:  14-50  37 pre-empts from the 78-wide r16-deadline cohort,
-#:         earliest-deadline-first, alphabetical within the tie: the
-#:         r5-evidence depth queries (floor-10 deadline 16) and the
-#:         r10-evidence §2 operators (floor-5 deadline 16). This is
-#:         the ≥ 36-pre-empt requirement from round-14
-#:         test_next_round_cohort_fits_window: it shrinks the r16
-#:         mandatory cohort 78 → 28 and the r17 cohort to 34, both
-#:         within the 42-slot (50 minus 8 reserve) EDF cap, feasible
-#:         two rounds out by the contract-test simulation.
-#: Round-16+ deadlines at r15 HEAD: r16 mandatory = the 28 unpre-empted
-#: dl-16 names (the r10 §2 cohort remainder + r5/r6 depth remainder);
-#: the 50-wide r13 §2 cohort lands r19. Re-verified every HEAD by
+#:   1-28  the r16 MANDATORY cohort (deadline 16): the 28 dl-16 names
+#:         the round-15 header predicted — the r10-evidence §2 cohort
+#:         remainder plus the r5-evidence depth remainder (the exact
+#:         list the round-15 test_survey2_evidence_freshness failure
+#:         named at this HEAD).
+#:  29-50  22 pre-empts from the 48-wide r17-deadline cohort,
+#:         earliest-deadline-first, alphabetical within the tie.
+#: RESERVE 8 → 7 this round (plan_rotation.py + test_contract.py): the
+#: dl≤18 demand at r16 HEAD is 28+48+59 = 135 refreshes against
+#: 50 + 2×(50−RESERVE) slots — with reserve 8 that is 134, infeasible
+#: by exactly one for EVERY window choice (EDF is optimal, so no
+#: rotation fixes it); with reserve 7 it is 136 and the two-round
+#: simulation passes (r17 = 26 ≤ 43, r18 = 42 ≤ 43). Holding 8 slots
+#: for new registrations was sized when registrations landed every
+#: round; the registry is frozen, so 7 still funds re-checks while
+#: unstarving the refresh schedule. Re-verified every HEAD by
 #: test_next_round_cohort_fits_window.
 DRIVER_ORDER: tuple[str, ...] = (
-    "q10_returned_items",
-    "q11_important_values",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_parts_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "agg_corr_cov",
-    "agg_decayed_counts",
-    "agg_gini_concentration",
-    "agg_histogram",
-    "agg_hll_merge",
-    "agg_markov_transitions",
-    "agg_mode",
-    "agg_retention_cohorts",
-    "anomaly_zscore",
-    "compact_small_files",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "fn_bitwise_ops",
-    "fn_edit_distance",
-    "fn_hash_suite",
-    "fn_json_get",
-    "fn_url_parse",
-    "graph_bfs_layers",
-    "graph_kcore",
-    "join_asof",
-    "join_bucketed",
-    "join_dynamic_pruning",
-    "join_runtime_bloom",
-    "lake_checkpoint",
-    "ml_kmedians_embed",
-    "ml_pca_power",
-    "mm_binary_decode",
-    "mm_frame_sample",
-    "mm_image_resize",
-    "mm_phash_near_dup",
-    "observe_metrics",
-    "proj_add_missing",
-    "proj_lit",
-    "proj_rename",
-    "q2_min_cost_supplier",
-    "sample_bottomk",
-    "sample_weighted_mix",
     "scan_partition_pruning",
     "select_project",
     "sim_pq_adc",
@@ -367,6 +316,23 @@ DRIVER_ORDER: tuple[str, ...] = (
     "udf_arrow_scalar",
     "win_cumulative_distinct",
     "win_median_rolling",
+    "agg_decayed_counts",
+    "agg_gini_concentration",
+    "agg_markov_transitions",
+    "agg_retention_cohorts",
+    "fn_hash_suite",
+    "fn_json_get",
+    "graph_bfs_layers",
+    "graph_kcore",
+    "join_asof",
+    "lake_checkpoint",
+    "ml_kmedians_embed",
+    "ml_pca_power",
+    "mm_phash_near_dup",
+    "proj_add_missing",
+    "proj_lit",
+    "proj_rename",
+    "sample_weighted_mix",
     "stream_interval_join",
     "stream_session_live",
     "stream_sliding_live",
@@ -397,6 +363,39 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_langid",
     "text_quality_score",
     "text_token_count",
+    "agg_corr_cov",
+    "agg_histogram",
+    "agg_hll_merge",
+    "agg_mode",
+    "anomaly_zscore",
+    "compact_small_files",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "fn_bitwise_ops",
+    "fn_edit_distance",
+    "fn_url_parse",
+    "join_bucketed",
+    "join_dynamic_pruning",
+    "join_runtime_bloom",
+    "mm_binary_decode",
+    "mm_frame_sample",
+    "mm_image_resize",
+    "observe_metrics",
+    "q10_returned_items",
+    "q11_important_values",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "sample_bottomk",
 )
 
 

@@ -34,7 +34,10 @@ import sys
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
 
-S2_FLOOR, NON_S2_FLOOR, WINDOW, RESERVE = 5, 10, 50, 8
+# RESERVE 8 → 7 at round 16: registry frozen at 308 since r14, and the
+# r16-HEAD dl≤18 demand (135) exceeds 50 + 2×(50−8) by one — EDF-proof
+# infeasible at reserve 8; see tests/test_contract.py for the full note.
+S2_FLOOR, NON_S2_FLOOR, WINDOW, RESERVE = 5, 10, 50, 7
 
 
 def survey2_ids() -> set[str]:
