@@ -401,6 +401,7 @@ def kcore_peel(
             .localCheckpoint(eager=True)
         )
         out = None
+        prev_ann = None
         for r in range(1, rounds + 1):
             # One materialized pass per round: posexplode the two
             # endpoints, count the node's degree with a window (counts
@@ -454,12 +455,20 @@ def kcore_peel(
                 )
             )
             out = census if out is None else out.unionByName(census)
-            # only the INITIAL edge frame is safe to drop: census rows
-            # are lazy and reference every round's checkpointed `ann`
-            # until the caller materializes the result; those frames
-            # are O(edges) and shrinking, so holding them is cheap
+            # Pin the census rows accumulated so far (≤ r tiny rows) so
+            # nothing downstream references superseded `ann` frames,
+            # then drop the PREVIOUS round's O(edges) checkpoint — the
+            # current `ann` is still `cur`'s source for the next round.
+            # (r15 ADVICE: holding every round's ann for the whole loop
+            # grows peak block-manager storage to the SUM of all
+            # rounds' surviving edge sets; with the per-round census
+            # checkpoint the high-water mark is two rounds' edges.)
+            out = out.localCheckpoint(eager=True)
             if r == 1:
                 cur.unpersist()
+            if prev_ann is not None:
+                prev_ann.unpersist()
+            prev_ann = ann
             cur = nxt
         assert out is not None
         return out.orderBy("round")

@@ -168,6 +168,26 @@ def _unlink_all(paths: list[str]) -> None:
 #: byte copy on its own).
 _LAND_STAGE_CACHE: dict[tuple, str] = {}
 
+
+def _purge_land_stage_cache() -> None:
+    """r15 ADVICE: staged slice dirs (tempfile.mkdtemp, kept for the
+    process lifetime as the hardlink source) would otherwise leak one
+    /tmp dir per distinct slice; registered atexit so a clean exit
+    removes them (an unclean exit leaves them to the OS tmp cleaner,
+    same as before)."""
+    import shutil
+
+    while _LAND_STAGE_CACHE:
+        _, d = _LAND_STAGE_CACHE.popitem()
+        # the staged copy IS the scratch dir's w/ subdir — remove the
+        # whole scratch root (parent) that mkdtemp created
+        shutil.rmtree(Path(d).parent, ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_purge_land_stage_cache)
+
 import os as _os
 
 _USE_LAND_STAGING = (
@@ -188,6 +208,16 @@ _NONDET_PLAN_MARKERS = (
     "shuffle(",
     "localrelation",
     "localtablescan",
+    # r15 ADVICE: plans whose toString does not pin their ROWS even
+    # though inputFiles() is non-empty — an RDD-backed leaf (e.g. a
+    # localCheckpoint'd frame joined to a file scan) or a cached
+    # relation can hold different data under a structurally identical
+    # plan, and monotonically_increasing_id() is partitioning-dependent
+    "logicalrdd",
+    "existingrdd",
+    "scanexistingrdd",
+    "inmemoryrelation",
+    "monotonically_increasing_id",
 )
 
 
@@ -212,8 +242,28 @@ def _land_stage_key(df: DataFrame, n_files: int) -> tuple | None:
         # input-file list all stay in the key; with local relations and
         # nondeterministic sources already excluded, two different
         # landings cannot collapse to one fingerprint.
+        # r15 ADVICE: confs that can change row CONTENT between two
+        # landings of one session (timestamp parsing/rendering, ANSI
+        # cast behavior, datetime rebase) ride in the key — same plan +
+        # files under a flipped conf must not alias the staged bytes.
+        conf = df.sparkSession.conf
+        confs = "|".join(
+            str(conf.get(k, None))
+            for k in (
+                "spark.sql.session.timeZone",
+                "spark.sql.ansi.enabled",
+                "spark.sql.parquet.datetimeRebaseModeInRead",
+                "spark.sql.parquet.int96RebaseModeInRead",
+            )
+        )
         fp = hashlib.md5(
-            (df.schema.simpleString() + "\n" + re.sub(r"#\d+", "#", plan)).encode()
+            (
+                df.schema.simpleString()
+                + "\n"
+                + re.sub(r"#\d+", "#", plan)
+                + "\n"
+                + confs
+            ).encode()
         ).hexdigest()
         return (id(df.sparkSession), fp, files, n_files)
     except Exception:
@@ -488,11 +538,23 @@ class TableLog:
             staged = None
         if staged is not None:
             out = []
-            for i, p in enumerate(sorted(Path(staged).glob("*.parquet"))):
-                dst = self.data_dir / f"{tag}-{token}-{i:05d}.parquet"
-                _link_or_copy(p, dst)
-                out.append(str(dst))
-            return out
+            try:
+                for i, p in enumerate(sorted(Path(staged).glob("*.parquet"))):
+                    dst = self.data_dir / f"{tag}-{token}-{i:05d}.parquet"
+                    _link_or_copy(p, dst)
+                    out.append(str(dst))
+                return out
+            except OSError:
+                # r15 ADVICE (TOCTOU): the staged dir vanished between
+                # the is_dir() check and the relink (tmp cleaner). Evict
+                # the key, unlink whatever partially landed, and fall
+                # through to a fresh Spark write.
+                _LAND_STAGE_CACHE.pop(key, None)
+                for f in out:
+                    try:
+                        _os.unlink(f)
+                    except OSError:
+                        pass
         scratch = Path(tempfile.mkdtemp(prefix="crs_tablelog_"))
         keep_scratch = False
         try:
