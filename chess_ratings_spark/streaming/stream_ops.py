@@ -233,15 +233,18 @@ def _state_partitions(spark: SparkSession):
 
 
 def _snapshot_sink(spark: SparkSession, name: str) -> DataFrame:
-    """Materialize a memory-sink table to a static local DataFrame and
-    DROP the temp view, so a long-lived driver session doesn't
-    accumulate catalog entries + sink buffers across queries. Memory
-    sinks are driver-resident by definition (bounded aggregate outputs
-    here), so the localization moves no data the sink didn't already
-    hold."""
-    tbl = spark.table(name)
-    rows = tbl.collect()
-    out = spark.createDataFrame(rows, schema=tbl.schema)
+    """Materialize a memory-sink table to a static DataFrame and DROP
+    the temp view, so a long-lived driver session doesn't accumulate
+    catalog entries + sink buffers across queries. localCheckpoint
+    pins the rows JVM-side in one job — the former
+    collect() + createDataFrame(rows) round-tripped every row through
+    Python (pickle out, pickle back), which cost 3-4 s on the ~100k-row
+    session/interval-join sinks vs ~0.7 s for the checkpoint (r16
+    same-sink A/B, rows identical); bounded aggregate sinks see the
+    same shape with negligible absolute cost. Rows and schema are
+    unchanged; the checkpointed frame stays valid after the view is
+    dropped."""
+    out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
 
