@@ -1838,16 +1838,19 @@ def lake_manifest_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chess_ratings_spark.operators.tablelog import TableLog
 
-    # 12 landings x 2 protocols = 24 executions of this frame; one
-    # checkpoint replaces 24 parquet scans with memory reads (guide
-    # §3.3) while the landing protocol itself is untouched
-    ev = (
-        tables.load(spark, sf_dir, "events")
-        .select(
-            "event_id", "user_id",
-            F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
-        )
-        .localCheckpoint(eager=True)
+    # Deliberately NOT checkpointed (r16 reversal of the r15 eager
+    # localCheckpoint): a checkpointed frame is RDD-backed, which
+    # disqualifies every landing from the _land staging cache
+    # (tablelog.py keys on analyzed plan + input FILES), so all 24
+    # landings paid a fresh Spark write. Parquet-backed slices stage:
+    # each of the 12 distinct slices is written once and the second
+    # protocol's identical landing is a hardlink — 24 writes -> 12
+    # writes + 12 links (fresh-session paired A/B: first run 7.8/9.8 ->
+    # 6.9/8.9 s, warm reruns 5.1-6.6 -> 1.0-2.0 s; the repeated parquet
+    # scans are covered by the load memo + page cache).
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
     )
     base = tempfile.mkdtemp(prefix="crs_shard_")
     try:
@@ -2629,15 +2632,16 @@ def lake_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chess_ratings_spark.operators.tablelog import TableLog
 
-    # 8 sharded landings re-execute this frame; checkpoint once (guide
-    # §3.3) — the landing/checkpoint protocol is untouched
-    ev = (
-        tables.load(spark, sf_dir, "events")
-        .select(
-            "event_id", "user_id",
-            F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
-        )
-        .localCheckpoint(eager=True)
+    # Deliberately NOT checkpointed (r16, same reversal as
+    # lake_manifest_shard): RDD-backed slices are excluded from the
+    # _land staging cache, so the r15 checkpoint silently forced all 8
+    # landings onto the fresh-write path. Parquet-backed slices stage —
+    # first run is wall-flat (the 8 rescans ride the load memo + page
+    # cache), in-session reruns land all 8 by hardlink (paired A/B:
+    # 2.7-3.1 -> 1.1-1.5 s warm).
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("vc"),
     )
     base = tempfile.mkdtemp(prefix="crs_ckpt_")
     try:
